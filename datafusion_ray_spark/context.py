@@ -1,0 +1,205 @@
+"""``DFRayContext``-shaped facade over a SparkSession.
+
+API parity target (names and behavior, not implementation):
+``/root/reference/datafusion_ray/core.py:558-663`` — ``DFRayContext`` with
+``register_parquet`` / ``register_csv`` / ``register_listing_table`` /
+``sql`` / ``set``; ``/root/reference/datafusion_ray/core.py:466-555`` —
+``DFRayDataFrame`` with ``schema()`` / ``collect()`` / ``show()`` and the
+plan-introspection hooks (``logical_plan`` / ``optimized_logical_plan`` /
+``execution_plan``; ``/root/reference/src/dataframe.rs:224-264``).
+
+Everything the reference's distribution layer does by hand (stage cutting,
+stage readers, partition isolation, max-rows slicing, prefetch —
+``/root/reference/src/physical.rs``, ``src/stage*.rs``, ``src/isolator.rs``,
+``src/max_rows.rs``, ``src/pre_fetch.rs``) is Spark's native planner/shuffle
+here, so this module is a thin, declarative facade: it never materializes
+data except in ``collect()``/``show()``, exactly like the reference's lazy
+``DFRayDataFrame``.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Any
+
+import pyarrow as pa
+from pyspark.sql import DataFrame, SparkSession
+
+from . import config as config_map
+from .session import build_session
+from .sql import run_script
+
+logger = logging.getLogger(__name__)
+
+
+class DFRayDataFrame:
+    """Lazy result container mirroring the reference's DFRayDataFrame.
+
+    Holds an unexecuted Spark plan; ``collect()`` returns Arrow record
+    batches like the reference (``datafusion_ray/core.py:506-528`` returns
+    ``list[pa.RecordBatch]``).
+    """
+
+    def __init__(self, df: DataFrame):
+        self.df = df
+
+    def schema(self) -> pa.Schema:
+        return self.to_arrow_schema()
+
+    def to_arrow_schema(self) -> pa.Schema:
+        # Cheap: schema only, no execution.
+        return pa.schema(self.df.limit(0).toArrow().schema)
+
+    def collect(self) -> list[pa.RecordBatch]:
+        """Execute and return Arrow record batches.
+
+        Batch size is bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch``
+        — the Spark-native analogue of the reference's MaxRowsExec wire bound
+        (``/root/reference/src/max_rows.rs:17-69``).
+        """
+        return self.df.toArrow().to_batches()
+
+    def show(self, n: int = 20) -> None:
+        self.df.show(n=n, truncate=False)
+
+    def count(self) -> int:
+        return self.df.count()
+
+    def to_pandas(self):
+        return self.df.toPandas()
+
+    # -- plan introspection (reference: datafusion_ray/core.py:483-504) -----
+
+    def logical_plan(self) -> str:
+        return self._qe("analyzed")
+
+    def optimized_logical_plan(self) -> str:
+        return self._qe("optimized")
+
+    def execution_plan(self) -> str:
+        return self._qe("executedPlan")
+
+    def display_execution_plan(self) -> None:
+        print(self.execution_plan())
+
+    def explain(self, mode: str = "formatted") -> None:
+        self.df.explain(mode=mode)
+
+    def _qe(self, which: str) -> str:
+        qe = self.df._jdf.queryExecution()
+        node = {
+            "analyzed": qe.analyzed,
+            "optimized": qe.optimizedPlan,
+            "executedPlan": qe.executedPlan,
+        }[which]()
+        return node.toString()
+
+
+class DFRayContext:
+    """Session facade: catalog registration + SQL + config.
+
+    Mirrors ``DFRayContext`` (``/root/reference/datafusion_ray/core.py:558-663``).
+    The reference's pool/batching knobs (``batch_size``,
+    ``prefetch_buffer_size``, ``partitions_per_processor``,
+    ``processor_pool_min/max``) are accepted for compatibility; on Spark they
+    map to conf or are no-ops (executors are long-lived, shuffle fetch is
+    already asynchronous).
+    """
+
+    def __init__(
+        self,
+        batch_size: int = 8192,
+        prefetch_buffer_size: int = 0,
+        partitions_per_processor: int | None = None,
+        processor_pool_min: int = 1,
+        processor_pool_max: int = 100,
+        spark: SparkSession | None = None,
+    ):
+        self.spark = spark or build_session()
+        if batch_size:
+            self.spark.conf.set(
+                "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size)
+            )
+        # prefetch/pool knobs are inherent to Spark's executor model; keep for
+        # API compatibility.
+        self._compat_knobs = {
+            "prefetch_buffer_size": prefetch_buffer_size,
+            "partitions_per_processor": partitions_per_processor,
+            "processor_pool_min": processor_pool_min,
+            "processor_pool_max": processor_pool_max,
+        }
+        self._tables: dict[str, str] = {}
+
+    # -- registration (reference: core.py:591-643, src/context.rs:57-107) ---
+
+    def register_parquet(self, name: str, path: str) -> None:
+        """Register a parquet file/directory as a named table."""
+        self._register(name, self.spark.read.parquet(path), path)
+
+    def register_csv(self, name: str, path: str, **options: Any) -> None:
+        """Register a CSV file with header+schema inference (the reference
+        uses DataFusion's ``CsvReadOptions`` defaults: header, inferred
+        schema — ``src/context.rs:69-79``)."""
+        opts = {"header": "true", "inferSchema": "true"}
+        opts.update({k: str(v) for k, v in options.items()})
+        self._register(name, self.spark.read.options(**opts).csv(path), path)
+
+    def register_json(self, name: str, path: str, **options: Any) -> None:
+        self._register(name, self.spark.read.options(**options).json(path), path)
+
+    def register_avro(self, name: str, path: str) -> None:
+        # datafusion.proto:715; spark-avro is a separate artifact — surface a
+        # clear error when absent rather than failing deep in planning.
+        try:
+            df = self.spark.read.format("avro").load(path)
+        except Exception as exc:  # pragma: no cover - depends on classpath
+            raise NotImplementedError(
+                "avro source requires the spark-avro package on the classpath"
+            ) from exc
+        self._register(name, df, path)
+
+    def register_listing_table(self, name: str, path: str, file_format: str = "parquet") -> None:
+        """Directory-of-files table (reference: ``src/context.rs:82-107``).
+
+        Spark's readers natively accept directories and glob paths, and
+        partition-discover subdirectories — strictly more than the
+        reference's ListingTable.
+        """
+        path = path.rstrip("/")
+        reader = self.spark.read
+        if file_format == "parquet":
+            df = reader.parquet(path)
+        elif file_format == "csv":
+            df = reader.options(header="true", inferSchema="true").csv(path)
+        elif file_format == "json":
+            df = reader.json(path)
+        else:
+            raise ValueError(f"unsupported listing format: {file_format}")
+        self._register(name, df, path)
+
+    def register_dataframe(self, name: str, df: DataFrame) -> None:
+        self._register(name, df, "<dataframe>")
+
+    def _register(self, name: str, df: DataFrame, path: str) -> None:
+        df.createOrReplaceTempView(name)
+        self._tables[name] = path
+
+    def tables(self) -> dict[str, str]:
+        return dict(self._tables)
+
+    # -- sql / config (reference: core.py:645-663) --------------------------
+
+    def sql(self, query: str) -> DFRayDataFrame:
+        """Run SQL (multi-statement scripts supported) and return the last
+        statement's result lazily."""
+        return DFRayDataFrame(run_script(self.spark, query))
+
+    def set(self, key: str, value: str) -> None:
+        spark_key = config_map.translate(key)
+        if spark_key is None:
+            logger.info("config key %r has no Spark equivalent; ignored", key)
+            return
+        self.spark.conf.set(spark_key, value)
+
+    def stop(self) -> None:
+        self.spark.stop()

@@ -1,0 +1,74 @@
+"""Canonical test-table registration (Spark + DuckDB oracle).
+
+Mirrors the reference's per-table parquet registration
+(``/root/reference/tpch/tpcbench.py:46-83`` — one ``register_parquet`` per
+TPC-H table) against the driver's testdata layout
+(``/root/testdata/sf*/<name>.parquet``, see FIXTURES.md).
+
+One normalization lives here: ``events.ts`` is stored as parquet
+TIMESTAMP(NANOS), which Spark refuses natively; the session reads it as raw
+int64 (``spark.sql.legacy.parquet.nanosAsLong``) and this layer converts to a
+microsecond timestamp. The DuckDB oracle applies the matching
+``CAST(ts AS TIMESTAMP)`` (ns -> us truncation) so both engines agree.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TPCH_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+)
+EXT_TABLES = ("events", "documents", "embeddings")
+ALL_TABLES = TPCH_TABLES + EXT_TABLES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table with engine-canonical column types."""
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # int64 nanos (via nanosAsLong) -> microsecond timestamp; truncation
+        # matches DuckDB's CAST(timestamp_ns AS TIMESTAMP).
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def register_tables(
+    spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = ALL_TABLES
+) -> dict[str, DataFrame]:
+    """Register each table as a temp view; return the DataFrames."""
+    out: dict[str, DataFrame] = {}
+    for name in tables:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+def duckdb_register(con, sf_dir: str, tables: tuple[str, ...] = ALL_TABLES) -> None:
+    """Create matching views on a DuckDB connection (the local oracle,
+    mirroring the reference's LocalValidator —
+    ``/root/reference/src/util.rs:414-484``)."""
+    for name in tables:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if name == "events":
+            con.execute(
+                f"CREATE OR REPLACE VIEW events AS "
+                f"SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, "
+                f"event_type, value, props FROM read_parquet('{path}')"
+            )
+        else:
+            con.execute(
+                f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM read_parquet('{path}')"
+            )
