@@ -1,0 +1,203 @@
+"""Deduplication operators over the ``documents`` table.
+
+North-star extensions (BASELINE.json): the dedup family a training-data
+pipeline needs, each expressed Spark-first:
+
+- **exact**: hash-groupBy on the text digest — one shuffle on the digest,
+  map-side combinable, scales to any corpus size.
+- **MinHash + LSH**: shingle -> per-seed min-hash signature -> banded bucket
+  join. Signatures are computed with JVM array functions (``transform`` /
+  ``array_min``) — zero Python, zero explode, one narrow projection per
+  document; only the tiny (band, bucket) keys are shuffled for the
+  candidate join. This is the textbook near-dup design that holds at 100 TB:
+  candidate generation is O(docs × bands) shuffle rows, never O(docs²).
+- **n-gram Jaccard verify**: exact set overlap computed only for LSH
+  candidate pairs (array_intersect/array_union on the shingle sets).
+- **SimHash**: 16-bit fingerprint from per-token hashes; near-dup pairs by
+  Hamming distance within a blocking key.
+
+Hashing is md5-based end-to-end (identical in Spark and DuckDB), so every
+operator here is oracle-checkable; lexicographic MIN over md5 hex digests is
+a valid min-hash because the digests are uniformly distributed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: MinHash configuration: 9 hashes in 3 bands of 3 rows. With Jaccard
+#: similarity s the candidate probability is 1-(1-s^3)^3 — steep around
+#: s≈0.7, the usual near-dup knee.
+N_HASHES = 9
+N_BANDS = 3
+ROWS_PER_BAND = 3
+SHINGLE_K = 3
+JACCARD_THRESHOLD = 0.6
+
+
+def _tokens(text_col: str) -> Column:
+    return F.split(F.trim(F.col(text_col)), r"\s+")
+
+
+def shingles(text_col: str = "text", k: int = SHINGLE_K) -> Column:
+    """Distinct word k-shingles as an array column (empty if < k tokens)."""
+    words = _tokens(text_col)
+    make = F.transform(
+        F.sequence(F.lit(1), F.size(words) - (k - 1)),
+        lambda i: F.concat_ws(" ", F.slice(words, i, k)),
+    )
+    return F.array_distinct(
+        F.when(F.size(words) >= k, make).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup groups: md5(text) -> (keep_id = min doc_id, dup_count).
+
+    Scale: single hash-shuffle on the 32-char digest with partial
+    aggregation; no row data moves, only (digest, id).
+    """
+    return (
+        df.select(F.md5(F.col(text_col)).alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count("*").cast("long").alias("dup_count"),
+        )
+    )
+
+
+def minhash_signature(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document MinHash signature: for seed i, the lexicographic MIN of
+    md5("i:" || shingle). Adds ``sig_0 .. sig_{N-1}`` string columns."""
+    sh = shingles(text_col)
+    out = df.withColumn("_shingles", sh).where(F.size("_shingles") > 0)
+    for i in range(N_HASHES):
+        out = out.withColumn(
+            f"sig_{i}",
+            F.array_min(
+                F.transform(
+                    F.col("_shingles"), lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s))
+                )
+            ),
+        )
+    return out
+
+
+def lsh_buckets(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, band, bucket) rows: bucket = md5 of the band's signature
+    slice. Only these narrow rows are shuffled for candidate generation."""
+    sig = minhash_signature(df, text_col)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.col(f"sig_{b * ROWS_PER_BAND + r}")
+                            for r in range(ROWS_PER_BAND)
+                        ],
+                    )
+                ).alias("bucket"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    return sig.select(
+        "doc_id", "_shingles", F.explode(bands).alias("bb")
+    ).select("doc_id", "_shingles", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def minhash_candidates(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Candidate near-dup pairs (doc_a < doc_b sharing ≥1 LSH bucket)."""
+    b = lsh_buckets(df, text_col)
+    left = b.select(
+        F.col("band"), F.col("bucket"), F.col("doc_id").alias("doc_a"), F.col("_shingles").alias("sh_a")
+    )
+    right = b.select(
+        F.col("band"), F.col("bucket"), F.col("doc_id").alias("doc_b"), F.col("_shingles").alias("sh_b")
+    )
+    return (
+        left.join(right, on=["band", "bucket"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
+def minhash_dedup_pairs(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """LSH candidates verified with exact n-gram Jaccard similarity.
+
+    Jaccard is computed from integer set sizes (bit-deterministic); pairs
+    with jaccard >= JACCARD_THRESHOLD are flagged near-dups.
+    """
+    cand = minhash_candidates(df, text_col)
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        F.round(inter / union, 6).alias("jaccard"),
+        (inter / union >= JACCARD_THRESHOLD).alias("is_near_dup"),
+    )
+
+
+def simhash16(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """16-bit SimHash fingerprint per document.
+
+    Per-token 16-bit hash = first 4 hex digits of md5(token); each bit
+    contributes +1/-1 weighted by token multiplicity; fingerprint bit j is 1
+    when the signed sum is positive. Implemented as explode -> 16
+    conditional sums (map-side combinable single shuffle on doc_id).
+    """
+    hexmap = "0123456789abcdef"
+    tok = df.select("doc_id", F.explode(_tokens(text_col)).alias("tok"))
+    h = F.md5(F.col("tok"))
+    val = sum(
+        (F.instr(F.lit(hexmap), F.substring(h, p + 1, 1)) - 1) * (16 ** (3 - p))
+        for p in range(4)
+    )
+    tok = tok.select("doc_id", val.alias("h16"))
+    bit_sums = [
+        F.sum(
+            F.when(F.floor(F.col("h16") / (2**j)) % 2 == 1, 1).otherwise(-1)
+        ).alias(f"bs_{j}")
+        for j in range(16)
+    ]
+    agg = tok.groupBy("doc_id").agg(*bit_sums)
+    fp = sum(
+        F.when(F.col(f"bs_{j}") > 0, F.lit(2**j)).otherwise(F.lit(0)) for j in range(16)
+    )
+    return agg.select("doc_id", fp.cast("int").alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame, text_col: str = "text", block_col: str = "source", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance within a blocking key.
+
+    Blocking keeps the pair join linear in block sizes (never all-pairs);
+    at 100 TB the block would be an LSH band of the simhash itself.
+    """
+    fp = simhash16(df, text_col).join(df.select("doc_id", block_col), "doc_id")
+    a = fp.select(
+        F.col(block_col).alias("blk"), F.col("doc_id").alias("doc_a"), F.col("simhash").alias("fp_a")
+    )
+    b = fp.select(
+        F.col(block_col).alias("blk"), F.col("doc_id").alias("doc_b"), F.col("simhash").alias("fp_b")
+    )
+    hamming = sum(
+        F.abs(
+            F.floor(F.col("fp_a") / (2**j)) % 2 - F.floor(F.col("fp_b") / (2**j)) % 2
+        )
+        for j in range(16)
+    )
+    return (
+        a.join(b, "blk")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )

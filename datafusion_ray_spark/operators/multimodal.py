@@ -1,0 +1,126 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+North-star extension (BASELINE.json): images/audio/video ride through the
+engine as ``binary`` columns with a typed metadata struct; decode /
+feature-extract are Arrow-batched Pandas transforms (``mapInPandas``) so the
+bytes never round-trip through per-row Python.
+
+The container has no image/audio codecs, so the decode kernel is STUBBED
+(`NotImplementedError` for real codecs, a deterministic fake for
+``format='fake'``) — but the Spark-side plumbing is real and tested: schema
+contract, Arrow batch shape, partition-preserving execution, and the
+metadata fast path that never touches payload bytes.
+
+Scale: ``decode_features`` is mapInPandas (no shuffle, no driver
+materialization); metadata queries prune the payload column entirely —
+check ``.explain``: the parquet/source scan reads only ``meta`` when the
+query doesn't reference ``payload``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Codecs the decode kernel understands. Only 'fake' is implemented in this
+#: container; real codecs raise until the imaging libs are present.
+SUPPORTED_FORMATS = ("fake",)
+
+FEATURE_DIM = 8
+
+DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("checksum", T.LongType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def with_binary_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach a binary payload + metadata struct to the documents table.
+
+    Stands in for real media ingestion: payload = utf-8 bytes of the text,
+    metadata carries (format, width, height, channels) like an image table
+    would.
+    """
+    return docs.select(
+        "doc_id",
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("fake").alias("format"),
+            (F.col("n_chars") % 1024).cast("int").alias("width"),
+            (F.col("n_chars") % 768).cast("int").alias("height"),
+            F.lit(3).alias("channels"),
+        ).alias("meta"),
+    )
+
+
+def _decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Decode one Arrow batch of payloads (driver for the fake codec)."""
+    fmts = pdf["meta"].map(lambda m: m["format"])
+    bad = fmts[~fmts.isin(SUPPORTED_FORMATS)]
+    if len(bad):
+        raise NotImplementedError(
+            f"codec(s) {sorted(set(bad))} require imaging libraries not present "
+            "in this container; only 'fake' is implemented"
+        )
+    payloads = pdf["payload"]
+    n_bytes = payloads.map(len)
+    checksum = payloads.map(lambda b: sum(b))
+    # Deterministic fake feature: per-stripe byte sums, L1-normalized.
+    def feature(b: bytes) -> list[float]:
+        if not b:
+            return [0.0] * FEATURE_DIM
+        stripe = max(1, len(b) // FEATURE_DIM)
+        sums = [float(sum(b[i * stripe:(i + 1) * stripe])) for i in range(FEATURE_DIM)]
+        total = sum(sums) or 1.0
+        return [s / total for s in sums]
+
+    return pd.DataFrame(
+        {
+            "doc_id": pdf["doc_id"],
+            "n_bytes": n_bytes.astype("int32"),
+            "checksum": checksum.astype("int64"),
+            "feature": payloads.map(feature),
+        }
+    )
+
+
+def decode_features(binary_df: DataFrame) -> DataFrame:
+    """Arrow-batched decode/feature-extract over (doc_id, payload, meta)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _decode_batch(pdf)
+
+    return binary_df.mapInPandas(gen, DECODE_SCHEMA)
+
+
+def meta_stats(binary_df: DataFrame) -> DataFrame:
+    """Metadata-only aggregate — payload column must be pruned from the scan
+    (verify via .explain: ReadSchema excludes ``payload``)."""
+    return (
+        binary_df.groupBy(F.col("meta.format").alias("format"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.col("meta.width").cast("long")).alias("total_width"),
+            F.max("meta.height").cast("int").alias("max_height"),
+        )
+        .orderBy("format")
+    )
+
+
+def byte_stats(binary_df: DataFrame) -> DataFrame:
+    """Payload size stats without decoding (octet_length is JVM-side)."""
+    return binary_df.select(
+        "doc_id",
+        F.octet_length("payload").cast("int").alias("n_bytes"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    ).orderBy("doc_id")

@@ -1,9 +1,481 @@
-"""Extension-operator suite entries (filled in as operators land)."""
+"""Extension-operator suite entries: (spark callable, DuckDB oracle SQL).
+
+Each DataFrame-API operator gets a deterministic query over the driver
+testdata plus an independently-written DuckDB oracle that recomputes the
+same semantics in SQL (md5-based hashing makes even MinHash/SimHash
+oracle-checkable — see operators/dedup.py docstring).
+"""
 
 from __future__ import annotations
 
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from . import dedup, text
+from .dedup import JACCARD_THRESHOLD, N_BANDS, ROWS_PER_BAND, N_HASHES
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL builders (mirror the constants in dedup.py / text.py).
+
+_WORDS = "string_split_regex(trim(text), '\\s+')"
+_SHINGLES = (
+    "list_distinct(CASE WHEN len(w) >= 3 THEN "
+    "list_transform(range(1, len(w) - 1), i -> concat_ws(' ', w[i], w[i+1], w[i+2])) "
+    "ELSE [] END)"
+)
+
+
+def _sig_exprs() -> str:
+    return ",\n       ".join(
+        f"list_aggregate(list_transform(sh, s -> md5('{i}:' || s)), 'min') AS sig_{i}"
+        for i in range(N_HASHES)
+    )
+
+
+def _band_rows() -> str:
+    selects = []
+    for b in range(N_BANDS):
+        cols = " || '|' || ".join(
+            f"sig_{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)
+        )
+        selects.append(
+            f"SELECT doc_id, sh, {b} AS band, md5({cols}) AS bucket FROM sigs"
+        )
+    return "\nUNION ALL\n".join(selects)
+
+
+def minhash_pairs_oracle() -> str:
+    return f"""
+WITH docs AS (
+    SELECT doc_id, {_WORDS} AS w FROM documents
+),
+shingled AS (
+    SELECT doc_id, {_SHINGLES} AS sh FROM docs
+),
+nonempty AS (SELECT * FROM shingled WHERE len(sh) > 0),
+sigs AS (
+    SELECT doc_id, sh,
+       {_sig_exprs()}
+    FROM nonempty
+),
+buckets AS (
+{_band_rows()}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM buckets a JOIN buckets b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+verified AS (
+    SELECT
+        c.doc_a,
+        c.doc_b,
+        len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS inter,
+        len(sa.sh) + len(sb.sh) - len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS uni
+    FROM cand c
+    JOIN nonempty sa ON sa.doc_id = c.doc_a
+    JOIN nonempty sb ON sb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b,
+       ROUND(inter / uni, 6) AS jaccard,
+       inter / uni >= {JACCARD_THRESHOLD} AS is_near_dup
+FROM verified
+ORDER BY doc_a, doc_b
+"""
+
+
+def simhash_oracle() -> str:
+    hexmap = "0123456789abcdef"
+    val = " + ".join(
+        f"(strpos('{hexmap}', substring(hx, {p + 1}, 1)) - 1) * {16 ** (3 - p)}"
+        for p in range(4)
+    )
+    bit_sums = ",\n       ".join(
+        f"SUM(CASE WHEN CAST(FLOOR(h16 / {2**j}) AS INT) % 2 = 1 THEN 1 ELSE -1 END) AS bs_{j}"
+        for j in range(16)
+    )
+    fp = " + ".join(f"CASE WHEN bs_{j} > 0 THEN {2**j} ELSE 0 END" for j in range(16))
+    return f"""
+WITH tok AS (
+    SELECT doc_id, unnest({_WORDS}) AS tok FROM documents
+),
+h AS (SELECT doc_id, md5(tok) AS hx FROM tok),
+v AS (SELECT doc_id, {val} AS h16 FROM h),
+b AS (
+    SELECT doc_id,
+       {bit_sums}
+    FROM v GROUP BY doc_id
+)
+SELECT doc_id, CAST({fp} AS INT) AS simhash FROM b ORDER BY doc_id
+"""
+
+
+def _stoplist(lang: str) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in text.LANG_STOPWORDS[lang]) + "]"
+
+
+def _hits(lang: str) -> str:
+    return (
+        f"CAST(len(list_filter(w, t -> list_contains({_stoplist(lang)}, lower(t)))) AS INT)"
+    )
+
+
+def token_stats_oracle() -> str:
+    return f"""
+SELECT doc_id,
+       CAST(len(w) AS INT) AS n_tokens,
+       CAST(len(list_distinct(w)) AS INT) AS n_distinct_tokens,
+       CAST(length(text) AS INT) AS n_chars_measured,
+       CAST(strlen(text) AS INT) AS n_bytes,
+       CAST(list_sum(list_transform(w, t -> CAST(ceil(length(t) / 4.0) AS INT))) AS INT) AS n_subword_est
+FROM (SELECT doc_id, text, {_WORDS} AS w FROM documents) t
+ORDER BY doc_id
+"""
+
+
+def lang_id_oracle() -> str:
+    langs = sorted(text.LANG_STOPWORDS)
+    scores = ", ".join(f"{_hits(lang)} AS s_{lang}" for lang in langs)
+    best = "GREATEST(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    pick = " ".join(f"WHEN s_{lang} = best THEN '{lang}'" for lang in langs)
+    return f"""
+WITH scored AS (
+    SELECT doc_id, lang, {scores}
+    FROM (SELECT doc_id, lang, {_WORDS} AS w FROM documents) t
+),
+m AS (SELECT *, {best} AS best FROM scored)
+SELECT doc_id, lang,
+       CAST(best AS INT) AS best_score,
+       CASE WHEN best = 0 THEN 'und' {pick} END AS lang_pred
+FROM m
+ORDER BY doc_id
+"""
+
+
+def quality_oracle() -> str:
+    en = _hits("en")
+    return f"""
+SELECT doc_id,
+       CAST(n_tokens AS INT) AS n_tokens,
+       ROUND((n_chars - (n_tokens - 1)) / n_tokens, 6) AS mean_word_len,
+       ROUND(en_hits / n_tokens, 6) AS stopword_ratio,
+       ROUND(n_digits / n_chars, 6) AS digit_ratio,
+       ROUND(LEAST(n_tokens / 100.0, 1.0) * 0.4
+             + LEAST(en_hits / (n_tokens * 0.1), 1.0) * 0.4
+             + (1 - n_digits / n_chars) * 0.2, 6) AS quality,
+       n_tokens >= 10 AS pass_min_length
+FROM (
+    SELECT doc_id,
+           CAST(len(w) AS DOUBLE) AS n_tokens,
+           CAST(length(text) AS DOUBLE) AS n_chars,
+           CAST({en} AS DOUBLE) AS en_hits,
+           CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) AS n_digits
+    FROM (SELECT doc_id, text, {_WORDS} AS w FROM documents) t
+) s
+ORDER BY doc_id
+"""
+
+
+def fingerprint_oracle() -> str:
+    return f"""
+SELECT doc_id,
+       md5(text) AS text_hash,
+       md5(array_to_string(list_sort(list_distinct(w)), ' ')) AS bag_fingerprint
+FROM (SELECT doc_id, text, {_WORDS} AS w FROM documents) t
+ORDER BY doc_id
+"""
+
+
+# -- similarity-search oracles ---------------------------------------------
+
+_DOT_DEC = "CAST(SUM(CAST(x * y AS DECIMAL(28,14))) AS DOUBLE)"
+_NORM_X = "CAST(SUM(CAST(x * x AS DECIMAL(28,14))) AS DOUBLE)"
+_NORM_Y = "CAST(SUM(CAST(y * y AS DECIMAL(28,14))) AS DOUBLE)"
+
+
+def knn_oracle(k: int = 10) -> str:
+    return f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+prod AS (
+    SELECT e.vec_id,
+           CAST(unnest(e.embedding) AS DOUBLE) AS x,
+           CAST(unnest((SELECT qe FROM q)) AS DOUBLE) AS y
+    FROM embeddings e
+    WHERE e.vec_id <> 0
+),
+agg AS (
+    SELECT vec_id, {_DOT_DEC} AS dot, {_NORM_X} AS norm2
+    FROM prod GROUP BY vec_id
+),
+qn AS (
+    SELECT SQRT(CAST(SUM(CAST(CAST(u AS DOUBLE) * CAST(u AS DOUBLE) AS DECIMAL(28,14))) AS DOUBLE)) AS qnorm
+    FROM (SELECT unnest(qe) AS u FROM q) t
+)
+SELECT vec_id, ROUND(dot / (SQRT(norm2) * (SELECT qnorm FROM qn)), 6) AS cosine
+FROM agg
+ORDER BY cosine DESC, vec_id
+LIMIT {k}
+"""
+
+
+def _hyperplane_values_sql() -> str:
+    from .similarity import HYPERPLANES
+
+    rows = []
+    for j, vec in enumerate(HYPERPLANES):
+        arr = "[" + ", ".join(repr(v) for v in vec) + "]::DOUBLE[]"
+        rows.append(f"({j}, {arr})")
+    return ",\n       ".join(rows)
+
+
+def ann_lsh_oracle(k: int = 5) -> str:
+    return f"""
+WITH hp(j, v) AS (
+    VALUES {_hyperplane_values_sql()}
+),
+pr AS (
+    SELECT e.vec_id, hp.j,
+           CAST(unnest(e.embedding) AS DOUBLE) AS x,
+           unnest(hp.v) AS y
+    FROM embeddings e CROSS JOIN hp
+),
+dots AS (
+    SELECT vec_id, j, {_DOT_DEC} AS d FROM pr GROUP BY vec_id, j
+),
+buckets AS (
+    SELECT vec_id,
+           CAST(SUM(CASE WHEN d > 0 THEN CAST(POW(2, j) AS BIGINT) ELSE 0 END) AS INT) AS bucket
+    FROM dots GROUP BY vec_id
+),
+qb AS (SELECT bucket FROM buckets WHERE vec_id = 0),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+cprod AS (
+    SELECT e.vec_id, b.bucket,
+           CAST(unnest(e.embedding) AS DOUBLE) AS x,
+           CAST(unnest((SELECT qe FROM q)) AS DOUBLE) AS y
+    FROM embeddings e
+    JOIN buckets b ON b.vec_id = e.vec_id
+    WHERE b.bucket = (SELECT bucket FROM qb) AND e.vec_id <> 0
+),
+agg AS (
+    SELECT vec_id, bucket, {_DOT_DEC} AS dot, {_NORM_X} AS norm2
+    FROM cprod GROUP BY vec_id, bucket
+),
+qn AS (
+    SELECT SQRT(CAST(SUM(CAST(CAST(u AS DOUBLE) * CAST(u AS DOUBLE) AS DECIMAL(28,14))) AS DOUBLE)) AS qnorm
+    FROM (SELECT unnest(qe) AS u FROM q) t
+)
+SELECT vec_id, bucket, ROUND(dot / (SQRT(norm2) * (SELECT qnorm FROM qn)), 6) AS cosine
+FROM agg
+ORDER BY cosine DESC, vec_id
+LIMIT {k}
+"""
+
+
+def neardup_oracle(threshold: float = 0.35, k: int = 20) -> str:
+    return f"""
+WITH prod AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+           CAST(unnest(a.embedding) AS DOUBLE) AS x,
+           CAST(unnest(b.embedding) AS DOUBLE) AS y
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+),
+agg AS (
+    SELECT vec_a, vec_b, label,
+           {_DOT_DEC} AS dot, {_NORM_X} AS na, {_NORM_Y} AS nb
+    FROM prod GROUP BY vec_a, vec_b, label
+),
+scored AS (
+    SELECT vec_a, vec_b, label,
+           ROUND(dot / (SQRT(na) * SQRT(nb)), 6) AS cosine
+    FROM agg
+)
+SELECT vec_a, vec_b, label, cosine, cosine >= {threshold} AS is_near_dup
+FROM scored
+ORDER BY cosine DESC, vec_a, vec_b
+LIMIT {k}
+"""
+
+
+EXACT_DEDUP_ORACLE = """
+SELECT md5(text) AS text_hash,
+       CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+       CAST(COUNT(*) AS BIGINT) AS dup_count
+FROM documents
+GROUP BY md5(text)
+ORDER BY keep_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Spark runners.
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def run_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(_docs(spark, sf_dir)).orderBy("keep_id")
+
+
+def run_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_dedup_pairs(_docs(spark, sf_dir)).orderBy("doc_a", "doc_b")
+
+
+def run_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash16(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def run_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.token_stats(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def run_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.lang_id(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def run_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.quality_score(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def run_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.fingerprint(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+def run_ev_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import windows as W
+
+    return W.tumbling_agg(_events(spark, sf_dir)).orderBy("bucket_start", "event_type")
+
+
+def run_ev_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import windows as W
+
+    return W.sliding_agg(_events(spark, sf_dir)).orderBy("bucket_start")
+
+
+def run_ev_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import windows as W
+
+    return W.session_agg(_events(spark, sf_dir)).orderBy("user_id", "session_start_us")
+
+
+def run_ev_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import windows as W
+
+    return W.daily_type_pivot(_events(spark, sf_dir)).orderBy("day")
+
+
+MM_META_ORACLE = """
+SELECT 'fake' AS format,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(n_chars % 1024) AS BIGINT) AS total_width,
+       CAST(MAX(n_chars % 768) AS INT) AS max_height
+FROM documents
+"""
+
+MM_BYTES_ORACLE = """
+SELECT doc_id,
+       CAST(strlen(text) AS INT) AS n_bytes,
+       CAST(n_chars % 1024 AS INT) AS width,
+       CAST(n_chars % 768 AS INT) AS height
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def run_mm_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import multimodal as mm
+
+    return mm.meta_stats(mm.with_binary_payload(_docs(spark, sf_dir)))
+
+
+def run_mm_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import multimodal as mm
+
+    return mm.byte_stats(mm.with_binary_payload(_docs(spark, sf_dir)))
+
+
+def run_mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import multimodal as mm
+
+    return (
+        mm.decode_features(mm.with_binary_payload(_docs(spark, sf_dir)))
+        .select("doc_id", "n_bytes", "checksum")
+        .orderBy("doc_id")
+    )
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return list(emb.where(F.col("vec_id") == 0).first()["embedding"])
+
+
+def run_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(emb, _query_vec(spark, sf_dir), k=10, exclude_vec_id=0)
+
+
+def run_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_ann_topk(emb, _query_vec(spark, sf_dir), k=5, exclude_vec_id=0)
+
+
+def run_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.neardup_pairs(emb, threshold=0.35, k=20)
+
 
 def extension_entries():
-    from ..queries.registry import SuiteEntry  # noqa: F401 (type only)
+    from ..streaming import windows as W
+    from ..queries.registry import SuiteEntry
 
-    return []
+    return [
+        SuiteEntry("dedup_exact", run_exact_dedup, EXACT_DEDUP_ORACLE,
+                   "exact dedup: hash-groupBy on text digest"),
+        SuiteEntry("dedup_minhash_lsh", run_minhash_pairs, minhash_pairs_oracle(),
+                   "minhash+LSH candidates verified by n-gram jaccard"),
+        SuiteEntry("dedup_simhash", run_simhash, simhash_oracle(),
+                   "simhash: 16-bit near-dup fingerprint"),
+        SuiteEntry("text_token_stats", run_token_stats, token_stats_oracle(),
+                   "token counting: whitespace + distinct + BPE-ish estimate"),
+        SuiteEntry("text_lang_id", run_lang_id, lang_id_oracle(),
+                   "language ID: stopword-hit argmax heuristic"),
+        SuiteEntry("text_quality", run_quality, quality_oracle(),
+                   "quality scoring: length/stopword/digit ratios"),
+        SuiteEntry("text_fingerprint", run_fingerprint, fingerprint_oracle(),
+                   "document fingerprinting: content + bag hashes"),
+        SuiteEntry("sim_knn_brute", run_knn_brute, knn_oracle(),
+                   "similarity: brute-force cosine top-k (zip_with/aggregate)"),
+        SuiteEntry("sim_ann_lsh", run_ann_lsh, ann_lsh_oracle(),
+                   "similarity: hyperplane-LSH bucketed ANN top-k"),
+        SuiteEntry("dedup_embedding_cosine", run_emb_neardup, neardup_oracle(),
+                   "embedding-cosine near-dup pairs within label blocks"),
+        SuiteEntry("ev_tumbling_window", run_ev_tumbling, W.TUMBLING_ORACLE,
+                   "tumbling 1h window: count + sum per event_type"),
+        SuiteEntry("ev_sliding_window", run_ev_sliding, W.SLIDING_ORACLE,
+                   "sliding 1h/15m window counts"),
+        SuiteEntry("ev_session_window", run_ev_session, W.SESSION_ORACLE,
+                   "session windows (30m gap) per user"),
+        SuiteEntry("ev_daily_pivot", run_ev_pivot, W.PIVOT_ORACLE,
+                   "daily event-type pivot matrix"),
+        SuiteEntry("mm_meta_stats", run_mm_meta, MM_META_ORACLE,
+                   "multimodal: metadata-only agg (payload pruned from scan)"),
+        SuiteEntry("mm_byte_stats", run_mm_bytes, MM_BYTES_ORACLE,
+                   "multimodal: binary payload size stats, no decode"),
+        SuiteEntry("mm_decode_features", run_mm_decode, None,
+                   "multimodal: mapInPandas Arrow-batched decode (stub codec)"),
+    ]

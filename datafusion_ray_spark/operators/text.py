@@ -1,0 +1,141 @@
+"""Text-analysis operators over the ``documents`` table.
+
+North-star extensions beyond the reference surface (BASELINE.json): the
+operations a large-scale LLM training-data pipeline runs over raw text.
+Everything here is built from JVM-side ``pyspark.sql.functions`` — no Python
+UDFs on the hot path — so the plans stay inside whole-stage codegen and
+scale linearly with partitions: per-document operators are embarrassingly
+parallel (no shuffle at all until a final aggregation, if any).
+
+Each operator is a plain DataFrame -> DataFrame function (composable), and
+the suite exposes an oracle-checked query per operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Tiny per-language stopword lists for the n-gram/stopword language-ID
+#: heuristic. Deliberately small and deterministic: the operator contract is
+#: the scoring machinery, not lexicon quality.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "for", "on", "with"),
+    "de": ("der", "die", "das", "und", "ist", "von", "mit", "für", "auf", "ein"),
+    "fr": ("le", "la", "les", "et", "de", "un", "une", "est", "pour", "dans"),
+    "es": ("el", "la", "los", "de", "y", "un", "una", "es", "para", "con"),
+    "zh": ("的", "是", "在", "和", "了", "有", "我", "不", "这", "中"),
+}
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization (split on runs of whitespace)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting: whitespace tokens, distinct tokens, char/byte length,
+    and a BPE-ish subword estimate (4 bytes/token heuristic over
+    word-boundary pieces)."""
+    toks = tokens(text_col)
+    return df.select(
+        "doc_id",
+        F.size(toks).cast("int").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("int").alias("n_distinct_tokens"),
+        F.length(text_col).cast("int").alias("n_chars_measured"),
+        F.octet_length(text_col).cast("int").alias("n_bytes"),
+        # BPE-ish proxy: words contribute ceil(len/4) subword units.
+        F.aggregate(
+            F.transform(toks, lambda t: F.ceil(F.length(t) / 4.0).cast("int")),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).cast("int").alias("n_subword_est"),
+    )
+
+
+def _stopword_hits(toks: Column, words: tuple[str, ...]) -> Column:
+    return F.size(
+        F.filter(toks, lambda t: F.lower(t).isin(*[F.lit(w) for w in words]))
+    ).cast("int")
+
+
+def lang_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-language stopword-hit counts (the raw signal for language ID)."""
+    toks = tokens(text_col)
+    cols = [
+        _stopword_hits(toks, words).alias(f"score_{lang}")
+        for lang, words in LANG_STOPWORDS.items()
+    ]
+    return df.select("doc_id", "lang", *cols)
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Language identification: argmax of stopword-hit scores with a
+    deterministic tiebreak (language code order), 'und' when no hits."""
+    scored = lang_scores(df, text_col)
+    langs = sorted(LANG_STOPWORDS)
+    pairs = F.array(
+        *[F.struct(F.col(f"score_{l}").alias("s"), F.lit(l).alias("l")) for l in langs]
+    )
+    out = scored.withColumn("_pairs", pairs)
+    # deterministic argmax: max score, then alphabetically-first language
+    # among the maxima.
+    max_score = F.array_max(F.transform(F.col("_pairs"), lambda p: p["s"]))
+    argmin_lang = F.array_min(
+        F.transform(
+            F.filter(F.col("_pairs"), lambda p: p["s"] == max_score),
+            lambda p: p["l"],
+        )
+    )
+    return out.select(
+        "doc_id",
+        "lang",
+        max_score.cast("int").alias("best_score"),
+        F.when(max_score > 0, argmin_lang).otherwise(F.lit("und")).alias("lang_pred"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic document quality: length, mean word length, stopword ratio,
+    uppercase ratio, digit ratio — combined into a 0..1-ish score.
+
+    All signals are integer counts divided by integer counts, so the score
+    is bit-deterministic across engines.
+    """
+    toks = tokens(text_col)
+    n_tokens = F.size(toks)
+    n_chars = F.length(text_col)
+    en_hits = _stopword_hits(toks, LANG_STOPWORDS["en"])
+    n_digits = (
+        n_chars - F.length(F.regexp_replace(F.col(text_col), "[0-9]", ""))
+    )
+    mean_word_len = (n_chars - (n_tokens - 1)) / n_tokens
+    return df.select(
+        "doc_id",
+        n_tokens.cast("int").alias("n_tokens"),
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        F.round(en_hits / n_tokens, 6).alias("stopword_ratio"),
+        F.round(n_digits / n_chars, 6).alias("digit_ratio"),
+        F.round(
+            F.least(n_tokens / 100.0, F.lit(1.0)) * 0.4
+            + F.least(en_hits / (n_tokens * 0.1), F.lit(1.0)) * 0.4
+            + (1 - n_digits / n_chars) * 0.2,
+            6,
+        ).alias("quality"),
+        (n_tokens >= 10).alias("pass_min_length"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprinting: order-insensitive content hash (md5 over the
+    sorted distinct token bag) + exact text hash. Used for shuffle-free
+    near-canonical grouping downstream."""
+    toks = tokens(text_col)
+    return df.select(
+        "doc_id",
+        F.md5(F.col(text_col)).alias("text_hash"),
+        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks)))).alias(
+            "bag_fingerprint"
+        ),
+    )

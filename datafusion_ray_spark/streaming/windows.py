@@ -1,0 +1,140 @@
+"""Time-windowed aggregation operators over the ``events`` table.
+
+The reference has NO streaming semantics (SURVEY.md §2.5 — its "streaming"
+is pipelined batch execution), so these are driver extensions: the windowed
+shapes a time-series/event pipeline needs, expressed with Spark's native
+window machinery (``F.window`` / ``F.session_window``) which works
+identically over batch DataFrames and Structured Streaming sources (the
+streaming variants live in streaming/structured.py).
+
+Scale: every operator here is a single hash-shuffle on (window, key) with
+map-side partial aggregation; window assignment is a projection, so the
+plans are exactly as scalable as a plain groupBy.
+
+Window starts/ends are projected as epoch seconds/micros (BIGINT) so the
+oracle comparison is timezone-metadata-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def _dsum(col: str, alias: str) -> F.Column:
+    return F.sum(F.col(col).cast("decimal(25,6)")).cast("double").alias(alias)
+
+
+def tumbling_agg(df: DataFrame, width: str = "1 hour") -> DataFrame:
+    """Tumbling-window counts + sums per event_type."""
+    return (
+        df.groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.count("*").cast("long").alias("n"), _dsum("value", "sum_value"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("bucket_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sliding_agg(df: DataFrame, width: str = "1 hour", slide: str = "15 minutes") -> DataFrame:
+    """Sliding-window (hopping) counts: each event lands in width/slide
+    overlapping windows."""
+    return (
+        df.groupBy(F.window("ts", width, slide).alias("w"))
+        .agg(F.count("*").cast("long").alias("n"), _dsum("value", "sum_value"))
+        .select(F.unix_timestamp(F.col("w.start")).alias("bucket_start"), "n", "sum_value")
+    )
+
+
+def session_agg(df: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session windows per user: events merge while consecutive gaps are
+    below ``gap``; session end = last event + gap (Spark semantics)."""
+    return (
+        df.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").cast("long").alias("n_events"), _dsum("value", "sum_value"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end")).alias("session_end_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def daily_type_pivot(df: DataFrame) -> DataFrame:
+    """Daily event-type count matrix (groupBy().pivot() — Spark plans the
+    same partial/final agg as a manual CASE fan-out)."""
+    return (
+        df.groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, list(EVENT_TYPES))
+    )
+
+
+TUMBLING_ORACLE = """
+SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))) AS BIGINT) AS bucket_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY bucket_start, event_type
+"""
+
+SLIDING_ORACLE = """
+WITH off AS (SELECT unnest([0, 15, 30, 45]) AS m),
+assigned AS (
+    SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP) - to_minutes(m)) + to_minutes(m) AS w,
+           value
+    FROM events CROSS JOIN off
+)
+SELECT CAST(epoch(w) AS BIGINT) AS bucket_start,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+FROM assigned
+GROUP BY 1
+ORDER BY bucket_start
+"""
+
+SESSION_ORACLE = """
+WITH o AS (
+    SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
+           CASE WHEN LAG(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+                  OR CAST(ts AS TIMESTAMP) >= LAG(CAST(ts AS TIMESTAMP)) OVER w + INTERVAL '30' MINUTE
+                THEN 1 ELSE 0 END AS brk
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+),
+s AS (
+    SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+    FROM o
+)
+SELECT user_id,
+       CAST(epoch_us(MIN(ts)) AS BIGINT) AS session_start_us,
+       CAST(epoch_us(MAX(ts) + INTERVAL '30' MINUTE) AS BIGINT) AS session_end_us,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+FROM s
+GROUP BY user_id, sid
+ORDER BY user_id, session_start_us
+"""
+
+PIVOT_ORACLE = """
+SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+FROM events
+GROUP BY 1
+ORDER BY day
+"""

@@ -1,0 +1,108 @@
+"""Behavioral unit tests for the extension operators (planted-case checks
+that the oracle comparison can't express)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_ray_spark.operators import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "en", "s0", 43),
+        (2, "the quick brown fox jumps over the lazy dog", "en", "s0", 43),  # exact dup
+        (3, "the quick brown fox jumps over the lazy cat", "en", "s0", 43),  # near dup
+        (4, "completely different content about spark engines and shuffles", "en", "s1", 61),
+        (5, "la maison est dans le jardin pour une belle journee", "fr", "s1", 51),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+
+
+def test_exact_dedup_finds_planted_duplicate(docs):
+    out = dedup.exact_dedup(docs).where(F.col("dup_count") > 1).collect()
+    assert len(out) == 1
+    assert out[0]["keep_id"] == 1
+    assert out[0]["dup_count"] == 2
+
+
+def test_minhash_pairs_flags_exact_and_near_dup(docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r for r in dedup.minhash_dedup_pairs(docs).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)]["jaccard"] == 1.0 and pairs[(1, 2)]["is_near_dup"]
+    if (1, 3) in pairs:  # candidate only if some band collides (probabilistic)
+        assert 0 < pairs[(1, 3)]["jaccard"] < 1
+
+
+def test_simhash_identical_texts_equal(docs):
+    fp = {r["doc_id"]: r["simhash"] for r in dedup.simhash16(docs).collect()}
+    assert fp[1] == fp[2]
+    assert 0 <= fp[1] < 2**16
+    # near-dup texts should be close in hamming distance
+    ham = bin(fp[1] ^ fp[3]).count("1")
+    assert ham <= 6
+
+
+def test_lang_id_prefers_french_stopwords(docs):
+    out = {r["doc_id"]: r["lang_pred"] for r in text.lang_id(docs).collect()}
+    assert out[1] == "en"
+    assert out[5] == "fr"
+
+
+def test_quality_monotone_in_length(docs):
+    out = {r["doc_id"]: r["quality"] for r in text.quality_score(docs).collect()}
+    assert 0 <= min(out.values()) and max(out.values()) <= 1
+
+
+def test_cosine_topk_self_similarity(spark):
+    rows = [(0, [1.0, 0.0, 0.0]), (1, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0]), (3, [-1.0, 0.0, 0.0])]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    top = similarity.cosine_topk(emb, [1.0, 0.0, 0.0], k=2, exclude_vec_id=0).collect()
+    assert top[0]["vec_id"] == 1 and top[0]["cosine"] == 1.0
+    assert top[1]["cosine"] < 1.0
+
+
+def test_lsh_bucket_prunes_candidates(spark, sf_dir):
+    from datafusion_ray_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    total = emb.count()
+    q = list(emb.where(F.col("vec_id") == 0).first()["embedding"])
+    bucketed = similarity.with_bucket(emb)
+    n_buckets = bucketed.select("bucket").distinct().count()
+    assert n_buckets > 1, "hyperplanes failed to split the space"
+    qb = bucketed.where(F.col("vec_id") == 0).first()["bucket"]
+    in_bucket = bucketed.where(F.col("bucket") == qb).count()
+    assert in_bucket < total  # pruning actually happened
+    out = similarity.lsh_ann_topk(emb, q, k=5, exclude_vec_id=0)
+    assert out.count() <= 5
+
+
+def test_multimodal_decode_roundtrip(docs):
+    binary = multimodal.with_binary_payload(docs)
+    feats = multimodal.decode_features(binary).collect()
+    by_id = {r["doc_id"]: r for r in feats}
+    assert by_id[1]["n_bytes"] == len("the quick brown fox jumps over the lazy dog")
+    assert by_id[1]["checksum"] == sum(b"the quick brown fox jumps over the lazy dog")
+    assert len(by_id[1]["feature"]) == multimodal.FEATURE_DIM
+    assert abs(sum(by_id[1]["feature"]) - 1.0) < 1e-6
+
+
+def test_multimodal_unknown_codec_raises(docs):
+    binary = multimodal.with_binary_payload(docs).withColumn(
+        "meta", F.struct(F.lit("jpeg").alias("format"), F.lit(1).alias("width"),
+                         F.lit(1).alias("height"), F.lit(3).alias("channels"))
+    )
+    with pytest.raises(Exception, match="(?i)codec|NotImplemented"):
+        multimodal.decode_features(binary).collect()
+
+
+def test_multimodal_meta_scan_prunes_payload(docs, tmp_path):
+    # write a real parquet so the scan has a ReadSchema to prune
+    p = str(tmp_path / "mm.parquet")
+    multimodal.with_binary_payload(docs).write.mode("overwrite").parquet(p)
+    spark = docs.sparkSession
+    stats = multimodal.meta_stats(spark.read.parquet(p))
+    plan = stats._jdf.queryExecution().executedPlan().toString()
+    assert "payload" not in plan, "payload column not pruned from metadata-only scan"
