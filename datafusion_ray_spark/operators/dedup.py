@@ -41,14 +41,27 @@ def _tokens(text_col: str) -> Column:
 
 
 def shingles(text_col: str = "text", k: int = SHINGLE_K) -> Column:
-    """Distinct word k-shingles as an array column (empty if < k tokens)."""
+    """Distinct word 3-shingles as an array column (empty if < 3 tokens).
+
+    Built from three O(n) zips (words x shift-1 x shift-2) instead of a
+    per-position ``slice`` — the naive form does O(n) array copies per
+    shingle, which dominated the whole minhash pipeline in profiling.
+    """
+    assert k == 3, "shingle construction is specialized for k=3"
     words = _tokens(text_col)
-    make = F.transform(
-        F.sequence(F.lit(1), F.size(words) - (k - 1)),
-        lambda i: F.concat_ws(" ", F.slice(words, i, k)),
+    n = F.size(words)
+    s2 = F.slice(words, 2, F.greatest(n - 1, F.lit(0)))
+    s3 = F.slice(words, 3, F.greatest(n - 2, F.lit(0)))
+    pairs = F.zip_with(
+        words, s2, lambda a, b: F.when(b.isNotNull(), F.concat(a, F.lit(" "), b))
+    )
+    tris = F.zip_with(
+        pairs, s3, lambda p, c: F.when(p.isNotNull() & c.isNotNull(), F.concat(p, F.lit(" "), c))
     )
     return F.array_distinct(
-        F.when(F.size(words) >= k, make).otherwise(F.array().cast("array<string>"))
+        F.when(n >= k, F.filter(tris, lambda x: x.isNotNull())).otherwise(
+            F.array().cast("array<string>")
+        )
     )
 
 
@@ -70,19 +83,27 @@ def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def minhash_signature(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document MinHash signature: for seed i, the lexicographic MIN of
-    md5("i:" || shingle). Adds ``sig_0 .. sig_{N-1}`` string columns."""
-    sh = shingles(text_col)
-    out = df.withColumn("_shingles", sh).where(F.size("_shingles") > 0)
+    md5("i:" || shingle). Adds ``sig_0 .. sig_{N-1}`` string columns.
+
+    Computed in ONE pass over the shingle array (per-shingle vector of
+    N_HASHES digests, folded with an elementwise-min zip) rather than
+    N_HASHES separate array traversals.
+    """
+    out = df.withColumn("_shingles", shingles(text_col)).where(F.size("_shingles") > 0)
+    per_shingle = F.transform(
+        F.col("_shingles"),
+        lambda s: F.array(*[F.md5(F.concat(F.lit(f"{i}:"), s)) for i in range(N_HASHES)]),
+    )
+    # 'g' sorts after every hex digest, so it is a safe fold identity.
+    fold = F.aggregate(
+        per_shingle,
+        F.array_repeat(F.lit("g"), N_HASHES),
+        lambda acc, x: F.zip_with(acc, x, lambda a, b: F.least(a, b)),
+    )
+    out = out.withColumn("_sigs", fold)
     for i in range(N_HASHES):
-        out = out.withColumn(
-            f"sig_{i}",
-            F.array_min(
-                F.transform(
-                    F.col("_shingles"), lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s))
-                )
-            ),
-        )
-    return out
+        out = out.withColumn(f"sig_{i}", F.element_at("_sigs", i + 1))
+    return out.drop("_sigs")
 
 
 def lsh_buckets(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -112,19 +133,35 @@ def lsh_buckets(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def minhash_candidates(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Candidate near-dup pairs (doc_a < doc_b sharing ≥1 LSH bucket)."""
-    b = lsh_buckets(df, text_col)
-    left = b.select(
-        F.col("band"), F.col("bucket"), F.col("doc_id").alias("doc_a"), F.col("_shingles").alias("sh_a")
+    """Candidate near-dup pairs (doc_a < doc_b sharing ≥1 LSH bucket).
+
+    Implemented as groupBy(bucket) + collect_list + array-side pair
+    expansion instead of a self-join: a self-join would recompute the whole
+    signature pipeline for both sides (Spark does not share scans between
+    the two legs of a self-join), and at 100 TB it would also shuffle the
+    bucket table twice. Here signatures are computed once, one narrow
+    (band, bucket, doc_id) shuffle groups the buckets, and pairs are
+    expanded JVM-side from each bucket's sorted id list.
+    """
+    b = lsh_buckets(df, text_col).select("band", "bucket", "doc_id")
+    grouped = (
+        b.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .where(F.size("ids") > 1)
     )
-    right = b.select(
-        F.col("band"), F.col("bucket"), F.col("doc_id").alias("doc_b"), F.col("_shingles").alias("sh_b")
+    pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
     )
     return (
-        left.join(right, on=["band", "bucket"])
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sh_a", "sh_b")
-        .dropDuplicates(["doc_a", "doc_b"])
+        grouped.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .distinct()
     )
 
 
@@ -135,9 +172,14 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text") -> DataFrame:
     with jaccard >= JACCARD_THRESHOLD are flagged near-dups.
     """
     cand = minhash_candidates(df, text_col)
+    sh = df.select("doc_id", shingles(text_col).alias("sh"))
+    joined = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
+    )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
-    return cand.select(
+    return joined.select(
         "doc_a",
         "doc_b",
         F.round(inter / union, 6).alias("jaccard"),

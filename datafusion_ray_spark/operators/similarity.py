@@ -130,18 +130,32 @@ def neardup_pairs(
     is an LSH bucket so block sizes stay bounded), then exact cosine per
     pair and a top-k of the most similar pairs.
     """
-    a = df.select(
+    # Precompute each vector's norm ONCE; the pair join then evaluates only
+    # the dot product per pair. Recomputing norms inside the join would do
+    # O(pairs) redundant array reductions — at 1M vectors per block that is
+    # thousands of times more work than the O(vectors) precompute.
+    normed = df.select(
         F.col(block_col).alias("blk"),
+        "vec_id",
+        "embedding",
+        norm(_as_double("embedding")).alias("nrm"),
+    )
+    a = normed.select(
+        "blk",
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("norm_a"),
     )
-    b = df.select(
-        F.col(block_col).alias("blk"),
+    b = normed.select(
+        "blk",
         F.col("vec_id").alias("vec_b"),
         F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("norm_b"),
     )
-    ea, eb = _as_double("emb_a"), _as_double("emb_b")
-    cosine = F.round(dot(ea, eb) / (norm(ea) * norm(eb)), 6)
+    cosine = F.round(
+        dot(_as_double("emb_a"), _as_double("emb_b")) / (F.col("norm_a") * F.col("norm_b")),
+        6,
+    )
     return (
         a.join(b, "blk")
         .where(F.col("vec_a") < F.col("vec_b"))

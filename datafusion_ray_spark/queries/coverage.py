@@ -14,7 +14,7 @@ wherever rollup introduces NULL group keys (the engines' defaults differ).
 
 from __future__ import annotations
 
-from .tpch import QueryDef, dsum
+from .tpch import QueryDef, cents, isum, whole
 
 _Q: dict[str, QueryDef] = {}
 
@@ -55,9 +55,9 @@ SELECT
     o_orderkey,
     CAST(LAG(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS BIGINT) AS prev_order,
     CAST(LEAD(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS BIGINT) AS next_order,
-    CAST(SUM(CAST(o_totalprice AS DECIMAL(25,4))) OVER (
+    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER (
         PARTITION BY o_custkey ORDER BY o_orderkey
-        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100 AS running_total
 FROM orders
 WHERE o_custkey < 20
 ORDER BY o_custkey, o_orderkey
@@ -72,7 +72,7 @@ _q(
 SELECT
     l_returnflag,
     l_linestatus,
-    {dsum('l_quantity', 'sum_qty')},
+    {isum(whole('l_quantity'), 'sum_qty')},
     CAST(COUNT(*) AS BIGINT) AS cnt
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -88,7 +88,7 @@ _q(
 SELECT
     l_returnflag,
     l_linestatus,
-    {dsum('l_extendedprice', 'sum_price')}
+    {isum(cents('l_extendedprice'), 'sum_price', 100)}
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
 ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST

@@ -14,17 +14,15 @@ CASE-WHEN conditional aggregation, top-k, views/CTEs, interval arithmetic).
 
 Dual-dialect texts: every query here is a single SQL string executed verbatim
 by BOTH Spark SQL and the DuckDB oracle. Cross-engine hash-equality of
-floating-point aggregates is guaranteed by the decimal-sum idiom::
-
-    CAST(SUM(CAST(<double expr> AS DECIMAL(25,4))) AS DOUBLE)
-
-Per-row double arithmetic is IEEE-deterministic (identical in both engines),
-the cast to decimal is exact-boundary-free, decimal addition is associative
-(so shuffle/partial-agg order cannot change the result), and the final cast
-back to double is round-to-nearest in both engines. Plain SUM/AVG over
-doubles would differ between engines in the last ulps depending on
-accumulation order — this idiom removes that nondeterminism while keeping
-map-side partial aggregation fully available to Catalyst.
+floating-point aggregates is guaranteed by the integer-cents idiom (see
+:func:`cents` / :func:`isum`): the 2-decimal money columns are recovered as
+exact BIGINTs, all arithmetic and aggregation stays 64-bit integer (exact,
+associative — shuffle/partial-agg order cannot change the result), and the
+final conversion to dollars is the identical double expression in both
+engines. Plain SUM/AVG over doubles would differ between engines in the
+last ulps depending on accumulation order; wide-DECIMAL sums are exact but
+benched ~5x slower than the integer path because they leave Spark's compact
+long-backed decimal representation.
 
 Every ORDER BY ... LIMIT carries a unique tiebreaker column so the selected
 row *set* is deterministic (the reference relies on same-engine comparison
@@ -60,29 +58,40 @@ def dsum(expr: str, alias: str, scale: int = 6) -> str:
     return f"CAST(SUM(CAST({expr} AS DECIMAL(25,{scale}))) AS DOUBLE) AS {alias}"
 
 
-def money(col: str) -> str:
-    """Exact decimal view of a 2-decimal money column stored as double.
+def cents(col: str) -> str:
+    """Exact integer-cents view of a 2-decimal column stored as double.
 
-    The stored double is within 1e-10 of the true cent value, so the cast
-    recovers it exactly in both engines (never near a .005 rounding
-    boundary). Doing ALL subsequent arithmetic in decimal keeps every
-    intermediate exact and engine-independent; casting a double *product*
-    to decimal instead would round at a scale where the two engines'
-    double->decimal conversions can disagree by one ulp.
+    The stored double is within 1e-10 of the true cent value, so
+    ROUND(x*100) recovers that integer exactly in both engines (never near
+    a .5 boundary). All downstream arithmetic is 64-bit integer: exact,
+    associative (partial aggregation safe), engine-independent, AND on the
+    fast codegen path — wide-decimal aggregation benched ~5x slower.
     """
-    return f"CAST({col} AS DECIMAL(12,2))"
+    return f"CAST(ROUND({col} * 100) AS BIGINT)"
 
 
-def pct(col: str) -> str:
-    """Exact decimal view of a 2-decimal rate column (discount/tax)."""
-    return f"CAST({col} AS DECIMAL(4,2))"
+def whole(col: str) -> str:
+    """Exact integer view of an integral-valued double column."""
+    return f"CAST(ROUND({col}) AS BIGINT)"
 
 
-#: Exact decimal forms of the TPC-H money expressions. Decimal multiply is
-#: exact here: (12,2)*(5,2) -> scale 4, *(5,2) -> scale 6; no precision
-#: overflow in either engine, so no engine-specific scale reduction.
-DISC_PRICE = f"{money('l_extendedprice')} * (1 - {pct('l_discount')})"
-CHARGE = f"{DISC_PRICE} * (1 + {pct('l_tax')})"
+def isum(expr_int: str, alias: str, div: int = 1) -> str:
+    """Deterministic money sum: exact BIGINT sum, converted to dollars.
+
+    Both engines compute the identical integer sum, then the identical
+    double conversion/division. Overflow headroom: the widest unit here is
+    1e-6 dollars (sum_charge), ~3e10/row — safe to ~3e8 rows per group
+    (≈TPC-H SF500 per group). Beyond that, pre-aggregate per partition
+    before the final merge or fall back to DECIMAL sums.
+    """
+    body = f"CAST(SUM({expr_int}) AS DOUBLE)"
+    return f"{body} / {div} AS {alias}" if div != 1 else f"{body} AS {alias}"
+
+
+#: Exact integer forms of the TPC-H money expressions.
+#: DISC_PRICE_INT is in 1e-4 dollars; CHARGE_INT in 1e-6 dollars.
+DISC_PRICE_INT = f"{cents('l_extendedprice')} * (100 - {cents('l_discount')})"
+CHARGE_INT = f"({DISC_PRICE_INT}) * (100 + {cents('l_tax')})"
 
 
 _Q: dict[str, QueryDef] = {}
@@ -101,13 +110,13 @@ _q(
 SELECT
     l_returnflag,
     l_linestatus,
-    {dsum('l_quantity', 'sum_qty')},
-    {dsum('l_extendedprice', 'sum_base_price')},
-    {dsum(DISC_PRICE, 'sum_disc_price')},
-    {dsum(CHARGE, 'sum_charge')},
-    CAST(SUM(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
-    CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,4))) AS DOUBLE) / COUNT(*) AS avg_price,
-    CAST(SUM(CAST(l_discount AS DECIMAL(25,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
+    {isum(whole('l_quantity'), 'sum_qty')},
+    {isum(cents('l_extendedprice'), 'sum_base_price', 100)},
+    {isum(DISC_PRICE_INT, 'sum_disc_price', 10000)},
+    {isum(CHARGE_INT, 'sum_charge', 1000000)},
+    CAST(SUM({whole('l_quantity')}) AS DOUBLE) / COUNT(*) AS avg_qty,
+    CAST(SUM({cents('l_extendedprice')}) AS DOUBLE) / 100 / COUNT(*) AS avg_price,
+    CAST(SUM({cents('l_discount')}) AS DOUBLE) / 100 / COUNT(*) AS avg_disc,
     CAST(COUNT(*) AS BIGINT) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2001-12-01' - INTERVAL '90' DAY
@@ -151,7 +160,7 @@ _q(
     f"""
 SELECT
     l_orderkey,
-    {dsum(DISC_PRICE, 'revenue')},
+    {isum(DISC_PRICE_INT, 'revenue', 10000)},
     CAST(o_orderdate AS DATE) AS o_orderdate
 FROM customer, orders, lineitem
 WHERE c_mktsegment = 'BUILDING'
@@ -189,7 +198,7 @@ ORDER BY o_orderpriority
 _q(
     "q5",
     f"""
-SELECT n_name, {dsum(DISC_PRICE, 'revenue')}
+SELECT n_name, {isum(DISC_PRICE_INT, 'revenue', 10000)}
 FROM customer, orders, lineitem, supplier, nation, region
 WHERE c_custkey = o_custkey
   AND l_orderkey = o_orderkey
@@ -210,7 +219,7 @@ ORDER BY revenue DESC, n_name
 _q(
     "q6",
     f"""
-SELECT {dsum(money("l_extendedprice") + " * " + pct("l_discount"), "revenue")}
+SELECT {isum(cents("l_extendedprice") + " * " + cents("l_discount"), "revenue", 10000)}
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1997-01-01'
   AND l_shipdate < TIMESTAMP '1998-01-01'
@@ -224,13 +233,13 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01'
 _q(
     "q7",
     f"""
-SELECT supp_nation, cust_nation, l_year, {dsum('volume', 'revenue')}
+SELECT supp_nation, cust_nation, l_year, {isum('volume', 'revenue', 10000)}
 FROM (
     SELECT
         n1.n_name AS supp_nation,
         n2.n_name AS cust_nation,
         CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
-        {DISC_PRICE} AS volume
+        {DISC_PRICE_INT} AS volume
     FROM supplier, lineitem, orders, customer, nation n1, nation n2
     WHERE s_suppkey = l_suppkey
       AND o_orderkey = l_orderkey
@@ -253,12 +262,12 @@ _q(
     f"""
 SELECT
     o_year,
-    CAST(SUM(CAST(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END AS DECIMAL(25,6))) AS DOUBLE)
-      / CAST(SUM(CAST(volume AS DECIMAL(25,6))) AS DOUBLE) AS mkt_share
+    CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END) AS DOUBLE)
+      / CAST(SUM(volume) AS DOUBLE) AS mkt_share
 FROM (
     SELECT
         CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
-        {DISC_PRICE} AS volume,
+        {DISC_PRICE_INT} AS volume,
         n2.n_name AS nation
     FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
     WHERE p_partkey = l_partkey
@@ -283,12 +292,12 @@ ORDER BY o_year
 _q(
     "q9",
     f"""
-SELECT nation, o_year, {dsum('amount', 'sum_profit')}
+SELECT nation, o_year, {isum('amount', 'sum_profit', 10000)}
 FROM (
     SELECT
         n_name AS nation,
         CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
-        {DISC_PRICE} AS amount
+        {DISC_PRICE_INT} AS amount
     FROM part, supplier, lineitem, orders, nation
     WHERE s_suppkey = l_suppkey
       AND p_partkey = l_partkey
@@ -309,7 +318,7 @@ _q(
 SELECT
     c_custkey,
     c_name,
-    {dsum(DISC_PRICE, 'revenue')},
+    {isum(DISC_PRICE_INT, 'revenue', 10000)},
     c_acctbal,
     n_name
 FROM customer, orders, lineitem, nation
@@ -333,14 +342,14 @@ _q(
     f"""
 SELECT
     l_partkey,
-    CAST(SUM(CAST({money("l_extendedprice")} * CAST(l_quantity AS DECIMAL(4,0)) AS DECIMAL(25,2))) AS DOUBLE) AS part_value
+    CAST(SUM({cents("l_extendedprice")} * {whole("l_quantity")}) AS DOUBLE) / 100 AS part_value
 FROM lineitem, supplier, nation
 WHERE l_suppkey = s_suppkey
   AND s_nationkey = n_nationkey
   AND n_regionkey IN (0, 1)
 GROUP BY l_partkey
-HAVING SUM(CAST({money("l_extendedprice")} * CAST(l_quantity AS DECIMAL(4,0)) AS DECIMAL(25,2))) > (
-    SELECT SUM(CAST({money("l_extendedprice")} * CAST(l_quantity AS DECIMAL(4,0)) AS DECIMAL(25,2))) * 0.005
+HAVING CAST(SUM({cents("l_extendedprice")} * {whole("l_quantity")}) AS DOUBLE) > (
+    SELECT CAST(SUM({cents("l_extendedprice")} * {whole("l_quantity")}) AS DOUBLE) * 0.005
     FROM lineitem, supplier, nation
     WHERE l_suppkey = s_suppkey
       AND s_nationkey = n_nationkey
@@ -394,8 +403,8 @@ _q(
     "q14",
     f"""
 SELECT
-    CAST(SUM(CAST(CASE WHEN p_type = 'PROMO' THEN {DISC_PRICE} ELSE 0 END AS DECIMAL(25,6))) AS DOUBLE) * 100
-      / CAST(SUM(CAST({DISC_PRICE} AS DECIMAL(25,6))) AS DOUBLE) AS promo_revenue
+    CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {DISC_PRICE_INT} ELSE 0 END) AS DOUBLE) * 100
+      / CAST(SUM({DISC_PRICE_INT}) AS DOUBLE) AS promo_revenue
 FROM lineitem, part
 WHERE l_partkey = p_partkey
   AND l_shipdate >= TIMESTAMP '1997-09-01'
@@ -411,7 +420,7 @@ _q(
     "q15",
     f"""
 WITH revenue0 AS (
-    SELECT l_suppkey AS supplier_no, {dsum(DISC_PRICE, 'total_revenue')}
+    SELECT l_suppkey AS supplier_no, {isum(DISC_PRICE_INT, 'total_revenue', 10000)}
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01'
       AND l_shipdate < TIMESTAMP '1997-04-01'
@@ -453,8 +462,8 @@ ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
 # engine-independent.)
 _q(
     "q17",
-    """
-SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,4))) AS DOUBLE) / 7.0 AS avg_yearly
+    f"""
+SELECT CAST(SUM({cents('l_extendedprice')}) AS DOUBLE) / 100 / 7.0 AS avg_yearly
 FROM lineitem, part
 WHERE p_partkey = l_partkey
   AND p_brand = 'Brand#3'
@@ -476,12 +485,12 @@ SELECT
     o_orderkey,
     CAST(o_orderdate AS DATE) AS o_orderdate,
     o_totalprice,
-    {dsum('l_quantity', 'sum_qty')}
+    {isum(whole('l_quantity'), 'sum_qty')}
 FROM customer, orders, lineitem
 WHERE o_orderkey IN (
     SELECT l_orderkey FROM lineitem
     GROUP BY l_orderkey
-    HAVING SUM(CAST(l_quantity AS DECIMAL(25,4))) > 150)
+    HAVING SUM(CAST(ROUND(l_quantity) AS BIGINT)) > 150)
   AND c_custkey = o_custkey
   AND o_orderkey = l_orderkey
 GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
@@ -496,7 +505,7 @@ LIMIT 100
 _q(
     "q19",
     f"""
-SELECT {dsum(DISC_PRICE, 'revenue')}
+SELECT {isum(DISC_PRICE_INT, 'revenue', 10000)}
 FROM lineitem, part
 WHERE (p_partkey = l_partkey AND p_brand = 'Brand#1'
        AND p_size BETWEEN 1 AND 15 AND l_quantity >= 1 AND l_quantity <= 11)
@@ -522,7 +531,7 @@ WHERE s_suppkey IN (
       AND l_shipdate >= TIMESTAMP '1997-01-01'
       AND l_shipdate < TIMESTAMP '1998-01-01'
     GROUP BY l_suppkey
-    HAVING SUM(CAST(l_quantity AS DECIMAL(25,4))) > 50)
+    HAVING SUM(CAST(ROUND(l_quantity) AS BIGINT)) > 50)
   AND s_nationkey = n_nationkey
   AND n_regionkey IN (0, 1, 2)
 ORDER BY s_name
@@ -568,7 +577,7 @@ _q(
 SELECT
     cntrycode,
     CAST(COUNT(*) AS BIGINT) AS numcust,
-    {dsum('c_acctbal', 'totacctbal')}
+    {isum(cents('c_acctbal'), 'totacctbal', 100)}
 FROM (
     SELECT SUBSTRING(c_name, 18, 1) AS cntrycode, c_custkey, c_acctbal
     FROM customer
