@@ -68,7 +68,32 @@ class DFRayDataFrame:
     def to_pandas(self):
         return self.df.toPandas()
 
+    # -- sinks (reference: datafusion.proto:722,726-727 — json/csv/parquet
+    # file sinks; COPY TO / INSERT via ctx.sql) -----------------------------
+
+    def write_parquet(self, path: str, mode: str = "overwrite") -> None:
+        self.df.write.mode(mode).parquet(path)
+
+    def write_csv(self, path: str, mode: str = "overwrite", header: bool = True) -> None:
+        self.df.write.mode(mode).option("header", str(header).lower()).csv(path)
+
+    def write_json(self, path: str, mode: str = "overwrite") -> None:
+        self.df.write.mode(mode).json(path)
+
     # -- plan introspection (reference: datafusion_ray/core.py:483-504) -----
+
+    def stages(self) -> list[str]:
+        """Physical plan split at exchange boundaries — the Spark analogue
+        of the reference's stage list (``DFRayDataFrame.stages()``,
+        ``datafusion_ray/core.py:483-492``): each element is the plan
+        fragment one Spark stage executes between shuffles."""
+        plan = self.execution_plan()
+        fragments: list[list[str]] = [[]]
+        for line in plan.splitlines():
+            fragments[-1].append(line)
+            if "Exchange" in line and "BroadcastExchange" not in line:
+                fragments.append([])
+        return ["\n".join(f) for f in fragments if f]
 
     def logical_plan(self) -> str:
         return self._qe("analyzed")
@@ -139,10 +164,28 @@ class DFRayContext:
     def register_csv(self, name: str, path: str, **options: Any) -> None:
         """Register a CSV file with header+schema inference (the reference
         uses DataFusion's ``CsvReadOptions`` defaults: header, inferred
-        schema — ``src/context.rs:69-79``)."""
+        schema — ``src/context.rs:69-79``).
+
+        http(s) URLs are supported like the reference's http object store
+        (``examples/http_csv.py:27-35``): Spark has no http filesystem, so
+        the driver fetches once to a local spool file and registers that.
+        """
+        if path.startswith(("http://", "https://")):
+            path = self._fetch_url(path)
         opts = {"header": "true", "inferSchema": "true"}
         opts.update({k: str(v) for k, v in options.items()})
         self._register(name, self.spark.read.options(**opts).csv(path), path)
+
+    @staticmethod
+    def _fetch_url(url: str) -> str:
+        import tempfile
+        import urllib.request
+
+        suffix = "." + url.rsplit(".", 1)[-1] if "." in url.rsplit("/", 1)[-1] else ""
+        with urllib.request.urlopen(url) as resp:  # noqa: S310 - user-supplied source
+            with tempfile.NamedTemporaryFile(delete=False, suffix=suffix) as out:
+                out.write(resp.read())
+                return out.name
 
     def register_json(self, name: str, path: str, **options: Any) -> None:
         self._register(name, self.spark.read.options(**options).json(path), path)

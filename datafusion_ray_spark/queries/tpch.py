@@ -47,9 +47,12 @@ class QueryDef:
     description: str = ""
     oracle: str | None = None  # defaults to `sql`
     tables: tuple[str, ...] = field(default=())
+    rows_only: bool = False  # engine-specific result (e.g. HLL): no oracle
 
     @property
-    def oracle_sql(self) -> str:
+    def oracle_sql(self) -> str | None:
+        if self.rows_only:
+            return None
         return self.oracle or self.sql
 
 
