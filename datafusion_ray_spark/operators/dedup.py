@@ -187,6 +187,53 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    block_col: str = "source",
+    threshold: float = JACCARD_THRESHOLD,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs within a blocking key.
+
+    The exact counterpart to MinHash: every within-block pair is scored, so
+    recall is 1.0 at the cost of O(block²) candidate pairs. Two things keep
+    it viable at scale:
+
+    - **blocking**: the self-join shuffles only on the block key, so work is
+      sum-of-block² — never corpus² (at 100 TB the block would itself be an
+      LSH band, making this the verify stage of minhash_dedup_pairs).
+    - **size-ratio pruning**: J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so pairs
+      whose shingle-count ratio is below the threshold are dropped on two
+      integer comparisons before any array intersection is evaluated. The
+      prune is lossless for the ``jaccard >= threshold`` output.
+
+    Returns (doc_a, doc_b, jaccard) for pairs meeting the threshold.
+    """
+    sh = (
+        df.select(
+            F.col(block_col).alias("blk"),
+            "doc_id",
+            shingles(text_col).alias("sh"),
+        )
+        .where(F.size("sh") > 0)
+        .withColumn("sz", F.size("sh"))
+    )
+    a = sh.select("blk", F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"),
+                  F.col("sz").alias("sz_a"))
+    b = sh.select("blk", F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"),
+                  F.col("sz").alias("sz_b"))
+    pruned = a.join(b, "blk").where(
+        (F.col("doc_a") < F.col("doc_b"))
+        & (F.least("sz_a", "sz_b") >= F.lit(threshold) * F.greatest("sz_a", "sz_b"))
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.col("sz_a") + F.col("sz_b") - inter
+    return (
+        pruned.select("doc_a", "doc_b", F.round(inter / union, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
 def simhash16(df: DataFrame, text_col: str = "text") -> DataFrame:
     """16-bit SimHash fingerprint per document.
 

@@ -118,6 +118,86 @@ def lsh_ann_topk(
     )
 
 
+#: IVF configuration: vectors with these vec_ids serve as the coarse
+#: centroids (deterministic, data-derived); a query probes its N_PROBE
+#: nearest cells.
+CENTROID_VEC_IDS = tuple(range(1, 9))
+N_PROBE = 2
+
+
+def _centroid_score(e: Column, en: Column, vec: list[float]) -> Column:
+    import math
+
+    cn = math.sqrt(sum(float(v) * float(v) for v in vec))
+    return F.round(dot(e, _lit_vec(vec)) / (en * F.lit(cn)), 6)
+
+
+def ivf_assign(
+    df: DataFrame, centroids: list[tuple[int, list[float]]], emb_col: str = "embedding"
+) -> DataFrame:
+    """Assign each vector to its nearest coarse centroid (``cell`` column).
+
+    Scores are rounded to 6 decimals before the argmax and ties break to the
+    smallest centroid id, so the assignment is engine-deterministic. The
+    argmax is a single JVM ``array_max`` over (score, -cid) structs — no
+    shuffle, no Python.
+    """
+    e = _as_double(emb_col)
+    en = norm(e)
+    scored = F.array(
+        *[
+            F.struct(
+                _centroid_score(e, en, vec).alias("score"),
+                F.lit(-cid).alias("negcid"),
+            )
+            for cid, vec in centroids
+        ]
+    )
+    best = F.array_max(scored)
+    return df.withColumn("cell", (-best["negcid"]).cast("int"))
+
+
+def ivf_ann_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    centroids: list[tuple[int, list[float]]],
+    k: int = 10,
+    nprobe: int = N_PROBE,
+    exclude_vec_id: int | None = None,
+) -> DataFrame:
+    """IVF approximate nearest neighbors: coarse-quantize, probe ``nprobe``
+    cells, exact cosine within them.
+
+    The scale path complementary to :func:`lsh_ann_topk`: cells are
+    data-derived (k-means in a real pipeline; fixed sample vectors here), so
+    the index adapts to the embedding distribution. At cluster scale the
+    table is partitioned by ``cell``; a query reads ``nprobe`` partitions —
+    ~nprobe/n_cells of the data — and the top-k is a TakeOrderedAndProject
+    with no shuffle of vector data.
+    """
+    import math
+
+    qn = math.sqrt(sum(float(v) * float(v) for v in query_vec))
+    scored = sorted(
+        (
+            -round(sum(float(a) * float(b) for a, b in zip(query_vec, vec))
+                   / (qn * math.sqrt(sum(float(v) * float(v) for v in vec))), 6),
+            cid,
+        )
+        for cid, vec in centroids
+    )
+    probe = [cid for _, cid in scored[:nprobe]]
+    out = ivf_assign(df, centroids).where(F.col("cell").isin(probe))
+    out = with_cosine(out, query_vec)
+    if exclude_vec_id is not None:
+        out = out.where(F.col("vec_id") != exclude_vec_id)
+    return (
+        out.select("vec_id", "cell", "cosine")
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(k)
+    )
+
+
 def neardup_pairs(
     df: DataFrame,
     block_col: str = "label",

@@ -273,6 +273,100 @@ LIMIT {k}
 """
 
 
+def ngram_jaccard_oracle(threshold: float) -> str:
+    return f"""
+WITH docs AS (
+    SELECT doc_id, source, {_WORDS} AS w FROM documents
+),
+shingled AS (
+    SELECT doc_id, source, {_SHINGLES} AS sh FROM docs
+),
+ne AS (SELECT * FROM shingled WHERE len(sh) > 0),
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS inter,
+           len(a.sh) + len(b.sh) - len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS uni
+    FROM ne a JOIN ne b ON a.source = b.source AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, ROUND(inter / uni, 6) AS jaccard
+FROM pairs
+WHERE ROUND(inter / uni, 6) >= {threshold}
+ORDER BY doc_a, doc_b
+"""
+
+
+def ivf_oracle(k: int = 10, nprobe: int = 2) -> str:
+    from .similarity import CENTROID_VEC_IDS
+
+    lo, hi = min(CENTROID_VEC_IDS), max(CENTROID_VEC_IDS)
+    return f"""
+WITH cents AS (
+    SELECT vec_id AS cid, embedding AS ce FROM embeddings
+    WHERE vec_id BETWEEN {lo} AND {hi}
+),
+pr AS (
+    SELECT e.vec_id, c.cid,
+           CAST(unnest(e.embedding) AS DOUBLE) AS x,
+           CAST(unnest(c.ce) AS DOUBLE) AS y
+    FROM embeddings e CROSS JOIN cents c
+),
+sc AS (
+    SELECT vec_id, cid,
+           ROUND({_DOT_DEC} / (SQRT({_NORM_X}) * SQRT({_NORM_Y})), 6) AS score
+    FROM pr GROUP BY vec_id, cid
+),
+assign AS (
+    SELECT vec_id, cid AS cell
+    FROM (SELECT vec_id, cid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) AS rn
+          FROM sc)
+    WHERE rn = 1
+),
+probe AS (
+    SELECT cid FROM (SELECT cid, ROW_NUMBER() OVER (ORDER BY score DESC, cid) AS rn
+                     FROM sc WHERE vec_id = 0)
+    WHERE rn <= {nprobe}
+),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+cprod AS (
+    SELECT e.vec_id, a.cell,
+           CAST(unnest(e.embedding) AS DOUBLE) AS x,
+           CAST(unnest((SELECT qe FROM q)) AS DOUBLE) AS y
+    FROM embeddings e
+    JOIN assign a ON a.vec_id = e.vec_id
+    WHERE a.cell IN (SELECT cid FROM probe) AND e.vec_id <> 0
+),
+agg AS (
+    SELECT vec_id, cell, {_DOT_DEC} AS dot, {_NORM_X} AS norm2
+    FROM cprod GROUP BY vec_id, cell
+),
+qn AS (
+    SELECT SQRT(CAST(SUM(CAST(CAST(u AS DOUBLE) * CAST(u AS DOUBLE) AS DECIMAL(28,14))) AS DOUBLE)) AS qnorm
+    FROM (SELECT unnest(qe) AS u FROM q) t
+)
+SELECT vec_id, CAST(cell AS INT) AS cell,
+       ROUND(dot / (SQRT(norm2) * (SELECT qnorm FROM qn)), 6) AS cosine
+FROM agg
+ORDER BY cosine DESC, vec_id
+LIMIT {k}
+"""
+
+
+ASOF_ORACLE = """
+WITH clicks AS (
+    SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
+),
+views AS (
+    SELECT user_id, ts, value FROM events WHERE event_type = 'view'
+)
+SELECT c.event_id, c.user_id, c.ts, c.value,
+       v.ts AS r_ts, v.value AS r_value
+FROM clicks c ASOF LEFT JOIN views v
+  ON c.user_id = v.user_id AND c.ts >= v.ts
+ORDER BY c.event_id
+"""
+
+
 def neardup_oracle(threshold: float = 0.35, k: int = 20) -> str:
     return f"""
 WITH prod AS (
@@ -413,6 +507,36 @@ def run_mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def run_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir)).orderBy("doc_a", "doc_b")
+
+
+def run_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = ev.where(F.col("event_type") == "view").select("user_id", "ts", "value")
+    return asof_join(clicks, views).orderBy("event_id")
+
+
+def run_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = (
+        emb.where(F.col("vec_id").isin(list(similarity.CENTROID_VEC_IDS)))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    centroids = sorted((r["vec_id"], list(r["embedding"])) for r in rows)
+    return similarity.ivf_ann_topk(
+        emb, _query_vec(spark, sf_dir), centroids, k=10, exclude_vec_id=0
+    )
+
+
 def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
     emb = load_table(spark, sf_dir, "embeddings")
     return list(emb.where(F.col("vec_id") == 0).first()["embedding"])
@@ -460,8 +584,15 @@ def extension_entries():
                    "document fingerprinting: content + bag hashes"),
         SuiteEntry("sim_knn_brute", run_knn_brute, knn_oracle(),
                    "similarity: brute-force cosine top-k (zip_with/aggregate)"),
+        SuiteEntry("dedup_ngram_jaccard", run_ngram_jaccard,
+                   ngram_jaccard_oracle(JACCARD_THRESHOLD),
+                   "exact n-gram jaccard dedup: blocked + size-ratio pruned"),
+        SuiteEntry("join_asof", run_asof, ASOF_ORACLE,
+                   "as-of join: union + single window pass (sort-merge style)"),
         SuiteEntry("sim_ann_lsh", run_ann_lsh, ann_lsh_oracle(),
                    "similarity: hyperplane-LSH bucketed ANN top-k"),
+        SuiteEntry("sim_ann_ivf", run_ann_ivf, ivf_oracle(),
+                   "similarity: IVF coarse-quantized ANN top-k (nprobe cells)"),
         SuiteEntry("dedup_embedding_cosine", run_emb_neardup, neardup_oracle(),
                    "embedding-cosine near-dup pairs within label blocks"),
         SuiteEntry("ev_tumbling_window", run_ev_tumbling, W.TUMBLING_ORACLE,

@@ -1,0 +1,159 @@
+"""Operator coverage, batch 3: window frames, regex/string kernels,
+array/map higher-order functions, JSON extraction.
+
+Completes the scalar-expression surface of SURVEY.md §2.2: window frames
+(``WindowExprNode`` partition/order/frame — ``datafusion.proto:528-540``),
+the string/regex function library, LIST/MAP construction and higher-order
+transforms (Arrow LIST/MAP types — ``datafusion_common.proto:351-357``),
+and JSON field extraction over the ``events.props`` column. Dialect rules
+as in tpch.py: identical spelling where the engines agree, separate oracle
+text where they differ (DuckDB ``list_*`` vs Spark ``transform/filter``,
+``strpos`` vs ``instr``, ``json_extract_string`` vs ``get_json_object``).
+"""
+
+from __future__ import annotations
+
+from .tpch import QueryDef, cents
+
+_Q: dict[str, QueryDef] = {}
+
+
+def _q(name: str, sql: str, description: str, oracle: str | None = None) -> None:
+    _Q[name] = QueryDef(name=name, sql=sql.strip(), description=description,
+                        oracle=oracle.strip() if oracle else None)
+
+
+# Window frames: ROWS moving window, ROWS running total, RANGE running
+# total (peer rows included), frame-bounded FIRST/LAST_VALUE, NTILE /
+# PERCENT_RANK / CUME_DIST distribution functions. Exact integer cents make
+# the running sums associative and engine-identical; every ORDER BY key is
+# unique within its partition so frames are deterministic.
+_q(
+    "win_frames",
+    f"""
+SELECT c_nationkey, c_custkey,
+       CAST(SUM({cents('c_acctbal')}) OVER (PARTITION BY c_nationkey ORDER BY c_custkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_cents,
+       CAST(SUM({cents('c_acctbal')}) OVER (PARTITION BY c_nationkey ORDER BY c_custkey
+            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS mov3_cents,
+       CAST(SUM({cents('c_acctbal')}) OVER (PARTITION BY c_nationkey ORDER BY c_custkey
+            RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS range_cents,
+       FIRST_VALUE(c_custkey) OVER (PARTITION BY c_nationkey ORDER BY c_custkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_key,
+       LAST_VALUE(c_custkey) OVER (PARTITION BY c_nationkey ORDER BY c_custkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_key,
+       CAST(NTILE(4) OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS INT) AS quartile,
+       ROUND(PERCENT_RANK() OVER (PARTITION BY c_nationkey ORDER BY c_custkey), 6) AS pct_rank,
+       ROUND(CUME_DIST() OVER (PARTITION BY c_nationkey ORDER BY c_custkey), 6) AS cume
+FROM customer
+WHERE c_custkey <= 300
+ORDER BY c_nationkey, c_custkey
+""",
+    "window frames: ROWS/RANGE running + moving aggregates, ntile/percent_rank/cume_dist",
+)
+
+# Regex + string kernel surface (Java regex vs RE2: patterns restricted to
+# the common subset — char classes, +, anchors).
+_q(
+    "str_regex_funcs",
+    """
+SELECT p_partkey,
+       REGEXP_EXTRACT(p_name, '([a-z]+)', 1) AS first_word,
+       REGEXP_REPLACE(p_name, '[aeiou]', '_') AS devoweled,
+       LPAD(CAST(p_partkey AS STRING), 8, '0') AS padded_key,
+       RPAD(p_brand, 12, '.') AS padded_brand,
+       TRANSLATE(p_type, 'AEIOU', 'aeiou') AS lowered_vowels,
+       REPEAT('-', CAST(p_size % 5 AS INT)) AS dashes,
+       REVERSE(p_brand) AS rev_brand,
+       CAST(INSTR(p_name, 'a') AS INT) AS first_a,
+       LEFT(p_name, 5) AS name_l5,
+       RIGHT(p_name, 5) AS name_r5,
+       CAST(LENGTH(TRIM(p_name)) AS INT) AS trim_len
+FROM part
+WHERE p_partkey <= 200
+ORDER BY p_partkey
+""",
+    "regex extract/replace + lpad/rpad/translate/repeat/reverse/instr/left/right",
+    oracle="""
+SELECT p_partkey,
+       REGEXP_EXTRACT(p_name, '([a-z]+)', 1) AS first_word,
+       REGEXP_REPLACE(p_name, '[aeiou]', '_', 'g') AS devoweled,
+       LPAD(CAST(p_partkey AS VARCHAR), 8, '0') AS padded_key,
+       RPAD(p_brand, 12, '.') AS padded_brand,
+       TRANSLATE(p_type, 'AEIOU', 'aeiou') AS lowered_vowels,
+       REPEAT('-', CAST(p_size % 5 AS INT)) AS dashes,
+       REVERSE(p_brand) AS rev_brand,
+       CAST(STRPOS(p_name, 'a') AS INT) AS first_a,
+       LEFT(p_name, 5) AS name_l5,
+       RIGHT(p_name, 5) AS name_r5,
+       CAST(LENGTH(TRIM(p_name)) AS INT) AS trim_len
+FROM part
+WHERE p_partkey <= 200
+ORDER BY p_partkey
+""",
+)
+
+# LIST construction + higher-order functions (transform/filter/aggregate —
+# Spark HOFs stay in codegen; DuckDB spells them list_*).
+_q(
+    "array_map_funcs",
+    """
+SELECT n_nationkey,
+       ARRAY(n_nationkey, n_regionkey, n_nationkey + n_regionkey) AS trip,
+       SEQUENCE(1, CAST(n_regionkey + 2 AS INT)) AS seq,
+       TRANSFORM(SEQUENCE(1, CAST(n_regionkey + 2 AS INT)), x -> x * x) AS squares,
+       FILTER(SEQUENCE(1, CAST(n_nationkey % 6 + 1 AS INT)), x -> x % 2 = 0) AS evens,
+       CAST(AGGREGATE(SEQUENCE(1, CAST(n_nationkey % 6 + 1 AS INT)), 0, (acc, x) -> acc + x) AS INT) AS seq_sum,
+       ARRAY_CONTAINS(ARRAY(n_nationkey, n_regionkey), 3) AS has_three,
+       SORT_ARRAY(ARRAY(n_nationkey, n_regionkey), false) AS sorted_desc,
+       SLICE(SEQUENCE(1, 10), CAST(n_regionkey + 1 AS INT), 3) AS sliced,
+       ELEMENT_AT(MAP('nk', n_nationkey, 'rk', n_regionkey), 'rk') AS map_rk
+FROM nation
+ORDER BY n_nationkey
+""",
+    "array/map construction + transform/filter/aggregate higher-order funcs",
+    oracle="""
+SELECT n_nationkey,
+       [n_nationkey, n_regionkey, n_nationkey + n_regionkey] AS trip,
+       range(1, CAST(n_regionkey + 3 AS INT)) AS seq,
+       list_transform(range(1, CAST(n_regionkey + 3 AS INT)), x -> x * x) AS squares,
+       list_filter(range(1, CAST(n_nationkey % 6 + 2 AS INT)), x -> x % 2 = 0) AS evens,
+       CAST(list_sum(range(1, CAST(n_nationkey % 6 + 2 AS INT))) AS INT) AS seq_sum,
+       list_contains([n_nationkey, n_regionkey], 3) AS has_three,
+       list_reverse_sort([n_nationkey, n_regionkey]) AS sorted_desc,
+       list_slice(range(1, 11), CAST(n_regionkey + 1 AS INT), CAST(n_regionkey + 3 AS INT)) AS sliced,
+       MAP(['nk', 'rk'], [n_nationkey, n_regionkey])['rk'][1] AS map_rk
+FROM nation
+ORDER BY n_nationkey
+""",
+)
+
+# JSON extraction over events.props ('{"k": <int>}') — the semi-structured
+# column path a training-data pipeline hits constantly.
+_q(
+    "json_funcs",
+    """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(GET_JSON_OBJECT(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+       CAST(MIN(CAST(GET_JSON_OBJECT(props, '$.k') AS INT)) AS INT) AS min_k,
+       CAST(MAX(CAST(GET_JSON_OBJECT(props, '$.k') AS INT)) AS INT) AS max_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+    "JSON field extraction + typed aggregation over a JSON string column",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(JSON_EXTRACT_STRING(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+       CAST(MIN(CAST(JSON_EXTRACT_STRING(props, '$.k') AS INT)) AS INT) AS min_k,
+       CAST(MAX(CAST(JSON_EXTRACT_STRING(props, '$.k') AS INT)) AS INT) AS max_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+
+
+COVERAGE3_QUERIES: dict[str, QueryDef] = dict(_Q)

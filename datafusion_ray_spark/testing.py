@@ -33,9 +33,28 @@ def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
             out[col] = pd.to_datetime(out[col])
         if str(out[col].dtype).startswith("datetime64"):
             out[col] = out[col].astype("datetime64[us]")
+        if out[col].dtype == object:
+            # Array/map cells arrive as ndarray (DuckDB) / list (Spark) /
+            # dict (Spark maps): normalize to nested tuples so rows are
+            # sortable and comparable by value.
+            out[col] = out[col].map(_freeze)
     if len(out.columns):
         out = out.sort_values(by=list(out.columns), na_position="first")
     return out.reset_index(drop=True)
+
+
+def _freeze(v):
+    import numpy as np
+
+    if isinstance(v, np.ndarray):
+        return tuple(_freeze(x) for x in v.tolist())
+    if isinstance(v, (list, tuple)):
+        return tuple(_freeze(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, _freeze(x)) for k, x in v.items()))
+    if isinstance(v, np.generic):
+        return v.item()
+    return v
 
 
 def assert_frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str = "") -> None:

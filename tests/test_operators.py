@@ -106,3 +106,71 @@ def test_multimodal_meta_scan_prunes_payload(docs, tmp_path):
     stats = multimodal.meta_stats(spark.read.parquet(p))
     plan = stats._jdf.queryExecution().executedPlan().toString()
     assert "payload" not in plan, "payload column not pruned from metadata-only scan"
+
+
+def test_ngram_jaccard_planted_pairs(docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in dedup.ngram_jaccard_pairs(docs).collect()}
+    assert pairs[(1, 2)] == 1.0  # exact dup in block s0
+    # near-dup (1,3): differs in last token only -> high but < 1 jaccard
+    assert (1, 3) in pairs and 0.6 <= pairs[(1, 3)] < 1.0
+    # cross-block pairs never compared
+    assert all(a in (1, 2, 3) and b in (1, 2, 3) for a, b in pairs)
+
+
+def test_asof_join_semantics(spark):
+    from datetime import datetime as dt
+
+    from datafusion_ray_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 1, dt(2024, 1, 1, 0, 5), 10.0),
+         (2, 1, dt(2024, 1, 1, 0, 1), 20.0),   # before any right row
+         (3, 2, dt(2024, 1, 1, 0, 4), 30.0)],  # equal-ts match
+        ["event_id", "user_id", "ts", "value"],
+    )
+    right = spark.createDataFrame(
+        [(1, dt(2024, 1, 1, 0, 2), 1.5),
+         (1, dt(2024, 1, 1, 0, 4), 2.5),
+         (2, dt(2024, 1, 1, 0, 4), 3.5)],
+        ["user_id", "ts", "value"],
+    )
+    out = {r["event_id"]: r for r in asof_join(left, right).collect()}
+    assert out[1]["r_value"] == 2.5  # latest right row <= ts
+    assert out[2]["r_value"] is None and out[2]["r_ts"] is None  # no prior row
+    assert out[3]["r_value"] == 3.5  # ts equality counts as matched
+
+
+def test_ivf_assigns_centroid_to_own_cell(spark, sf_dir):
+    from datafusion_ray_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = (
+        emb.where(F.col("vec_id").isin(list(similarity.CENTROID_VEC_IDS)))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    centroids = sorted((r["vec_id"], list(r["embedding"])) for r in rows)
+    assigned = {
+        r["vec_id"]: r["cell"]
+        for r in similarity.ivf_assign(emb, centroids)
+        .where(F.col("vec_id").isin(list(similarity.CENTROID_VEC_IDS)))
+        .collect()
+    }
+    assert all(assigned[cid] == cid for cid in similarity.CENTROID_VEC_IDS)
+
+
+def test_ivf_topk_subset_of_probed_cells(spark, sf_dir):
+    from datafusion_ray_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = (
+        emb.where(F.col("vec_id").isin(list(similarity.CENTROID_VEC_IDS)))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    centroids = sorted((r["vec_id"], list(r["embedding"])) for r in rows)
+    q = list(emb.where(F.col("vec_id") == 0).first()["embedding"])
+    out = similarity.ivf_ann_topk(emb, q, centroids, k=10, exclude_vec_id=0).collect()
+    assert 0 < len(out) <= 10
+    assert len({r["cell"] for r in out}) <= similarity.N_PROBE

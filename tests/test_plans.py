@@ -1,0 +1,112 @@
+"""Physical-plan shape assertions — the scale contract.
+
+Correctness tests prove the operators work at sf0.001; these tests prove the
+*plans* are the ones that survive 100 TB: filters reach the parquet scan,
+projections prune columns, small dimensions broadcast instead of shuffling,
+aggregates split partial/final, and the Python-free operator pipelines stay
+entirely JVM-side (no BatchEvalPython in the hot path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datafusion_ray_spark import DFRayContext
+from datafusion_ray_spark.sources.tables import load_table
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    ctx = DFRayContext(spark=spark)
+    ctx.register_parquet("lineitem", f"{sf_dir}/lineitem.parquet")
+    plan = ctx.sql(
+        "SELECT l_orderkey FROM lineitem WHERE l_quantity < 10 AND l_discount > 0.05"
+    ).execution_plan()
+    assert "PushedFilters: [" in plan
+    assert "l_quantity" in plan.split("PushedFilters:")[1].split("]")[0]
+
+
+def test_projection_prunes_scan_columns(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _plan(docs.groupBy("lang").agg(F.sum("n_chars").alias("s")))
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    # The wide `text` column must not be read for a metadata-only aggregate.
+    assert "text" not in read_schema
+    assert "n_chars" in read_schema
+
+
+def test_small_dimension_join_broadcasts(spark, sf_dir):
+    ctx = DFRayContext(spark=spark)
+    ctx.register_parquet("customer", f"{sf_dir}/customer.parquet")
+    ctx.register_parquet("nation", f"{sf_dir}/nation.parquet")
+    plan = ctx.sql(
+        """
+        SELECT n_name, COUNT(*) AS c
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        """
+    ).execution_plan()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    # the 25-row nation table must never force a full shuffle join
+    assert "SortMergeJoin" not in plan
+
+
+def test_groupby_splits_partial_final(spark, sf_dir):
+    ctx = DFRayContext(spark=spark)
+    ctx.register_parquet("lineitem", f"{sf_dir}/lineitem.parquet")
+    plan = ctx.sql(
+        "SELECT l_returnflag, SUM(l_quantity) AS s FROM lineitem GROUP BY l_returnflag"
+    ).execution_plan()
+    # map-side partial + reduce-side final (the reference's
+    # Partial/FinalPartitioned split — SURVEY.md §2.2 aggregations)
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_minhash_pipeline_stays_jvm_side(spark, sf_dir):
+    from datafusion_ray_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _plan(dedup.minhash_dedup_pairs(docs))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_similarity_pipeline_stays_jvm_side(spark, sf_dir):
+    from datafusion_ray_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = list(emb.where(F.col("vec_id") == 0).first()["embedding"])
+    plan = _plan(similarity.cosine_topk(emb, q, k=10))
+    assert "BatchEvalPython" not in plan
+    # top-k must be TakeOrderedAndProject, not a global sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    ctx = DFRayContext(spark=spark)
+    ctx.register_parquet("orders", f"{sf_dir}/orders.parquet")
+    plan = ctx.sql(
+        "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC LIMIT 10"
+    ).execution_plan()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_asof_join_single_shuffle(spark, sf_dir):
+    from datafusion_ray_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = ev.where(F.col("event_type") == "view").select("user_id", "ts", "value")
+    plan = _plan(asof_join(clicks, views))
+    # union + window: exactly one hash-partition exchange (on the key), and
+    # never a join node (the naive range-join formulation would show one)
+    assert "Join" not in plan
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 1
+    assert "Window" in tree
