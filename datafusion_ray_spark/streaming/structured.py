@@ -58,13 +58,52 @@ def tumbling_counts_stream(
     )
 
 
-def run_to_memory(stream_df: DataFrame, table_name: str) -> None:
+def stateful_user_counts_stream(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator: per-user running event count and
+    value total via ``applyInPandasWithState``.
+
+    State = (n_events, total_cents) per user_id, held in the state store
+    (partitioned by the grouping key, so state scales horizontally with the
+    cluster); each micro-batch folds its Arrow-batched rows into the state
+    and emits the updated row. Money is accumulated in integer cents so the
+    running total is exact and associative across micro-batches.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            cents += int(pdf["value"].mul(100).round().astype("int64").sum())
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [cents / 100.0],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, cents long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_memory(
+    stream_df: DataFrame, table_name: str, output_mode: str = "complete"
+) -> None:
     """Drain a streaming query into an in-memory table (availableNow =
     process everything currently in the source, then stop)."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(table_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
