@@ -37,8 +37,14 @@ def main() -> None:
     # registration (/root/reference/tpch/tpcbench.py:104-131).
     register_tables(spark, args.sf_dir)
 
-    # warmup: JVM/codegen, not measured
+    # warmup (not measured): JVM/codegen, the Python worker pool + Arrow
+    # channel (mapInPandas spawns one worker per core on first use), and the
+    # md5/expression intrinsics the dedup pipelines lean on.
     spark.sql("SELECT COUNT(*) FROM lineitem").collect()
+    spark.range(64).repartition(32).mapInPandas(lambda it: it, "id long").count()
+    spark.sql(
+        "SELECT max(md5(concat('x', CAST(id AS STRING)))) FROM range(100000)"
+    ).collect()
 
     per_query: dict[str, float] = {}
     for name in names:

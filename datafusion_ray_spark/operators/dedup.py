@@ -26,12 +26,18 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-#: MinHash configuration: 9 hashes in 3 bands of 3 rows. With Jaccard
-#: similarity s the candidate probability is 1-(1-s^3)^3 — steep around
-#: s≈0.7, the usual near-dup knee.
-N_HASHES = 9
-N_BANDS = 3
+#: MinHash configuration: 12 hashes in 4 bands of 3 rows. With Jaccard
+#: similarity s the candidate probability is 1-(1-s^3)^4 — steep around
+#: s≈0.6, the usual near-dup knee. The 12 hash functions are derived from
+#: only THREE md5 digests per shingle (four 32-bit hex slices each): md5
+#: dominates signature cost, and slices of a cryptographic digest are
+#: independent uniform hashes, so this is 3x cheaper at equal quality.
+N_HASHES = 12
+N_BANDS = 4
 ROWS_PER_BAND = 3
+#: Digest prefixes; hash i = substring(md5(PREFIXES[i // 4] || shingle),
+#: 8*(i % 4) + 1, 8). Identical construction in the DuckDB oracle.
+HASH_PREFIXES = ("", "a:", "b:")
 SHINGLE_K = 3
 JACCARD_THRESHOLD = 0.6
 
@@ -82,28 +88,35 @@ def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def minhash_signature(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Per-document MinHash signature: for seed i, the lexicographic MIN of
-    md5("i:" || shingle). Adds ``sig_0 .. sig_{N-1}`` string columns.
+    """Per-document MinHash signature: hash i is the lexicographic MIN over
+    shingles of the i-th 32-bit hex slice of md5(prefix || shingle). Adds
+    ``sig_0 .. sig_{N-1}`` string columns.
 
-    Computed in ONE pass over the shingle array (per-shingle vector of
-    N_HASHES digests, folded with an elementwise-min zip) rather than
-    N_HASHES separate array traversals.
+    Two-step formulation chosen from profiling: (1) ONE 96-hex-char digest
+    string per shingle (all three md5 calls, concatenated), (2) N_HASHES
+    ``array_min`` traversals that each slice out one 8-char window. The
+    per-shingle work is 3 md5 + 1 concat; the min-reductions touch only
+    cheap substrings. (The alternative single-pass zip_with fold over
+    per-shingle 12-string arrays benched ~35% slower — array allocation per
+    shingle dominates, not md5.) Catalyst keeps ``_digests`` un-inlined
+    because it feeds 12 non-cheap consumers (CollapseProject bails), so the
+    md5s really do run once per shingle.
     """
     out = df.withColumn("_shingles", shingles(text_col)).where(F.size("_shingles") > 0)
-    per_shingle = F.transform(
+    digest = F.transform(
         F.col("_shingles"),
-        lambda s: F.array(*[F.md5(F.concat(F.lit(f"{i}:"), s)) for i in range(N_HASHES)]),
+        lambda s: F.concat(
+            *[F.md5(F.concat(F.lit(p), s)) if p else F.md5(s) for p in HASH_PREFIXES]
+        ),
     )
-    # 'g' sorts after every hex digest, so it is a safe fold identity.
-    fold = F.aggregate(
-        per_shingle,
-        F.array_repeat(F.lit("g"), N_HASHES),
-        lambda acc, x: F.zip_with(acc, x, lambda a, b: F.least(a, b)),
-    )
-    out = out.withColumn("_sigs", fold)
-    for i in range(N_HASHES):
-        out = out.withColumn(f"sig_{i}", F.element_at("_sigs", i + 1))
-    return out.drop("_sigs")
+    out = out.withColumn("_digests", digest)
+    sigs = [
+        F.array_min(
+            F.transform(F.col("_digests"), lambda d: F.substring(d, i * 8 + 1, 8))
+        ).alias(f"sig_{i}")
+        for i in range(N_HASHES)
+    ]
+    return out.select("*", *sigs).drop("_digests")
 
 
 def lsh_buckets(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -165,20 +178,45 @@ def minhash_candidates(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def minhash_dedup_pairs(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """LSH candidates verified with exact n-gram Jaccard similarity.
+def _verify_jaccard(df: DataFrame, cand: DataFrame, text_col: str):
+    """Join a (small, materialized) candidate-pair set back to exact shingle
+    sets and return (joined, inter, union) columns.
 
-    Jaccard is computed from integer set sizes (bit-deterministic); pairs
-    with jaccard >= JACCARD_THRESHOLD are flagged near-dups.
+    Shingles are recomputed ONLY for candidate documents: the candidate id
+    list is broadcast into the scan, so at 100 TB this re-reads a sub-1%
+    column-pruned slice twice instead of re-deriving the whole corpus's
+    shingles per join leg.
     """
-    cand = minhash_candidates(df, text_col)
-    sh = df.select("doc_id", shingles(text_col).alias("sh"))
+    ids = cand.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id")).distinct()
+    sh = df.join(F.broadcast(ids), "doc_id").select(
+        "doc_id", shingles(text_col).alias("sh")
+    )
     joined = (
         cand.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
         .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return joined, inter, union
+
+
+def minhash_dedup_pairs(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """LSH candidates verified with exact n-gram Jaccard similarity.
+
+    Jaccard is computed from integer set sizes (bit-deterministic); pairs
+    with jaccard >= JACCARD_THRESHOLD are flagged near-dups.
+
+    The candidate pair set is materialized (persist + count) before the
+    verify stage: candidates are a sub-percent fraction of the corpus, and
+    with them pinned, verification re-reads shingles ONLY for candidate
+    documents (tiny id list broadcast into the scan) instead of re-deriving
+    the whole corpus's shingle sets once per join leg — at 100 TB that is
+    the difference between two extra full-corpus passes and two sub-1%
+    column-pruned scans.
+    """
+    cand = minhash_candidates(df, text_col).persist()
+    cand.count()
+    joined, inter, union = _verify_jaccard(df, cand, text_col)
     return joined.select(
         "doc_a",
         "doc_b",
@@ -195,17 +233,21 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs within a blocking key.
 
-    The exact counterpart to MinHash: every within-block pair is scored, so
-    recall is 1.0 at the cost of O(block²) candidate pairs. Two things keep
-    it viable at scale:
+    The exact counterpart to MinHash: recall 1.0 at the threshold. A naive
+    blocked self-join is O(block²) pairs with an array intersection each —
+    20+ s at sf0.1 and hopeless at 100 TB. This uses the AllPairs/PPJoin
+    **prefix filter** instead, all of it lossless for the
+    ``jaccard >= threshold`` output:
 
-    - **blocking**: the self-join shuffles only on the block key, so work is
-      sum-of-block² — never corpus² (at 100 TB the block would itself be an
-      LSH band, making this the verify stage of minhash_dedup_pairs).
-    - **size-ratio pruning**: J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so pairs
-      whose shingle-count ratio is below the threshold are dropped on two
-      integer comparisons before any array intersection is evaluated. The
-      prune is lossless for the ``jaccard >= threshold`` output.
+    - J(A,B) >= t requires |A∩B| >= t·|A| (given the size-ratio condition
+      below), so A and B must share at least one shingle among the FIRST
+      ``|A| - ceil(t·|A|) + 1`` shingles in any fixed global order
+      (lexicographic here). Candidate pairs are generated by an
+      inverted-index join on (block, prefix-shingle) — work is proportional
+      to shingles emitted, never to block².
+    - **size-ratio pruning**: J(A,B) <= min/max of the sizes, applied as two
+      integer comparisons during pair expansion.
+    - Exact jaccard is then verified only for surviving candidates.
 
     Returns (doc_a, doc_b, jaccard) for pairs meeting the threshold.
     """
@@ -213,23 +255,53 @@ def ngram_jaccard_pairs(
         df.select(
             F.col(block_col).alias("blk"),
             "doc_id",
-            shingles(text_col).alias("sh"),
+            F.array_sort(shingles(text_col)).alias("sh"),
         )
         .where(F.size("sh") > 0)
         .withColumn("sz", F.size("sh"))
     )
-    a = sh.select("blk", F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"),
-                  F.col("sz").alias("sz_a"))
-    b = sh.select("blk", F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"),
-                  F.col("sz").alias("sz_b"))
-    pruned = a.join(b, "blk").where(
-        (F.col("doc_a") < F.col("doc_b"))
-        & (F.least("sz_a", "sz_b") >= F.lit(threshold) * F.greatest("sz_a", "sz_b"))
+    prefix_len = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")).cast("int") + 1
+    inverted = sh.select(
+        "blk",
+        "doc_id",
+        "sz",
+        F.explode(F.slice("sh", 1, prefix_len)).alias("tok"),
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.col("sz_a") + F.col("sz_b") - inter
+    # Pair expansion per posting list (same shape as minhash_candidates):
+    # group the tiny (blk, tok) posting lists, expand ordered pairs with the
+    # size-ratio prune applied inline, then dedupe pairs across tokens.
+    grouped = (
+        inverted.groupBy("blk", "tok")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "sz"))).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.filter(
+                F.transform(
+                    F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                    lambda y: F.struct(
+                        x["doc_id"].alias("doc_a"),
+                        y["doc_id"].alias("doc_b"),
+                        F.least(x["sz"], y["sz"]).alias("lo"),
+                        F.greatest(x["sz"], y["sz"]).alias("hi"),
+                    ),
+                ),
+                lambda p: p["lo"] >= F.lit(threshold) * p["hi"],
+            ),
+        )
+    )
+    cand = (
+        grouped.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .distinct()
+        .persist()
+    )
+    cand.count()
+    joined, inter, union = _verify_jaccard(df, cand, text_col)
     return (
-        pruned.select("doc_a", "doc_b", F.round(inter / union, 6).alias("jaccard"))
+        joined.select("doc_a", "doc_b", F.round(inter / union, 6).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
 

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.tables import load_table
+from ..sources.tables import load_table, spread
 from . import dedup, text
 from .dedup import JACCARD_THRESHOLD, N_BANDS, ROWS_PER_BAND, N_HASHES
 
@@ -27,10 +27,16 @@ _SHINGLES = (
 
 
 def _sig_exprs() -> str:
-    return ",\n       ".join(
-        f"list_aggregate(list_transform(sh, s -> md5('{i}:' || s)), 'min') AS sig_{i}"
-        for i in range(N_HASHES)
-    )
+    from .dedup import HASH_PREFIXES
+
+    exprs = []
+    for i in range(N_HASHES):
+        p, off = HASH_PREFIXES[i // 4], i % 4
+        inner = f"md5('{p}' || s)" if p else "md5(s)"
+        exprs.append(
+            f"list_aggregate(list_transform(sh, s -> substring({inner}, {off * 8 + 1}, 8)), 'min') AS sig_{i}"
+        )
+    return ",\n       ".join(exprs)
 
 
 def _band_rows() -> str:
@@ -408,7 +414,13 @@ ORDER BY keep_id
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents")
+    # spread(): the text operators are per-row expensive (shingling, md5,
+    # regex) and the testdata is one unsplittable row group — see tables.py.
+    return spread(load_table(spark, sf_dir, "documents"))
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spread(load_table(spark, sf_dir, "embeddings"))
 
 
 def run_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -525,7 +537,7 @@ def run_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 def run_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import similarity
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     rows = (
         emb.where(F.col("vec_id").isin(list(similarity.CENTROID_VEC_IDS)))
         .select("vec_id", "embedding")
@@ -545,21 +557,21 @@ def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
 def run_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import similarity
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     return similarity.cosine_topk(emb, _query_vec(spark, sf_dir), k=10, exclude_vec_id=0)
 
 
 def run_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import similarity
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     return similarity.lsh_ann_topk(emb, _query_vec(spark, sf_dir), k=5, exclude_vec_id=0)
 
 
 def run_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import similarity
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     return similarity.neardup_pairs(emb, threshold=0.35, k=20)
 
 

@@ -45,6 +45,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition that restores parallelism for per-row
+    EXPENSIVE pipelines (md5 shingling, regex scoring, vector math, Pandas
+    UDF decode) when the source is under-split — the driver testdata is
+    single-row-group parquet, which Spark cannot split, so every map-side
+    operator would otherwise run on one core.
+
+    No-op when the input already has enough splits (a real cluster scan of
+    many files/row-groups), so the extra shuffle exists only in exactly the
+    degenerate case it fixes. Do NOT use ahead of cheap scan->aggregate
+    plans: the vectorized reader beats the shuffle cost there (benched
+    0.63s -> 1.41s on a 600k-row aggregate).
+    """
+    target = partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 #: (session id, sf_dir) already registered — registration re-reads parquet
 #: footers, so suite runs cache it per session/scale.
 _REGISTERED: dict[int, str] = {}
