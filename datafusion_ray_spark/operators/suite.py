@@ -358,6 +358,24 @@ LIMIT {k}
 """
 
 
+RANGE_JOIN_ORACLE = """
+WITH errors AS (
+    SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+),
+clicks AS (
+    SELECT user_id, ts FROM events WHERE event_type = 'click'
+)
+SELECT e.event_id, e.user_id, e.ts,
+       CAST(COUNT(c.ts) AS BIGINT) AS n_recent
+FROM errors e LEFT JOIN clicks c
+  ON c.user_id = e.user_id
+ AND c.ts >= e.ts - INTERVAL 10 MINUTE
+ AND c.ts < e.ts
+GROUP BY e.event_id, e.user_id, e.ts
+ORDER BY e.event_id
+"""
+
+
 ASOF_ORACLE = """
 WITH clicks AS (
     SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
@@ -534,6 +552,15 @@ def run_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(clicks, views).orderBy("event_id")
 
 
+def run_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .rangejoin import range_join_count
+
+    ev = _events(spark, sf_dir)
+    errors = ev.where(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts")
+    return range_join_count(errors, clicks, window_minutes=10).orderBy("event_id")
+
+
 def run_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import similarity
 
@@ -601,6 +628,8 @@ def extension_entries():
                    "exact n-gram jaccard dedup: blocked + size-ratio pruned"),
         SuiteEntry("join_asof", run_asof, ASOF_ORACLE,
                    "as-of join: union + single window pass (sort-merge style)"),
+        SuiteEntry("join_range", run_range_join, RANGE_JOIN_ORACLE,
+                   "range join: time-bucketized equi-join + residual filter"),
         SuiteEntry("sim_ann_lsh", run_ann_lsh, ann_lsh_oracle(),
                    "similarity: hyperplane-LSH bucketed ANN top-k"),
         SuiteEntry("sim_ann_ivf", run_ann_ivf, ivf_oracle(),

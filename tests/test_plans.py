@@ -110,3 +110,16 @@ def test_asof_join_single_shuffle(spark, sf_dir):
     tree = plan.split("\n\n")[0]
     assert tree.count("Exchange") == 1
     assert "Window" in tree
+
+
+def test_range_join_is_hash_join_not_nested_loop(spark, sf_dir):
+    from datafusion_ray_spark.operators.rangejoin import range_join_count
+
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts")
+    plan = _plan(range_join_count(errors, clicks))
+    # bucketization turns the band predicate into an equi-join; the naive
+    # formulation would plan BroadcastNestedLoopJoin (O(n*m) per key)
+    assert "NestedLoopJoin" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan

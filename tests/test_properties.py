@@ -1,0 +1,86 @@
+"""Property-based tests (hypothesis): the temporal joins agree with a naive
+per-row reference on arbitrary inputs — the reference repo has no
+property-based layer (SURVEY.md §5), so this exceeds its test strategy where
+the custom operators most need it (boundary semantics: equal timestamps,
+empty sides, window edges)."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from datafusion_ray_spark.operators.asof import asof_join
+from datafusion_ray_spark.operators.rangejoin import range_join_count
+
+EPOCH = datetime(2024, 1, 1)
+
+# (key, ts) unique so the match is well-defined; small domains force
+# collisions on keys and near-boundary timestamps.
+_rows = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 50)),
+    unique=True,
+    min_size=0,
+    max_size=25,
+)
+
+
+@st.composite
+def _two_sides(draw):
+    left = draw(_rows)
+    right = draw(_rows)
+    return left, right
+
+
+_settings = settings(
+    max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+
+
+@given(sides=_two_sides())
+@_settings
+def test_asof_join_matches_naive(spark, sides):
+    left_rows, right_rows = sides
+    left = spark.createDataFrame(
+        [(i, k, t, float(t)) for i, (k, t) in enumerate(left_rows)],
+        "event_id long, user_id long, ts long, value double",
+    )
+    right = spark.createDataFrame(
+        [(k, t, float(t) * 10) for (k, t) in right_rows],
+        "user_id long, ts long, value double",
+    )
+    got = {
+        r["event_id"]: (r["r_ts"], r["r_value"])
+        for r in asof_join(left, right).collect()
+    }
+    for i, (k, t) in enumerate(left_rows):
+        prior = [(rt, rt * 10.0) for (rk, rt) in right_rows if rk == k and rt <= t]
+        expect = max(prior) if prior else (None, None)
+        assert got[i] == expect, (i, k, t, got[i], expect)
+
+
+@given(sides=_two_sides())
+@_settings
+def test_range_join_count_matches_naive(spark, sides):
+    left_rows, right_rows = sides
+    window_minutes = 10
+    to_ts = lambda m: EPOCH + timedelta(minutes=m)
+    left = spark.createDataFrame(
+        [(i, k, to_ts(t)) for i, (k, t) in enumerate(left_rows)],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(k, to_ts(t)) for (k, t) in right_rows],
+        "user_id long, ts timestamp",
+    )
+    got = {
+        r["event_id"]: r["n_recent"]
+        for r in range_join_count(left, right, window_minutes=window_minutes).collect()
+    }
+    assert len(got) == len(left_rows)
+    for i, (k, t) in enumerate(left_rows):
+        expect = sum(
+            1 for (rk, rt) in right_rows if rk == k and t - window_minutes <= rt < t
+        )
+        assert got[i] == expect, (i, k, t, got[i], expect)
