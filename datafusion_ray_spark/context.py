@@ -157,8 +157,19 @@ class DFRayContext:
 
     # -- registration (reference: core.py:591-643, src/context.rs:57-107) ---
 
+    @staticmethod
+    def _normalize_path(path: str) -> str:
+        """Object-store scheme mapping (reference registers s3/gs/http stores
+        from the URL scheme — ``src/util.rs:523-580``). Spark/Hadoop reads
+        S3 through the ``s3a`` connector; ``gs://`` passes through to the
+        GCS connector unchanged."""
+        if path.startswith("s3://"):
+            return "s3a://" + path[len("s3://"):]
+        return path
+
     def register_parquet(self, name: str, path: str) -> None:
         """Register a parquet file/directory as a named table."""
+        path = self._normalize_path(path)
         self._register(name, self.spark.read.parquet(path), path)
 
     def register_csv(self, name: str, path: str, **options: Any) -> None:
@@ -172,6 +183,7 @@ class DFRayContext:
         """
         if path.startswith(("http://", "https://")):
             path = self._fetch_url(path)
+        path = self._normalize_path(path)
         opts = {"header": "true", "inferSchema": "true"}
         opts.update({k: str(v) for k, v in options.items()})
         self._register(name, self.spark.read.options(**opts).csv(path), path)
@@ -208,7 +220,7 @@ class DFRayContext:
         partition-discover subdirectories — strictly more than the
         reference's ListingTable.
         """
-        path = path.rstrip("/")
+        path = self._normalize_path(path.rstrip("/"))
         reader = self.spark.read
         if file_format == "parquet":
             df = reader.parquet(path)

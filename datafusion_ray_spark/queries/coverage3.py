@@ -156,4 +156,29 @@ ORDER BY event_type
 )
 
 
+# Hypertable-style multi-resolution rollup: hour/day/total aggregates of the
+# events stream in ONE scan via grouping sets (the continuous-aggregate
+# pattern; at scale each resolution would be materialized incrementally, but
+# the single-pass grouping-sets plan is the batch/backfill form).
+_q(
+    "ev_multi_rollup",
+    """
+SELECT day, hour,
+       CAST(GROUPING(day) AS INT) AS g_day,
+       CAST(GROUPING(hour) AS INT) AS g_hour,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM (
+    SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS day,
+           DATE_TRUNC('hour', ts) AS hour,
+           value
+    FROM events
+) t
+GROUP BY GROUPING SETS ((day, hour), (day), ())
+ORDER BY day NULLS FIRST, hour NULLS FIRST
+""",
+    "multi-resolution time rollup (hour/day/total) in one grouping-sets scan",
+)
+
+
 COVERAGE3_QUERIES: dict[str, QueryDef] = dict(_Q)

@@ -80,3 +80,13 @@ def test_register_listing_table(spark, sf_dir):
     ctx = DFRayContext(spark=spark)
     ctx.register_listing_table("lst", sf_dir + "/lineitem.parquet")
     assert ctx.sql("SELECT COUNT(*) AS c FROM lst").to_pandas()["c"][0] > 0
+
+
+def test_s3_path_normalization():
+    from datafusion_ray_spark.context import DFRayContext
+
+    assert DFRayContext._normalize_path("s3://bucket/key/part.parquet") == (
+        "s3a://bucket/key/part.parquet"
+    )
+    assert DFRayContext._normalize_path("gs://bucket/x") == "gs://bucket/x"
+    assert DFRayContext._normalize_path("/local/path") == "/local/path"
