@@ -174,3 +174,30 @@ def test_ivf_topk_subset_of_probed_cells(spark, sf_dir):
     out = similarity.ivf_ann_topk(emb, q, centroids, k=10, exclude_vec_id=0).collect()
     assert 0 < len(out) <= 10
     assert len({r["cell"] for r in out}) <= similarity.N_PROBE
+
+
+def test_salted_groupby_sum_matches_plain(spark, sf_dir):
+    from datafusion_ray_spark.operators.skew import salted_groupby_sum
+    from datafusion_ray_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.round(F.col("l_quantity") * 100).cast("long").alias("qc")
+    )
+    plain = {r["l_returnflag"]: r["s"] for r in
+             li.groupBy("l_returnflag").agg(F.sum("qc").alias("s")).collect()}
+    salted = {r["l_returnflag"]: r["sum_qc"] for r in
+              salted_groupby_sum(li, "l_returnflag", "qc").collect()}
+    assert salted == plain
+
+
+def test_salted_join_matches_plain(spark, sf_dir):
+    from datafusion_ray_spark.operators.skew import salted_join
+    from datafusion_ray_spark.sources.tables import load_table
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").withColumnRenamed(
+        "n_nationkey", "c_nationkey"
+    )
+    plain = cust.join(nation, "c_nationkey").groupBy("n_name").count()
+    salted = salted_join(cust, nation, "c_nationkey").groupBy("n_name").count()
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
