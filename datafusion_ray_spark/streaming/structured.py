@@ -58,6 +58,28 @@ def tumbling_counts_stream(
     )
 
 
+def session_counts_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked streaming session windows — streaming twin of
+    ``windows.session_agg`` (same ``F.session_window`` gap semantics).
+
+    Append-mode output: a session emits once the watermark passes its end,
+    so state for closed sessions is dropped — the property that keeps
+    per-user session state bounded on an unbounded stream.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            "n_events",
+        )
+    )
+
+
 def stateful_user_counts_stream(events: DataFrame) -> DataFrame:
     """Custom stateful streaming operator: per-user running event count and
     value total via ``applyInPandasWithState``.

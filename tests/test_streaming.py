@@ -24,3 +24,24 @@ def test_streaming_tumbling_matches_batch(spark, sf_dir, events_dir):
         for r in windows.tumbling_agg(load_table(spark, sf_dir, "events")).collect()
     }
     assert streamed == batch
+
+
+def test_streaming_session_windows_subset_of_batch(spark, sf_dir, events_dir):
+    """Append-mode sessions that closed before the final watermark must
+    exactly match the batch session operator for those windows."""
+    stream = structured.stream_events(spark, events_dir)
+    structured.run_to_memory(
+        structured.session_counts_stream(stream), "stream_sessions",
+        output_mode="append",
+    )
+    streamed = {
+        (r["user_id"], r["session_start_us"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM stream_sessions").collect()
+    }
+    batch = {
+        (r["user_id"], r["session_start_us"]): r["n_events"]
+        for r in windows.session_agg(load_table(spark, sf_dir, "events")).collect()
+    }
+    assert len(streamed) > 0
+    for key, n in streamed.items():
+        assert batch[key] == n
