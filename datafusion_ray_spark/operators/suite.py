@@ -183,6 +183,34 @@ ORDER BY doc_id
 """
 
 
+def winnow_oracle() -> str:
+    from .text import WINNOW_K, WINNOW_W
+
+    return f"""
+WITH grams AS (
+    SELECT doc_id,
+           list_transform(
+               range(1, GREATEST(length(text) - {WINNOW_K - 1}, 0) + 1),
+               i -> substring(md5(substring(text, i, {WINNOW_K})), 1, 8)
+           ) AS gh
+    FROM documents
+),
+win AS (
+    SELECT doc_id,
+           list_sort(list_distinct(list_transform(
+               range(1, GREATEST(len(gh) - {WINNOW_W - 1}, 0) + 1),
+               j -> list_aggregate(gh[j:j+{WINNOW_W - 1}], 'min')
+           ))) AS fps
+    FROM grams
+)
+SELECT doc_id,
+       CAST(len(fps) AS INT) AS n_fingerprints,
+       md5(array_to_string(fps, ' ')) AS winnow_hash
+FROM win
+ORDER BY doc_id
+"""
+
+
 def fingerprint_oracle() -> str:
     return f"""
 SELECT doc_id,
@@ -469,6 +497,10 @@ def run_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.fingerprint(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
+def run_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.winnow_fingerprints(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "events")
 
@@ -621,6 +653,8 @@ def extension_entries():
                    "quality scoring: length/stopword/digit ratios"),
         SuiteEntry("text_fingerprint", run_fingerprint, fingerprint_oracle(),
                    "document fingerprinting: content + bag hashes"),
+        SuiteEntry("text_winnow", run_winnow, winnow_oracle(),
+                   "winnowing: rolling char-k-gram hashes, window minima"),
         SuiteEntry("sim_knn_brute", run_knn_brute, knn_oracle(),
                    "similarity: brute-force cosine top-k (zip_with/aggregate)"),
         SuiteEntry("dedup_ngram_jaccard", run_ngram_jaccard,

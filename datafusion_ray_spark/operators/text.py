@@ -139,3 +139,44 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
             "bag_fingerprint"
         ),
     )
+
+
+#: Winnowing parameters: character k-grams, window of w consecutive gram
+#: hashes; a document's fingerprint set is the distinct per-window minima
+#: (MOSS-style rolling-hash fingerprinting; guarantees any shared substring
+#: of length >= K + W - 1 yields a shared fingerprint).
+WINNOW_K = 8
+WINNOW_W = 4
+
+
+def winnow_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Rolling-hash winnowing fingerprints per document.
+
+    All JVM-side: char k-gram hashes via one ``transform`` pass
+    (md5 hex slice as the rolling hash), window minima via a second pass of
+    ``array_min(slice(...))``, then distinct + sort. Returns
+    (doc_id, n_fingerprints, winnow_hash) where winnow_hash digests the
+    sorted fingerprint set — two documents sharing long substrings share
+    fingerprints, so the sets support containment/overlap checks downstream.
+    """
+    n_grams = F.length(F.col(text_col)) - (WINNOW_K - 1)
+    gram_hashes = F.transform(
+        F.when(n_grams >= 1, F.sequence(F.lit(1), n_grams)).otherwise(
+            F.array().cast("array<int>")
+        ),
+        lambda i: F.substring(F.md5(F.substring(F.col(text_col), i, WINNOW_K)), 1, 8),
+    )
+    out = df.withColumn("_gh", gram_hashes)
+    n_windows = F.size("_gh") - (WINNOW_W - 1)
+    minima = F.transform(
+        F.when(n_windows >= 1, F.sequence(F.lit(1), n_windows)).otherwise(
+            F.array().cast("array<int>")
+        ),
+        lambda j: F.array_min(F.slice(F.col("_gh"), j, WINNOW_W)),
+    )
+    fps = F.array_sort(F.array_distinct(minima))
+    return out.select(
+        "doc_id",
+        F.size(fps).cast("int").alias("n_fingerprints"),
+        F.md5(F.concat_ws(" ", fps)).alias("winnow_hash"),
+    )

@@ -201,3 +201,9 @@ def test_salted_join_matches_plain(spark, sf_dir):
     plain = cust.join(nation, "c_nationkey").groupBy("n_name").count()
     salted = salted_join(cust, nation, "c_nationkey").groupBy("n_name").count()
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_winnow_fingerprints_identity_and_difference(docs):
+    out = {r["doc_id"]: r["winnow_hash"] for r in text.winnow_fingerprints(docs).collect()}
+    assert out[1] == out[2]      # identical texts -> identical fingerprint set
+    assert out[1] != out[4]      # unrelated texts -> different sets
