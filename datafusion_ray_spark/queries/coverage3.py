@@ -13,7 +13,7 @@ text where they differ (DuckDB ``list_*`` vs Spark ``transform/filter``,
 
 from __future__ import annotations
 
-from .tpch import QueryDef, cents
+from .tpch import QueryDef, cents, whole
 
 _Q: dict[str, QueryDef] = {}
 
@@ -153,6 +153,55 @@ FROM events
 GROUP BY event_type
 ORDER BY event_type
 """,
+)
+
+
+# Pearson correlation + sample covariance from exact integer moments
+# (native one-pass CORR/COVAR over doubles is engine-order-dependent; the
+# moment formulation is exact, associative, and partial-agg safe).
+_q(
+    "agg_corr_covar",
+    f"""
+SELECT l_returnflag,
+       ROUND((n * sxy - sx * sy) / (n - 1) / n, 4) AS covar_qty_price,
+       ROUND((n * sxy - sx * sy)
+             / SQRT((n * sx2 - sx * sx) * (n * sy2 - sy * sy)), 6) AS corr_qty_price
+FROM (
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM({whole('l_quantity')}) AS DOUBLE) AS sx,
+           CAST(SUM({cents('l_extendedprice')}) AS DOUBLE) / 100 AS sy,
+           CAST(SUM({whole('l_quantity')} * {whole('l_quantity')}) AS DOUBLE) AS sx2,
+           CAST(SUM({cents('l_extendedprice')} * {cents('l_extendedprice')}) AS DOUBLE) / 10000 AS sy2,
+           CAST(SUM({whole('l_quantity')} * {cents('l_extendedprice')}) AS DOUBLE) / 100 AS sxy
+    FROM lineitem
+    GROUP BY l_returnflag
+) m
+ORDER BY l_returnflag
+""",
+    "correlation + covariance from exact integer moments",
+)
+
+# approx_percentile: t-digest/GK sketches are engine-specific -> rows-only
+# at the driver; the unit-level check is the oracle suite's rows>0 gate plus
+# the exact-percentile query it approximates (agg_percentile).
+_q(
+    "agg_approx_percentile",
+    """
+SELECT l_returnflag,
+       APPROX_PERCENTILE(l_quantity, 0.5) AS approx_median_qty,
+       APPROX_PERCENTILE(l_extendedprice, 0.9) AS approx_p90_price
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    "approx_percentile sketch (rows-only check)",
+)
+_Q["agg_approx_percentile"] = QueryDef(
+    name="agg_approx_percentile",
+    sql=_Q["agg_approx_percentile"].sql,
+    description=_Q["agg_approx_percentile"].description,
+    rows_only=True,
 )
 
 
