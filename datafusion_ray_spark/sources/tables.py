@@ -36,6 +36,13 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table with engine-canonical column types."""
+    # Defensive conf for caller-supplied sessions (the driver contract runs
+    # these loaders under a session we did not build): the engine's declared
+    # timestamp semantics are UTC, and events.ts is parquet TIMESTAMP(NANOS),
+    # which Spark rejects outright unless nanosAsLong is on.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # int64 nanos (via nanosAsLong) -> microsecond timestamp; integer
