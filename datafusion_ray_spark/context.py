@@ -235,6 +235,18 @@ class DFRayContext:
     def register_dataframe(self, name: str, df: DataFrame) -> None:
         self._register(name, df, "<dataframe>")
 
+    def register_arrow(self, name: str, table) -> None:
+        """Register an in-memory Arrow table (or record batches) as a named
+        table — the inverse of ``collect()``'s Arrow batches, completing the
+        reference's Arrow-native data plane round trip
+        (``RecordBatch`` in/out — ``src/dataframe.rs:18``,
+        ``datafusion_ray/core.py:506``)."""
+        import pyarrow as pa
+
+        if isinstance(table, (list, tuple)):
+            table = pa.Table.from_batches(table)
+        self._register(name, self.spark.createDataFrame(table), "<arrow>")
+
     def _register(self, name: str, df: DataFrame, path: str) -> None:
         df.createOrReplaceTempView(name)
         self._tables[name] = path

@@ -90,3 +90,19 @@ def test_s3_path_normalization():
     )
     assert DFRayContext._normalize_path("gs://bucket/x") == "gs://bucket/x"
     assert DFRayContext._normalize_path("/local/path") == "/local/path"
+
+
+def test_register_arrow_roundtrip(spark):
+    import pyarrow as pa
+
+    from datafusion_ray_spark import DFRayContext
+
+    ctx = DFRayContext(spark=spark)
+    t = pa.table({"k": [1, 2, 3], "v": ["a", "b", "c"]})
+    ctx.register_arrow("mem_t", t)
+    batches = ctx.sql("SELECT k, v FROM mem_t WHERE k >= 2 ORDER BY k").collect()
+    back = pa.Table.from_batches(batches)
+    assert back.to_pylist() == [{"k": 2, "v": "b"}, {"k": 3, "v": "c"}]
+    # batches input form too
+    ctx.register_arrow("mem_b", t.to_batches())
+    assert ctx.sql("SELECT COUNT(*) AS c FROM mem_b").to_pandas()["c"][0] == 3
