@@ -230,4 +230,45 @@ ORDER BY day NULLS FIRST, hour NULLS FIRST
 )
 
 
+# Bag-semantics set operations (multiset EXCEPT ALL / INTERSECT ALL keep
+# duplicate multiplicities — the distinct variants are in coverage.py).
+_q(
+    "setop_bag_all",
+    """
+SELECT v, CAST(COUNT(*) AS BIGINT) AS n FROM (
+    SELECT l_linenumber AS v FROM lineitem WHERE l_orderkey <= 400
+    EXCEPT ALL
+    SELECT l_linenumber AS v FROM lineitem WHERE l_orderkey <= 200
+) t GROUP BY v
+UNION ALL
+SELECT v + 100 AS v, CAST(COUNT(*) AS BIGINT) AS n FROM (
+    SELECT l_linenumber AS v FROM lineitem WHERE l_orderkey <= 400
+    INTERSECT ALL
+    SELECT l_linenumber AS v FROM lineitem WHERE l_orderkey <= 200
+) t GROUP BY v
+ORDER BY v
+""",
+    "EXCEPT ALL / INTERSECT ALL: multiset semantics with multiplicities",
+)
+
+# LATERAL correlated subquery (top-2 customers per nation) — plans as a
+# lateral join; deterministic via unique (acctbal, custkey) tiebreak.
+_q(
+    "lateral_topk",
+    """
+SELECT n_name, t.c_name, t.bal_cents
+FROM nation,
+LATERAL (
+    SELECT c_name, CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents
+    FROM customer
+    WHERE c_nationkey = n_nationkey
+    ORDER BY c_acctbal DESC, c_custkey
+    LIMIT 2
+) t
+ORDER BY n_name, bal_cents DESC, c_name
+""",
+    "LATERAL subquery: per-group top-k via correlated derived table",
+)
+
+
 COVERAGE3_QUERIES: dict[str, QueryDef] = dict(_Q)
