@@ -198,6 +198,39 @@ def ivf_ann_topk(
     )
 
 
+def write_ann_index(df: DataFrame, path: str, emb_col: str = "embedding") -> None:
+    """Materialize the ANN scale layout: the table partitioned on disk by
+    LSH bucket (one directory per bucket).
+
+    This is the 100 TB form of :func:`lsh_ann_topk`: with the layout on
+    disk, a query's bucket filter becomes a *partition filter* — Spark
+    prunes to 1/2^N_PLANES of the files before reading a byte (asserted in
+    tests/test_plans.py). The same pattern applies to IVF cells.
+    """
+    with_bucket(df, emb_col).write.partitionBy("bucket").mode("overwrite").parquet(path)
+
+
+def indexed_ann_topk(
+    spark, path: str, query_vec: list[float], k: int = 5,
+    exclude_vec_id: int | None = None,
+) -> DataFrame:
+    """ANN top-k over a materialized :func:`write_ann_index` layout — the
+    bucket predicate prunes partitions at plan time."""
+    qbits = 0
+    for j in range(N_PLANES):
+        if sum(a * b for a, b in zip(query_vec, HYPERPLANES[j])) > 0:
+            qbits |= 1 << j
+    out = spark.read.parquet(path).where(F.col("bucket") == qbits)
+    out = with_cosine(out, query_vec)
+    if exclude_vec_id is not None:
+        out = out.where(F.col("vec_id") != exclude_vec_id)
+    return (
+        out.select("vec_id", F.col("bucket").cast("int").alias("bucket"), "cosine")
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(k)
+    )
+
+
 def neardup_pairs(
     df: DataFrame,
     block_col: str = "label",

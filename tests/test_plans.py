@@ -123,3 +123,65 @@ def test_range_join_is_hash_join_not_nested_loop(spark, sf_dir):
     # formulation would plan BroadcastNestedLoopJoin (O(n*m) per key)
     assert "NestedLoopJoin" not in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_ann_index_partition_pruning(spark, sf_dir, tmp_path):
+    """The materialized ANN layout prunes to one bucket partition at plan
+    time — the SCALE.md claim, measured."""
+    from datafusion_ray_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ann_index")
+    similarity.write_ann_index(emb, path)
+    q = list(emb.where(F.col("vec_id") == 0).first()["embedding"])
+
+    indexed = similarity.indexed_ann_topk(spark, path, q, k=5, exclude_vec_id=0)
+    plan = _plan(indexed)
+    assert "PartitionFilters" in plan and "bucket" in plan.split("PartitionFilters")[1].split("]")[0]
+
+    # results identical to the unmaterialized LSH path
+    live = similarity.lsh_ann_topk(emb, q, k=5, exclude_vec_id=0)
+    assert [tuple(r) for r in indexed.collect()] == [tuple(r) for r in live.collect()]
+
+
+def test_bucketed_tables_join_without_shuffle(spark, sf_dir):
+    """Bucketing both sides of a recurring join key removes the exchange
+    entirely — the co-located-join pattern SCALE.md prescribes for repeated
+    big-table joins."""
+    from datafusion_ray_spark import plans
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    orders.write.bucketBy(8, "o_custkey").sortBy("o_custkey").mode(
+        "overwrite"
+    ).saveAsTable("b_orders")
+    cust.write.bucketBy(8, "c_custkey").sortBy("c_custkey").mode(
+        "overwrite"
+    ).saveAsTable("b_customer")
+    # forbid broadcast so the test proves the BUCKETING removed the
+    # exchange, not the small-table fallback
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = (
+            spark.table("b_orders")
+            .join(
+                spark.table("b_customer"),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            .groupBy("c_mktsegment")
+            .agg(F.count("*").alias("n"))
+        )
+        assert "SortMergeJoin" in plans.plan_tree(joined)
+        # join itself needs no exchange (both sides pre-bucketed on the key);
+        # the only shuffle is the final small groupBy
+        assert plans.shuffle_count(joined) == 1
+        total = joined.agg(F.sum("n")).first()[0]
+        assert total == orders.count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
