@@ -58,6 +58,55 @@ def tumbling_counts_stream(
     )
 
 
+def sliding_counts_stream(
+    events: DataFrame,
+    width: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked sliding (hopping) window counts — streaming twin of
+    ``windows.sliding_agg`` (each event lands in width/slide overlapping
+    windows; late data beyond the watermark is dropped)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width, slide).alias("w"))
+        .agg(F.count("*").cast("long").alias("n"))
+        .select(F.unix_timestamp(F.col("w.start")).alias("bucket_start"), "n")
+    )
+
+
+def click_view_join_stream(
+    events: DataFrame, window_minutes: int = 10, watermark: str = "1 hour"
+) -> DataFrame:
+    """Watermarked stream-stream interval join: each click joined to the
+    same user's views from the preceding ``window_minutes``.
+
+    Both sides carry watermarks and the join condition bounds event time on
+    both, so Spark can expire join state — the requirement that makes a
+    stream-stream join runnable on an unbounded stream (state is
+    O(watermark-window of data), not O(stream))."""
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .select("event_id", "user_id", "ts")
+        .withWatermark("ts", watermark)
+        .alias("c")
+    )
+    views = (
+        events.where(F.col("event_type") == "view")
+        .select(F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"))
+        .withWatermark("v_ts", watermark)
+        .alias("v")
+    )
+    return clicks.join(
+        views,
+        F.expr(
+            f"user_id = v_user AND v_ts >= ts - INTERVAL {window_minutes} MINUTES "
+            "AND v_ts < ts"
+        ),
+        "inner",
+    ).select("event_id", "user_id", "ts", "v_ts")
+
+
 def session_counts_stream(
     events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
 ) -> DataFrame:

@@ -45,3 +45,39 @@ def test_streaming_session_windows_subset_of_batch(spark, sf_dir, events_dir):
     assert len(streamed) > 0
     for key, n in streamed.items():
         assert batch[key] == n
+
+
+def test_streaming_sliding_matches_batch(spark, sf_dir, events_dir):
+    stream = structured.stream_events(spark, events_dir)
+    structured.run_to_memory(
+        structured.sliding_counts_stream(stream), "stream_sliding"
+    )
+    streamed = {
+        (r["bucket_start"]): r["n"]
+        for r in spark.sql("SELECT * FROM stream_sliding").collect()
+    }
+    batch = {
+        r["bucket_start"]: r["n"]
+        for r in windows.sliding_agg(load_table(spark, sf_dir, "events")).collect()
+    }
+    assert streamed == batch
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir, events_dir):
+    stream = structured.stream_events(spark, events_dir)
+    structured.run_to_memory(
+        structured.click_view_join_stream(stream), "stream_cv_join",
+        output_mode="append",
+    )
+    n_streamed = spark.sql("SELECT COUNT(*) AS c FROM stream_cv_join").first()["c"]
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import functions as F
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    views = ev.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts")
+    )
+    n_batch = clicks.join(
+        views,
+        F.expr("user_id = v_user AND v_ts >= ts - INTERVAL 10 MINUTES AND v_ts < ts"),
+    ).count()
+    assert n_streamed == n_batch > 0
