@@ -1,0 +1,97 @@
+"""Operator coverage, batch 4: math/bitwise kernels, FILTER-clause
+aggregates, recursive CTEs.
+
+Completes the DataFusion scalar/aggregate surface the earlier batches left:
+the math function library (`datafusion.proto` carries these as named scalar
+UDFs), conditional aggregation via the standard FILTER clause, and
+WITH RECURSIVE (supported by both Spark 4 and DuckDB; DataFusion exposes
+recursive CTEs too). Float math is rounded to 6 decimals — JVM and DuckDB
+libm agree to the ulp at these magnitudes. Bitwise spellings differ
+(Spark ``SHIFTLEFT``/``^`` vs DuckDB ``<<``/``xor``), so those get oracle
+overrides.
+"""
+
+from __future__ import annotations
+
+from .tpch import QueryDef, cents
+
+_Q: dict[str, QueryDef] = {}
+
+
+def _q(name: str, sql: str, description: str, oracle: str | None = None) -> None:
+    _Q[name] = QueryDef(name=name, sql=sql.strip(), description=description,
+                        oracle=oracle.strip() if oracle else None)
+
+
+_MATH_COMMON = """
+SELECT p_partkey,
+       ROUND(LN(p_retailprice), 6) AS ln_p,
+       ROUND(LOG10(p_retailprice), 6) AS log10_p,
+       ROUND(EXP(p_size / 25.0), 6) AS exp_s,
+       ROUND(POWER(CAST(p_size AS DOUBLE), 2), 1) AS pow_s,
+       CAST(SIGN(p_size - 25) AS INT) AS sgn,
+       CAST(FLOOR(p_retailprice) AS BIGINT) AS flr,
+       CAST(CEIL(p_retailprice) AS BIGINT) AS cl,
+       ROUND(SIN(p_size / 10.0), 6) AS sin_s,
+       ROUND(ATAN2(CAST(p_size AS DOUBLE), 10.0), 6) AS at2,
+       ROUND(DEGREES(1.0), 4) AS deg,
+       CAST(p_size & 12 AS INT) AS band,
+       CAST(p_size | 3 AS INT) AS bor,
+       {shl} AS shl,
+       {shr} AS shr,
+       {bxor} AS bxor
+FROM part
+WHERE p_partkey <= 100
+ORDER BY p_partkey
+"""
+
+_q(
+    "math_bit_funcs",
+    _MATH_COMMON.format(
+        shl="CAST(SHIFTLEFT(p_size, 2) AS INT)",
+        shr="CAST(SHIFTRIGHT(p_size, 1) AS INT)",
+        bxor="CAST(p_size ^ 21 AS INT)",
+    ),
+    "math library (ln/log/exp/pow/trig) + bitwise and/or/xor/shifts",
+    oracle=_MATH_COMMON.format(
+        shl="CAST(p_size << 2 AS INT)",
+        shr="CAST(p_size >> 1 AS INT)",
+        bxor="CAST(xor(p_size, 21) AS INT)",
+    ),
+)
+
+# Standard-SQL conditional aggregation (FILTER clause).
+_q(
+    "agg_filter_clause",
+    f"""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_finished,
+       CAST(SUM({cents('o_totalprice')}) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS open_cents,
+       CAST(MIN(o_orderdate) FILTER (WHERE o_orderstatus = 'F') AS DATE) AS first_finished
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    "FILTER (WHERE ...) conditional aggregates",
+)
+
+# Recursive CTE: factorial table joined against a real table to prove the
+# recursion composes with scans.
+_q(
+    "recursive_cte",
+    """
+WITH RECURSIVE fact(n, f) AS (
+    SELECT 1, CAST(1 AS BIGINT)
+    UNION ALL
+    SELECT n + 1, f * (n + 1) FROM fact WHERE n < 12
+)
+SELECT fact.n, fact.f AS factorial, r.r_name
+FROM fact LEFT JOIN region r ON fact.n - 1 = r.r_regionkey
+ORDER BY fact.n
+""",
+    "WITH RECURSIVE: iterative CTE composed with a table join",
+)
+
+
+COVERAGE4_QUERIES: dict[str, QueryDef] = dict(_Q)

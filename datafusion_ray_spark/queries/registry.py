@@ -21,6 +21,7 @@ from ..sources.tables import register_tables
 from .coverage import COVERAGE_QUERIES
 from .coverage2 import COVERAGE2_QUERIES
 from .coverage3 import COVERAGE3_QUERIES
+from .coverage4 import COVERAGE4_QUERIES
 from .tpch import TPCH_QUERIES, QueryDef
 
 
@@ -45,7 +46,7 @@ def _sql_entry(qdef: QueryDef) -> SuiteEntry:
 def build_registry() -> dict[str, SuiteEntry]:
     entries: dict[str, SuiteEntry] = {}
     for qdef in {**TPCH_QUERIES, **COVERAGE_QUERIES, **COVERAGE2_QUERIES,
-                 **COVERAGE3_QUERIES}.values():
+                 **COVERAGE3_QUERIES, **COVERAGE4_QUERIES}.values():
         entries[qdef.name] = _sql_entry(qdef)
     # Extension operators (DataFrame/Pandas-UDF implementations).
     from ..operators.suite import extension_entries
