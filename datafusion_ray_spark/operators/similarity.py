@@ -198,6 +198,53 @@ def ivf_ann_topk(
     )
 
 
+def kmeans_centroids(
+    df: DataFrame,
+    k: int = 8,
+    iterations: int = 3,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[tuple[int, list[float]]]:
+    """Learn IVF centroids with DataFrame-only Lloyd's iterations.
+
+    Seeds = the ``k`` lowest-id vectors (deterministic); each iteration
+    assigns every vector to its nearest centroid (:func:`ivf_assign` — one
+    JVM argmax, no shuffle) and recomputes centers via posexplode +
+    groupBy(cell, dimension) sums — fully map-side combinable, so the
+    shuffle per iteration is O(partitions × k × dim) partial rows and the
+    driver holds only the k×dim centroid matrix. Empty cells keep their
+    previous centroid.
+
+    The result feeds :func:`ivf_ann_topk` / a partition-by-cell layout
+    (see SCALE.md). An iterative algorithm like this is exactly the
+    non-SQL-expressible case the driver's rows-only lane exists for; here
+    it stays a library operator with behavioral tests instead.
+    """
+    seed_rows = (
+        df.orderBy(id_col).limit(k).select(id_col, emb_col).collect()
+    )
+    centroids = [(i, [float(v) for v in r[emb_col]]) for i, r in enumerate(seed_rows)]
+    dim = len(centroids[0][1])
+    for _ in range(iterations):
+        assigned = ivf_assign(df, centroids, emb_col)
+        partials = (
+            assigned.select("cell", F.posexplode(_as_double(emb_col)).alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("x").alias("s"), F.count("x").alias("n"))
+            .collect()
+        )
+        acc: dict[int, list[float]] = {}
+        counts: dict[int, int] = {}
+        for r in partials:
+            acc.setdefault(r["cell"], [0.0] * dim)[r["pos"]] = r["s"]
+            counts[r["cell"]] = r["n"]
+        new = dict(centroids)
+        for cell, vec in acc.items():
+            new[cell] = [round(v / counts[cell], 6) for v in vec]
+        centroids = sorted(new.items())
+    return centroids
+
+
 def write_ann_index(df: DataFrame, path: str, emb_col: str = "embedding") -> None:
     """Materialize the ANN scale layout: the table partitioned on disk by
     LSH bucket (one directory per bucket).

@@ -207,3 +207,35 @@ def test_winnow_fingerprints_identity_and_difference(docs):
     out = {r["doc_id"]: r["winnow_hash"] for r in text.winnow_fingerprints(docs).collect()}
     assert out[1] == out[2]      # identical texts -> identical fingerprint set
     assert out[1] != out[4]      # unrelated texts -> different sets
+
+
+def test_kmeans_ivf_improves_assignment(spark, sf_dir):
+    """Learned centroids must (a) keep shape, (b) give a no-worse total
+    within-cell cosine than the fixed seed centroids, (c) drive a working
+    ivf_ann_topk."""
+    from datafusion_ray_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    learned = similarity.kmeans_centroids(emb, k=8, iterations=2)
+    assert len(learned) == 8 and all(len(v) == 64 for _, v in learned)
+
+    def mean_best_score(cents):
+        from pyspark.sql import functions as F
+
+        assigned = similarity.ivf_assign(emb, cents)
+        pairs = {cid: v for cid, v in cents}
+        # score of each vector against its own cell centroid
+        scores = []
+        for cid, vec in cents:
+            sub = assigned.where(F.col("cell") == cid)
+            scored = similarity.with_cosine(sub, vec)
+            scores.extend(r["cosine"] for r in scored.select("cosine").collect())
+        return sum(scores) / len(scores)
+
+    seeds = [(i, list(r["embedding"])) for i, r in enumerate(
+        emb.orderBy("vec_id").limit(8).select("embedding").collect())]
+    assert mean_best_score(learned) >= mean_best_score(seeds) - 1e-9
+
+    q = list(emb.where(F.col("vec_id") == 0).first()["embedding"])
+    out = similarity.ivf_ann_topk(emb, q, learned, k=5, exclude_vec_id=0).collect()
+    assert 0 < len(out) <= 5

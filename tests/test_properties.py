@@ -84,3 +84,36 @@ def test_range_join_count_matches_naive(spark, sides):
             1 for (rk, rt) in right_rows if rk == k and t - window_minutes <= rt < t
         )
         assert got[i] == expect, (i, k, t, got[i], expect)
+
+
+_texts = st.lists(
+    st.text(alphabet="abcd ", min_size=20, max_size=60).filter(
+        lambda t: len(t.split()) >= 4
+    ),
+    min_size=2,
+    max_size=8,
+)
+
+
+@given(texts=_texts)
+@_settings
+def test_minhash_always_finds_exact_duplicates(spark, texts):
+    """Identical texts have identical signatures, land in identical buckets,
+    and verify at jaccard 1.0 — a deterministic guarantee, not probabilistic."""
+    from datafusion_ray_spark.operators import dedup
+
+    rows = []
+    for i, t in enumerate(texts):
+        rows.append((2 * i, t))
+        rows.append((2 * i + 1, t))  # planted exact duplicate
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in dedup.minhash_dedup_pairs(docs).collect()
+    }
+    for i, t in enumerate(texts):
+        if len(set(t.split())) and len(t.split()) >= 3:
+            key = (2 * i, 2 * i + 1)
+            assert key in pairs, (t, sorted(pairs))
+            assert pairs[key]["jaccard"] == 1.0
+            assert pairs[key]["is_near_dup"]
