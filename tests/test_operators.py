@@ -239,3 +239,19 @@ def test_kmeans_ivf_improves_assignment(spark, sf_dir):
     q = list(emb.where(F.col("vec_id") == 0).first()["embedding"])
     out = similarity.ivf_ann_topk(emb, q, learned, k=5, exclude_vec_id=0).collect()
     assert 0 < len(out) <= 5
+
+
+def test_approx_sketches_error_bounds(spark, sf_dir):
+    """HLL distinct and t-digest percentile are rows-only at the driver
+    (engine-specific sketches); bound their relative error here instead."""
+    from datafusion_ray_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    row = li.agg(
+        F.approx_count_distinct("l_orderkey", 0.01).alias("approx"),
+        F.countDistinct("l_orderkey").alias("exact"),
+        F.expr("approx_percentile(l_quantity, 0.5)").alias("p50_approx"),
+        F.expr("percentile(l_quantity, 0.5)").alias("p50_exact"),
+    ).first()
+    assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.03  # 3x rsd
+    assert abs(row["p50_approx"] - row["p50_exact"]) <= 1.0
