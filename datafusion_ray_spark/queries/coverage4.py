@@ -94,4 +94,94 @@ ORDER BY fact.n
 )
 
 
+
+# --- LLM-pipeline entries expressible as pure SQL over `documents` --------
+
+# Deterministic hash-based train/eval split (the standard "split by content
+# hash so reshuffles and re-runs keep rows in the same split" pattern).
+# First md5 hex char < 'd' selects 13/16 ~ 81% for train; string comparison
+# is identical across engines.
+_q(
+    "split_train_test",
+    """
+SELECT split,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM (
+    SELECT CASE WHEN SUBSTRING(MD5(CAST(doc_id AS STRING)), 1, 1) < 'd'
+                THEN 'train' ELSE 'eval' END AS split,
+           n_chars
+    FROM documents
+) t
+GROUP BY split
+ORDER BY split
+""",
+    "deterministic md5-hash train/eval split",
+    oracle="""
+SELECT split,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM (
+    SELECT CASE WHEN SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 1) < 'd'
+                THEN 'train' ELSE 'eval' END AS split,
+           n_chars
+    FROM documents
+) t
+GROUP BY split
+ORDER BY split
+""",
+)
+
+# Text normalization: strip non-alphanumerics, collapse whitespace, case-
+# fold; emit the normalized fingerprint (what exact-dedup would key on
+# after normalization).
+_q(
+    "text_normalize",
+    """
+SELECT doc_id,
+       CAST(LENGTH(norm) AS INT) AS norm_len,
+       MD5(norm) AS norm_hash
+FROM (
+    SELECT doc_id,
+           LOWER(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(text, '[^A-Za-z0-9 ]', ''), ' +', ' '))) AS norm
+    FROM documents
+) t
+ORDER BY doc_id
+""",
+    "text normalization: strip/casefold/collapse + normalized hash",
+    oracle="""
+SELECT doc_id,
+       CAST(LENGTH(norm) AS INT) AS norm_len,
+       MD5(norm) AS norm_hash
+FROM (
+    SELECT doc_id,
+           LOWER(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(text, '[^A-Za-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm
+    FROM documents
+) t
+ORDER BY doc_id
+""",
+)
+
+# Benchmark-contamination check: flag documents containing any blocklisted
+# phrase (broadcast join against the tiny phrase table; POSITION spelling is
+# shared by both engines).
+_q(
+    "contamination_check",
+    """
+WITH blocklist AS (
+    SELECT 'table value part' AS phrase
+    UNION ALL SELECT 'data column agg'
+    UNION ALL SELECT 'no such phrase anywhere'
+)
+SELECT d.doc_id,
+       CAST(COUNT(b.phrase) AS BIGINT) AS n_hits,
+       COUNT(b.phrase) > 0 AS contaminated
+FROM documents d
+LEFT JOIN blocklist b ON POSITION(b.phrase IN d.text) > 0
+GROUP BY d.doc_id
+ORDER BY d.doc_id
+""",
+    "contamination check: phrase-blocklist hits per document",
+)
+
 COVERAGE4_QUERIES: dict[str, QueryDef] = dict(_Q)
