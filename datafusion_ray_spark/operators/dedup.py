@@ -362,3 +362,53 @@ def simhash_pairs(
         .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def duplicate_groups(pairs: DataFrame, max_iterations: int = 10) -> DataFrame:
+    """Transitive duplicate groups from near-dup pairs: connected components
+    by iterative min-label propagation -> (doc_id, group_id = smallest
+    doc_id in the component).
+
+    Pair detectors (minhash/ngram/simhash) emit EDGES; an actual keep-list
+    needs COMPONENTS (a~b, b~c => {a,b,c} one group). Each iteration is one
+    equi-join + min-groupBy (hash-shuffled on ids, map-side combinable) and
+    converges in O(component diameter) rounds — near-dup components are
+    shallow in practice, so a handful. Labels are persisted per round and
+    the previous round unpersisted, so lineage stays O(1) deep; the driver
+    holds only the changed-row count.
+    """
+    edges = pairs.select(
+        F.col("doc_a").cast("long").alias("a"), F.col("doc_b").cast("long").alias("b")
+    )
+    edges = edges.union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).persist()
+    labels = (
+        edges.select(F.col("a").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .persist()
+    )
+    for _ in range(max_iterations):
+        propagated = edges.join(labels, edges["a"] == labels["doc_id"]).select(
+            F.col("b").alias("doc_id"), F.col("label")
+        )
+        new_labels = (
+            labels.select("doc_id", "label")
+            .union(propagated)
+            .groupBy("doc_id")
+            .agg(F.min("label").alias("label"))
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.label") < F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.withColumnRenamed("label", "group_id")

@@ -124,3 +124,85 @@ def byte_stats(binary_df: DataFrame) -> DataFrame:
         F.col("meta.width").alias("width"),
         F.col("meta.height").alias("height"),
     ).orderBy("doc_id")
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_id", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+        T.StructField("n_bytes", T.IntegerType()),
+    ]
+)
+
+
+def resize(binary_df: DataFrame, width: int = 64, height: int = 48) -> DataFrame:
+    """'Resize' media payloads to width x height via the fake codec
+    (deterministic nearest-neighbor byte subsample). The real seam: swap the
+    inner ``rs`` for an imaging-library decode->resample->encode; the Spark
+    plumbing (Arrow batches in, binary column out, metadata rewrite) is what
+    this operator actually provides.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = width * height
+
+        def rs(b: bytes) -> bytes:
+            if not b:
+                return bytes(n)
+            return bytes(b[(i * len(b)) // n] for i in range(n))
+
+        for pdf in batches:
+            fmts = pdf["meta"].map(lambda m: m["format"])
+            bad = fmts[~fmts.isin(SUPPORTED_FORMATS)]
+            if len(bad):
+                raise NotImplementedError(
+                    f"resize for codec(s) {sorted(set(bad))} requires imaging "
+                    "libraries not present in this container"
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": pdf["payload"].map(rs),
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return binary_df.mapInPandas(gen, RESIZE_SCHEMA)
+
+
+def frame_sample(
+    binary_df: DataFrame, frame_bytes: int = 256, every_n: int = 4
+) -> DataFrame:
+    """Sample every ``every_n``-th fixed-size frame from each payload —
+    the video frame-sampling shape: one input row fans out to N output rows
+    inside the Arrow batch (mapInPandas handles the 1->N expansion; no
+    explode of binary data through the JVM).
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"doc_id": [], "frame_id": [], "frame": [], "n_bytes": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                frames = [
+                    payload[i : i + frame_bytes]
+                    for i in range(0, len(payload), frame_bytes)
+                ]
+                for fi in range(0, len(frames), every_n):
+                    out["doc_id"].append(doc_id)
+                    out["frame_id"].append(fi)
+                    out["frame"].append(frames[fi])
+                    out["n_bytes"].append(len(frames[fi]))
+            yield pd.DataFrame(out)
+
+    return binary_df.mapInPandas(gen, FRAME_SCHEMA)

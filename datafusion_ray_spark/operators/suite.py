@@ -569,6 +569,11 @@ def run_mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def run_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup.minhash_dedup_pairs(_docs(spark, sf_dir)).where("is_near_dup")
+    return dedup.duplicate_groups(pairs).orderBy("doc_id")
+
+
 def run_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir)).orderBy("doc_a", "doc_b")
 
@@ -657,6 +662,8 @@ def extension_entries():
                    "winnowing: rolling char-k-gram hashes, window minima"),
         SuiteEntry("sim_knn_brute", run_knn_brute, knn_oracle(),
                    "similarity: brute-force cosine top-k (zip_with/aggregate)"),
+        SuiteEntry("dedup_groups", run_dedup_groups, None,
+                   "transitive duplicate groups: iterative connected components"),
         SuiteEntry("dedup_ngram_jaccard", run_ngram_jaccard,
                    ngram_jaccard_oracle(JACCARD_THRESHOLD),
                    "exact n-gram jaccard dedup: blocked + size-ratio pruned"),

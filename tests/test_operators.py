@@ -255,3 +255,35 @@ def test_approx_sketches_error_bounds(spark, sf_dir):
     ).first()
     assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.03  # 3x rsd
     assert abs(row["p50_approx"] - row["p50_exact"]) <= 1.0
+
+
+def test_multimodal_resize_deterministic(docs):
+    out = multimodal.resize(multimodal.with_binary_payload(docs), width=8, height=4)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert all(len(r["payload"]) == 32 for r in rows.values())
+    assert rows[1]["payload"] == rows[2]["payload"]  # identical source bytes
+
+
+def test_multimodal_frame_sample_fanout(docs):
+    out = multimodal.frame_sample(
+        multimodal.with_binary_payload(docs), frame_bytes=10, every_n=2
+    )
+    rows = out.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1 text is 44 chars -> 5 frames of 10 -> sampled frames 0, 2, 4
+    d1 = sorted(by_doc[1], key=lambda r: r["frame_id"])
+    assert [r["frame_id"] for r in d1] == [0, 2, 4]
+    assert d1[0]["n_bytes"] == 10
+
+
+def test_duplicate_groups_transitive_closure(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9), (10, 11), (3, 5)],
+        ["doc_a", "doc_b"],
+    )
+    groups = {r["doc_id"]: r["group_id"] for r in dedup.duplicate_groups(pairs).collect()}
+    assert groups[1] == groups[2] == groups[3] == groups[5] == 1  # chain merges
+    assert groups[7] == groups[9] == 7
+    assert groups[10] == groups[11] == 10
