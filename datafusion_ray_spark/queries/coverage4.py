@@ -184,4 +184,76 @@ ORDER BY d.doc_id
     "contamination check: phrase-blocklist hits per document",
 )
 
+
+# IGNORE NULLS window navigation (gap-filling / last-observation-carried-
+# forward — the time-series pattern). NULLs synthesized with NULLIF.
+_q(
+    "win_ignore_nulls",
+    """
+SELECT c_custkey,
+       LAST_VALUE(v) IGNORE NULLS OVER w AS locf,
+       FIRST_VALUE(v) IGNORE NULLS OVER w AS first_seen,
+       LEAD(v) IGNORE NULLS OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS next_v
+FROM (
+    SELECT c_custkey, c_nationkey,
+           NULLIF(CAST(ROUND(c_acctbal * 100) AS BIGINT) % 7, 0) AS v
+    FROM customer
+    WHERE c_custkey <= 200
+) t
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_custkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY c_custkey
+""",
+    "IGNORE NULLS window navigation (LOCF gap-fill pattern)",
+    oracle="""
+SELECT c_custkey,
+       LAST_VALUE(v IGNORE NULLS) OVER w AS locf,
+       FIRST_VALUE(v IGNORE NULLS) OVER w AS first_seen,
+       LEAD(v IGNORE NULLS) OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS next_v
+FROM (
+    SELECT c_custkey, c_nationkey,
+           NULLIF(CAST(ROUND(c_acctbal * 100) AS BIGINT) % 7, 0) AS v
+    FROM customer
+    WHERE c_custkey <= 200
+) t
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_custkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY c_custkey
+""",
+)
+
+# NULL semantics: null-safe equality, IS DISTINCT FROM, NULL grouping.
+_q(
+    "null_semantics",
+    """
+SELECT g,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(v) AS BIGINT) AS n_nonnull,
+       CAST(SUM(CASE WHEN v IS DISTINCT FROM 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_distinct_from_1,
+       CAST(SUM(CASE WHEN v <=> 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_nullsafe_eq_1
+FROM (
+    SELECT NULLIF(n_nationkey % 3, 2) AS g,
+           NULLIF(n_regionkey % 2, 0) AS v
+    FROM nation
+) t
+GROUP BY g
+ORDER BY g NULLS FIRST
+""",
+    "null semantics: IS DISTINCT FROM, null-safe equality, NULL group keys",
+    oracle="""
+SELECT g,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(v) AS BIGINT) AS n_nonnull,
+       CAST(SUM(CASE WHEN v IS DISTINCT FROM 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_distinct_from_1,
+       CAST(SUM(CASE WHEN v IS NOT DISTINCT FROM 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_nullsafe_eq_1
+FROM (
+    SELECT NULLIF(n_nationkey % 3, 2) AS g,
+           NULLIF(n_regionkey % 2, 0) AS v
+    FROM nation
+) t
+GROUP BY g
+ORDER BY g NULLS FIRST
+""",
+)
+
 COVERAGE4_QUERIES: dict[str, QueryDef] = dict(_Q)
