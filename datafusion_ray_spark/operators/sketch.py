@@ -1,0 +1,74 @@
+"""Count-Min sketch — sublinear frequency estimation (the "novel sketch"
+operator class; the reference ships no sketches beyond what DataFusion's
+approx_* functions provide).
+
+Spark-first: the sketch IS a DataFrame of (row, bucket, count) — D·W rows
+regardless of input size — built with one narrow projection + one
+map-side-combinable groupBy per hash row. Estimation is a broadcast join of
+the tiny key list against the tiny sketch. At 100 TB the build is a single
+pass producing D·W counters; merging shards is elementwise addition, so
+sketches compose across partitions/days for free (the CMS property).
+
+Hashing is md5-hex -> int (first 4 hex chars), identical in DuckDB SQL, so
+the sketch and its estimates are oracle-checkable bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Depth (independent hash rows, reusing the dedup digest prefixes) and
+#: width (counter buckets per row). Error: est <= true + eps*N with
+#: eps = e/W at confidence 1 - e^-D.
+CMS_PREFIXES = ("", "a:", "b:")
+CMS_WIDTH = 64
+
+
+def _hex4_to_int(digest: Column) -> Column:
+    """First 4 hex chars of an md5 digest as an integer (0..65535)."""
+    return F.conv(F.substring(digest, 1, 4), 16, 10).cast("long")
+
+
+def cms_bucket(key: Column, prefix: str) -> Column:
+    digest = F.md5(F.concat(F.lit(prefix), key)) if prefix else F.md5(key)
+    return (_hex4_to_int(digest) % CMS_WIDTH).cast("int")
+
+
+def count_min_build(df: DataFrame, key_col: str) -> DataFrame:
+    """Build the sketch: (row, bucket, cnt), D·W rows max."""
+    key = F.col(key_col).cast("string")
+    per_row = [
+        df.select(
+            F.lit(i).alias("row"), cms_bucket(key, p).alias("bucket")
+        )
+        for i, p in enumerate(CMS_PREFIXES)
+    ]
+    unioned = per_row[0]
+    for d in per_row[1:]:
+        unioned = unioned.union(d)
+    return unioned.groupBy("row", "bucket").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+
+
+def count_min_estimate(sketch: DataFrame, keys: list) -> DataFrame:
+    """Point-query the sketch: (key, est) with est = min over rows of the
+    key's bucket counter (the CMS upper-bound estimate)."""
+    spark = sketch.sparkSession
+    probes = spark.createDataFrame([(str(k),) for k in keys], ["key"])
+    lookups = [
+        probes.select(
+            "key", F.lit(i).alias("row"), cms_bucket(F.col("key"), p).alias("bucket")
+        )
+        for i, p in enumerate(CMS_PREFIXES)
+    ]
+    unioned = lookups[0]
+    for d in lookups[1:]:
+        unioned = unioned.union(d)
+    return (
+        unioned.join(F.broadcast(sketch), ["row", "bucket"], "left")
+        .na.fill({"cnt": 0})
+        .groupBy("key")
+        .agg(F.min("cnt").cast("long").alias("est"))
+    )

@@ -404,6 +404,48 @@ ORDER BY e.event_id
 """
 
 
+def cms_oracle(keys: list[int]) -> str:
+    from .sketch import CMS_PREFIXES, CMS_WIDTH
+
+    hexmap = "0123456789abcdef"
+
+    def hex4(expr: str) -> str:
+        return " + ".join(
+            f"(strpos('{hexmap}', substring({expr}, {p + 1}, 1)) - 1) * {16 ** (3 - p)}"
+            for p in range(4)
+        )
+
+    def bucket(prefix: str, key_expr: str) -> str:
+        inner = f"md5('{prefix}' || {key_expr})" if prefix else f"md5({key_expr})"
+        return f"CAST(({hex4(inner)}) % {CMS_WIDTH} AS INT)"
+
+    build = "\nUNION ALL\n".join(
+        f"SELECT {i} AS row, {bucket(p, 'CAST(l_partkey AS VARCHAR)')} AS bucket FROM lineitem"
+        for i, p in enumerate(CMS_PREFIXES)
+    )
+    key_rows = "\nUNION ALL\n".join(f"SELECT '{k}' AS key" for k in keys)
+    probes = "\nUNION ALL\n".join(
+        f"SELECT key, {i} AS row, {bucket(p, 'key')} AS bucket FROM keys"
+        for i, p in enumerate(CMS_PREFIXES)
+    )
+    return f"""
+WITH sketch AS (
+    SELECT row, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM ({build}) b
+    GROUP BY row, bucket
+),
+keys AS ({key_rows}),
+probes AS ({probes})
+SELECT p.key, CAST(MIN(COALESCE(s.cnt, 0)) AS BIGINT) AS est
+FROM probes p LEFT JOIN sketch s ON s.row = p.row AND s.bucket = p.bucket
+GROUP BY p.key
+ORDER BY p.key
+"""
+
+
+CMS_KEYS = [1, 2, 3, 4, 5]
+
+
 ASOF_ORACLE = """
 WITH clicks AS (
     SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
@@ -569,6 +611,14 @@ def run_mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def run_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sketch import count_min_build, count_min_estimate
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sketch = count_min_build(li, "l_partkey")
+    return count_min_estimate(sketch, CMS_KEYS).orderBy("key")
+
+
 def run_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.minhash_dedup_pairs(_docs(spark, sf_dir)).where("is_near_dup")
     return dedup.duplicate_groups(pairs).orderBy("doc_id")
@@ -662,6 +712,8 @@ def extension_entries():
                    "winnowing: rolling char-k-gram hashes, window minima"),
         SuiteEntry("sim_knn_brute", run_knn_brute, knn_oracle(),
                    "similarity: brute-force cosine top-k (zip_with/aggregate)"),
+        SuiteEntry("sketch_count_min", run_count_min, cms_oracle(CMS_KEYS),
+                   "count-min sketch: build + point estimates, md5-hashed"),
         SuiteEntry("dedup_groups", run_dedup_groups, None,
                    "transitive duplicate groups: iterative connected components"),
         SuiteEntry("dedup_ngram_jaccard", run_ngram_jaccard,

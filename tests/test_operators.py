@@ -287,3 +287,22 @@ def test_duplicate_groups_transitive_closure(spark):
     assert groups[1] == groups[2] == groups[3] == groups[5] == 1  # chain merges
     assert groups[7] == groups[9] == 7
     assert groups[10] == groups[11] == 10
+
+
+def test_count_min_upper_bound_property(spark, sf_dir):
+    """CMS guarantee: estimate >= true count, always."""
+    from datafusion_ray_spark.operators.sketch import count_min_build, count_min_estimate
+    from datafusion_ray_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    keys = [1, 2, 3, 10, 99999999]  # incl. an absent key
+    sketch = count_min_build(li, "l_partkey")
+    est = {r["key"]: r["est"] for r in count_min_estimate(sketch, keys).collect()}
+    true = {
+        str(r["l_partkey"]): r["c"]
+        for r in li.groupBy("l_partkey").agg(F.count("*").alias("c")).collect()
+    }
+    n = li.count()
+    for k in keys:
+        t = true.get(str(k), 0)
+        assert t <= est[str(k)] <= n, (k, t, est[str(k)])
