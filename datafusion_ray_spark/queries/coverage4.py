@@ -256,4 +256,54 @@ ORDER BY g NULLS FIRST
 """,
 )
 
+# SQL PIVOT clause (the relational spelling of ev_daily_pivot's DataFrame
+# groupBy().pivot()); oracle states the same matrix as portable CASE sums.
+_q(
+    "pivot_sql",
+    """
+SELECT o_orderpriority,
+       CAST(COALESCE(f, 0) AS BIGINT) AS n_f,
+       CAST(COALESCE(o, 0) AS BIGINT) AS n_o,
+       CAST(COALESCE(p, 0) AS BIGINT) AS n_p
+FROM (SELECT o_orderpriority, o_orderstatus FROM orders)
+PIVOT (COUNT(*) FOR o_orderstatus IN ('F' AS f, 'O' AS o, 'P' AS p))
+ORDER BY o_orderpriority
+""",
+    "SQL PIVOT clause: status-count matrix per priority",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+
+# SQL UNPIVOT clause (wide -> long); oracle as UNION ALL stack.
+_q(
+    "unpivot_sql",
+    """
+SELECT n_nationkey, metric, val
+FROM (
+    SELECT n_nationkey,
+           CAST(n_regionkey AS BIGINT) AS region_key,
+           CAST(LENGTH(n_name) AS BIGINT) AS name_len
+    FROM nation
+)
+UNPIVOT (val FOR metric IN (region_key, name_len))
+ORDER BY n_nationkey, metric
+""",
+    "SQL UNPIVOT clause: wide-to-long metric stack",
+    oracle="""
+SELECT n_nationkey, metric, val FROM (
+    SELECT n_nationkey, 'region_key' AS metric, CAST(n_regionkey AS BIGINT) AS val FROM nation
+    UNION ALL
+    SELECT n_nationkey, 'name_len' AS metric, CAST(LENGTH(n_name) AS BIGINT) AS val FROM nation
+) t
+ORDER BY n_nationkey, metric
+""",
+)
+
 COVERAGE4_QUERIES: dict[str, QueryDef] = dict(_Q)
