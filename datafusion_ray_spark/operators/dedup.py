@@ -19,6 +19,14 @@ pipeline needs, each expressed Spark-first:
 Hashing is md5-based end-to-end (identical in Spark and DuckDB), so every
 operator here is oracle-checkable; lexicographic MIN over md5 hex digests is
 a valid min-hash because the digests are uniformly distributed.
+
+Published designs implemented here (public literature): MinHash resemblance
+estimation (Broder, "On the resemblance and containment of documents",
+1997); banded LSH candidate generation (Leskovec/Rajaraman/Ullman, Mining of
+Massive Datasets ch. 3); prefix-filter all-pairs similarity (Chaudhuri et
+al. 2006; Bayardo/Ma/Srikant, "Scaling up all pairs similarity search",
+WWW 2007); SimHash (Charikar 2002; Manku et al., "Detecting near-duplicates
+for web crawling", WWW 2007).
 """
 
 from __future__ import annotations

@@ -11,6 +11,9 @@ sketches compose across partitions/days for free (the CMS property).
 
 Hashing is md5-hex -> int (first 4 hex chars), identical in DuckDB SQL, so
 the sketch and its estimates are oracle-checkable bit-for-bit.
+
+Design: Cormode & Muthukrishnan, "An improved data stream summary: the
+count-min sketch and its applications", J. Algorithms 2005.
 """
 
 from __future__ import annotations

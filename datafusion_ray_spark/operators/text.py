@@ -150,7 +150,9 @@ WINNOW_W = 4
 
 
 def winnow_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Rolling-hash winnowing fingerprints per document.
+    """Rolling-hash winnowing fingerprints per document (Schleimer,
+    Wilkerson & Aiken, "Winnowing: local algorithms for document
+    fingerprinting", SIGMOD 2003).
 
     All JVM-side: char k-gram hashes via one ``transform`` pass
     (md5 hex slice as the rolling hash), window minima via a second pass of

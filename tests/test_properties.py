@@ -117,3 +117,45 @@ def test_minhash_always_finds_exact_duplicates(spark, texts):
             assert key in pairs, (t, sorted(pairs))
             assert pairs[key]["jaccard"] == 1.0
             assert pairs[key]["is_near_dup"]
+
+
+_doc_texts = st.lists(
+    st.text(alphabet="abc ", min_size=12, max_size=40).filter(
+        lambda t: len(t.split()) >= 3
+    ),
+    min_size=2,
+    max_size=10,
+)
+
+
+@given(texts=_doc_texts)
+@_settings
+def test_ngram_jaccard_prefix_filter_is_lossless(spark, texts):
+    """The AllPairs prefix filter + size-ratio prune must find EVERY pair
+    with jaccard >= threshold (recall 1.0) — verifies the prefix-length
+    bound |A| - ceil(t|A|) + 1 on arbitrary inputs."""
+    from datafusion_ray_spark.operators import dedup
+
+    def shingle_set(t):
+        w = t.split()
+        return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+
+    docs = spark.createDataFrame(
+        [(i, t, "blk") for i, t in enumerate(texts)],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs).collect()
+    }
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            a, b = shingle_set(texts[i]), shingle_set(texts[j])
+            if not a or not b:
+                continue
+            jac = len(a & b) / len(a | b)
+            if round(jac, 6) >= dedup.JACCARD_THRESHOLD:
+                assert (i, j) in got, (texts[i], texts[j], jac)
+                assert got[(i, j)] == round(jac, 6)
+            else:
+                assert (i, j) not in got or got[(i, j)] >= dedup.JACCARD_THRESHOLD
