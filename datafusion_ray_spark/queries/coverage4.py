@@ -306,4 +306,32 @@ ORDER BY n_nationkey, metric
 """,
 )
 
+# Deterministic stratified sampling: per-stratum md5-hash rate (reproducible
+# across runs/engines, unlike TABLESAMPLE). 'en' strata keep first hex char
+# < '8' (8/16 = 50%); other languages keep < '4' (25%).
+_q(
+    "sample_stratified",
+    """
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_sampled,
+       CAST(SUM(n_chars) AS BIGINT) AS sampled_chars
+FROM documents
+WHERE SUBSTRING(MD5(CAST(doc_id AS STRING)), 1, 1)
+      < CASE WHEN lang = 'en' THEN '8' ELSE '4' END
+GROUP BY lang
+ORDER BY lang
+""",
+    "deterministic stratified sampling via per-stratum hash rates",
+    oracle="""
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_sampled,
+       CAST(SUM(n_chars) AS BIGINT) AS sampled_chars
+FROM documents
+WHERE SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 1)
+      < CASE WHEN lang = 'en' THEN '8' ELSE '4' END
+GROUP BY lang
+ORDER BY lang
+""",
+)
+
 COVERAGE4_QUERIES: dict[str, QueryDef] = dict(_Q)
