@@ -391,10 +391,13 @@ def duplicate_groups(pairs: DataFrame, max_iterations: int = 10) -> DataFrame:
     edges = edges.union(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).persist()
+    # 1-hop warm start: label = min(self, direct neighbors). Near-dup
+    # components are clique-shaped in practice, so this alone usually IS the
+    # fixpoint and the loop exits after one confirming round.
     labels = (
-        edges.select(F.col("a").alias("doc_id"))
-        .distinct()
-        .withColumn("label", F.col("doc_id"))
+        edges.groupBy("a")
+        .agg(F.least(F.col("a"), F.min("b")).alias("label"))
+        .select(F.col("a").alias("doc_id"), "label")
         .persist()
     )
     for _ in range(max_iterations):
