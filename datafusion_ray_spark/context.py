@@ -59,6 +59,32 @@ class DFRayDataFrame:
         """
         return self.df.toArrow().to_batches()
 
+    def collect_stream(self, max_records_per_batch: int | None = None):
+        """Iterator of Arrow record batches WITHOUT driver materialization —
+        the Spark analogue of the reference's sync RecordBatch stream
+        (``PyRecordBatchStream``, ``/root/reference/src/dataframe.rs:422-478``;
+        surfaced at ``datafusion_ray/core.py:506``).
+
+        Partitions are fetched one at a time (``toLocalIterator``), so driver
+        memory is bounded by one partition + one batch, not the result size.
+        Batch size defaults to ``spark.sql.execution.arrow.maxRecordsPerBatch``
+        (the ``DFRayContext(batch_size=...)`` knob).
+        """
+        n = max_records_per_batch or int(
+            self.df.sparkSession.conf.get(
+                "spark.sql.execution.arrow.maxRecordsPerBatch", "10000"
+            )
+        )
+        schema = self.to_arrow_schema()
+        rows: list[dict] = []
+        for row in self.df.toLocalIterator(prefetchPartitions=True):
+            rows.append(row.asDict(recursive=True))
+            if len(rows) >= n:
+                yield pa.RecordBatch.from_pylist(rows, schema=schema)
+                rows = []
+        if rows:
+            yield pa.RecordBatch.from_pylist(rows, schema=schema)
+
     def show(self, n: int = 20) -> None:
         self.df.show(n=n, truncate=False)
 
@@ -189,15 +215,20 @@ class DFRayContext:
         self._register(name, self.spark.read.options(**opts).csv(path), path)
 
     @staticmethod
-    def _fetch_url(url: str) -> str:
+    def _fetch_url(url: str, timeout: float = 60.0) -> str:
+        import atexit
+        import os
         import tempfile
         import urllib.request
 
         suffix = "." + url.rsplit(".", 1)[-1] if "." in url.rsplit("/", 1)[-1] else ""
-        with urllib.request.urlopen(url) as resp:  # noqa: S310 - user-supplied source
+        with urllib.request.urlopen(url, timeout=timeout) as resp:  # noqa: S310 - user-supplied source
             with tempfile.NamedTemporaryFile(delete=False, suffix=suffix) as out:
                 out.write(resp.read())
-                return out.name
+        # Spool files must outlive registration (Spark re-reads lazily) but
+        # not the process: clean up at interpreter exit.
+        atexit.register(lambda p=out.name: os.path.exists(p) and os.unlink(p))
+        return out.name
 
     def register_json(self, name: str, path: str, **options: Any) -> None:
         self._register(name, self.spark.read.options(**options).json(path), path)

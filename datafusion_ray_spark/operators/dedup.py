@@ -344,19 +344,45 @@ def simhash16(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def simhash_pairs(
-    df: DataFrame, text_col: str = "text", block_col: str = "source", max_hamming: int = 3
+    df: DataFrame, text_col: str = "text", max_hamming: int = 3, n_bands: int = 4
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance within a blocking key.
+    """Near-dup pairs by SimHash Hamming distance, banded-LSH blocked.
 
-    Blocking keeps the pair join linear in block sizes (never all-pairs);
-    at 100 TB the block would be an LSH band of the simhash itself.
+    Blocking key = (band index, band value) of the fingerprint itself: a
+    pair within Hamming distance ``max_hamming`` differs in at most
+    ``max_hamming`` bit positions, so with ``n_bands > max_hamming`` bands
+    the pigeonhole principle guarantees at least one band matches exactly —
+    the blocking is LOSSLESS for the ``hamming <= max_hamming`` output and
+    data-independent (no reliance on a metadata column whose block sizes
+    could be skewed or unbounded). This is the Manku et al. (WWW 2007)
+    near-duplicate detection design; at 100 TB the candidate join shuffles
+    only (band, value, doc_id, fp) rows grouped by 4-bit band values.
     """
-    fp = simhash16(df, text_col).join(df.select("doc_id", block_col), "doc_id")
-    a = fp.select(
-        F.col(block_col).alias("blk"), F.col("doc_id").alias("doc_a"), F.col("simhash").alias("fp_a")
+    if n_bands <= max_hamming:
+        raise ValueError(
+            f"n_bands ({n_bands}) must exceed max_hamming ({max_hamming}) "
+            "for lossless band blocking"
+        )
+    band_bits = 16 // n_bands
+    fp = simhash16(df, text_col)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                (F.floor(F.col("simhash") / (2 ** (b * band_bits)))
+                 % (2**band_bits)).cast("int").alias("bval"),
+            )
+            for b in range(n_bands)
+        ]
     )
-    b = fp.select(
-        F.col(block_col).alias("blk"), F.col("doc_id").alias("doc_b"), F.col("simhash").alias("fp_b")
+    bd = fp.select("doc_id", "simhash", F.explode(bands).alias("bb")).select(
+        "doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval")
+    )
+    a = bd.select(
+        "band", "bval", F.col("doc_id").alias("doc_a"), F.col("simhash").alias("fp_a")
+    )
+    b = bd.select(
+        "band", "bval", F.col("doc_id").alias("doc_b"), F.col("simhash").alias("fp_b")
     )
     hamming = sum(
         F.abs(
@@ -365,8 +391,10 @@ def simhash_pairs(
         for j in range(16)
     )
     return (
-        a.join(b, "blk")
+        a.join(b, ["band", "bval"])
         .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "fp_a", "fp_b")
+        .distinct()  # a pair may collide in several bands; emit it once
         .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
     )
@@ -381,10 +409,14 @@ def duplicate_groups(pairs: DataFrame, max_iterations: int = 10) -> DataFrame:
     needs COMPONENTS (a~b, b~c => {a,b,c} one group). Each iteration is one
     equi-join + min-groupBy (hash-shuffled on ids, map-side combinable) and
     converges in O(component diameter) rounds — near-dup components are
-    shallow in practice, so a handful. Labels are persisted per round and
-    the previous round unpersisted, so lineage stays O(1) deep; the driver
-    holds only the changed-row count.
+    shallow in practice, so a handful. Each round's labels are
+    ``localCheckpoint``-ed: persist alone caches *data* but the logical plan
+    still accumulates every iteration (planning/serialization cost per round
+    grows superlinearly with deep components); checkpointing truncates
+    lineage so the per-round plan stays O(1) deep. The driver holds only the
+    changed-row count.
     """
+    import warnings
     edges = pairs.select(
         F.col("doc_a").cast("long").alias("a"), F.col("doc_b").cast("long").alias("b")
     )
@@ -398,8 +430,9 @@ def duplicate_groups(pairs: DataFrame, max_iterations: int = 10) -> DataFrame:
         edges.groupBy("a")
         .agg(F.least(F.col("a"), F.min("b")).alias("label"))
         .select(F.col("a").alias("doc_id"), "label")
-        .persist()
+        .localCheckpoint()
     )
+    changed = -1
     for _ in range(max_iterations):
         propagated = edges.join(labels, edges["a"] == labels["doc_id"]).select(
             F.col("b").alias("doc_id"), F.col("label")
@@ -409,7 +442,7 @@ def duplicate_groups(pairs: DataFrame, max_iterations: int = 10) -> DataFrame:
             .union(propagated)
             .groupBy("doc_id")
             .agg(F.min("label").alias("label"))
-            .persist()
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -417,9 +450,15 @@ def duplicate_groups(pairs: DataFrame, max_iterations: int = 10) -> DataFrame:
             .where(F.col("n.label") < F.col("o.label"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        warnings.warn(
+            f"duplicate_groups did not converge after {max_iterations} "
+            "iterations; group ids may span partial components (raise "
+            "max_iterations for deep chain-shaped duplicate graphs)",
+            stacklevel=2,
+        )
     edges.unpersist()
     return labels.withColumnRenamed("label", "group_id")

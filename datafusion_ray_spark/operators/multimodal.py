@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -70,24 +71,36 @@ def _decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
             f"codec(s) {sorted(set(bad))} require imaging libraries not present "
             "in this container; only 'fake' is implemented"
         )
-    payloads = pdf["payload"]
-    n_bytes = payloads.map(len)
-    checksum = payloads.map(lambda b: sum(b))
-    # Deterministic fake feature: per-stripe byte sums, L1-normalized.
-    def feature(b: bytes) -> list[float]:
-        if not b:
-            return [0.0] * FEATURE_DIM
-        stripe = max(1, len(b) // FEATURE_DIM)
-        sums = [float(sum(b[i * stripe:(i + 1) * stripe])) for i in range(FEATURE_DIM)]
-        total = sum(sums) or 1.0
-        return [s / total for s in sums]
+    # Vectorized kernel: concatenate the batch's payloads into one uint8
+    # buffer and compute every per-row reduction from its prefix sums — no
+    # per-row (let alone per-byte) Python.  This is also the shape a real
+    # codec integration takes: one contiguous buffer per Arrow batch.
+    payloads = pdf["payload"].tolist()
+    lens = np.fromiter((len(b) for b in payloads), dtype=np.int64,
+                       count=len(payloads))
+    buf = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+    offsets = np.concatenate(([0], np.cumsum(lens)))
+    csum = np.concatenate(([0], np.cumsum(buf, dtype=np.int64)))
+    checksum = csum[offsets[1:]] - csum[offsets[:-1]]
+
+    # Fake feature = FEATURE_DIM stripe sums (stripe = len//DIM, remainder
+    # ignored; short payloads clamp at len), L1-normalized.
+    stripe = np.maximum(1, lens // FEATURE_DIM)
+    bounds = np.minimum(
+        np.arange(FEATURE_DIM + 1)[None, :] * stripe[:, None], lens[:, None]
+    )
+    ssum = csum[offsets[:-1, None] + bounds]
+    sums = (ssum[:, 1:] - ssum[:, :-1]).astype(np.float64)
+    totals = sums.sum(axis=1)
+    totals[totals == 0.0] = 1.0
+    feature = (sums / totals[:, None]).astype(np.float32)
 
     return pd.DataFrame(
         {
             "doc_id": pdf["doc_id"],
-            "n_bytes": n_bytes.astype("int32"),
-            "checksum": checksum.astype("int64"),
-            "feature": payloads.map(feature),
+            "n_bytes": pd.Series(lens, index=pdf.index).astype("int32"),
+            "checksum": pd.Series(checksum, index=pdf.index).astype("int64"),
+            "feature": pd.Series(feature.tolist(), index=pdf.index),
         }
     )
 
@@ -155,11 +168,13 @@ def resize(binary_df: DataFrame, width: int = 64, height: int = 48) -> DataFrame
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         n = width * height
+        grid = np.arange(n, dtype=np.int64)
 
         def rs(b: bytes) -> bytes:
             if not b:
                 return bytes(n)
-            return bytes(b[(i * len(b)) // n] for i in range(n))
+            # Nearest-neighbor subsample as one numpy gather, no byte loop.
+            return np.frombuffer(b, dtype=np.uint8)[(grid * len(b)) // n].tobytes()
 
         for pdf in batches:
             fmts = pdf["meta"].map(lambda m: m["format"])

@@ -117,6 +117,31 @@ SELECT doc_id, CAST({fp} AS INT) AS simhash FROM b ORDER BY doc_id
 """
 
 
+def dedup_groups_oracle() -> str:
+    """Connected components over the verified minhash near-dup pairs via
+    DuckDB ``WITH RECURSIVE`` min-label reachability — the exact oracle for
+    ``dedup.duplicate_groups`` (deterministic min-doc_id component labels).
+    """
+    return f"""
+WITH RECURSIVE mp AS (
+{minhash_pairs_oracle()}
+),
+edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM mp WHERE is_near_dup
+    UNION ALL
+    SELECT doc_b, doc_a FROM mp WHERE is_near_dup
+),
+nodes AS (SELECT DISTINCT a AS id FROM edges),
+reach(id, r) AS (
+    SELECT id, id FROM nodes
+    UNION
+    SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id
+)
+SELECT id AS doc_id, CAST(MIN(r) AS BIGINT) AS group_id
+FROM reach GROUP BY id ORDER BY doc_id
+"""
+
+
 def _stoplist(lang: str) -> str:
     return "[" + ", ".join(f"'{w}'" for w in text.LANG_STOPWORDS[lang]) + "]"
 
@@ -589,6 +614,25 @@ ORDER BY doc_id
 """
 
 
+# The stub codec's n_bytes/checksum are plain byte reductions of the utf-8
+# payload, so they ARE SQL-computable: DuckDB reads the bytes back out of
+# hex(encode(text)) two nibbles at a time.  This certifies the whole
+# mapInPandas decode path (schema, Arrow batches, vectorized kernel) against
+# an independent engine; only the fake `feature` vector stays unchecked.
+MM_DECODE_ORACLE = """
+WITH b AS (
+    SELECT doc_id, strlen(text) AS n, hex(encode(text)) AS hx FROM documents
+)
+SELECT doc_id,
+       CAST(n AS INT) AS n_bytes,
+       CAST(COALESCE(list_sum(list_transform(range(1, n + 1),
+            i -> (strpos('0123456789ABCDEF', substring(hx, 2*i-1, 1)) - 1) * 16
+                 + strpos('0123456789ABCDEF', substring(hx, 2*i, 1)) - 1)), 0) AS BIGINT) AS checksum
+FROM b
+ORDER BY doc_id
+"""
+
+
 def run_mm_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import multimodal as mm
 
@@ -614,7 +658,10 @@ def run_mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def run_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sketch import count_min_build, count_min_estimate
 
-    li = load_table(spark, sf_dir, "lineitem")
+    # spread(): the build's 3-md5s-per-row projection is compute-bound and
+    # the testdata parquet is one unsplittable row group; repartitioning the
+    # narrow key column fans the hash work across all cores.
+    li = spread(load_table(spark, sf_dir, "lineitem").select("l_partkey"))
     sketch = count_min_build(li, "l_partkey")
     return count_min_estimate(sketch, CMS_KEYS).orderBy("key")
 
@@ -714,7 +761,7 @@ def extension_entries():
                    "similarity: brute-force cosine top-k (zip_with/aggregate)"),
         SuiteEntry("sketch_count_min", run_count_min, cms_oracle(CMS_KEYS),
                    "count-min sketch: build + point estimates, md5-hashed"),
-        SuiteEntry("dedup_groups", run_dedup_groups, None,
+        SuiteEntry("dedup_groups", run_dedup_groups, dedup_groups_oracle(),
                    "transitive duplicate groups: iterative connected components"),
         SuiteEntry("dedup_ngram_jaccard", run_ngram_jaccard,
                    ngram_jaccard_oracle(JACCARD_THRESHOLD),
@@ -741,6 +788,6 @@ def extension_entries():
                    "multimodal: metadata-only agg (payload pruned from scan)"),
         SuiteEntry("mm_byte_stats", run_mm_bytes, MM_BYTES_ORACLE,
                    "multimodal: binary payload size stats, no decode"),
-        SuiteEntry("mm_decode_features", run_mm_decode, None,
+        SuiteEntry("mm_decode_features", run_mm_decode, MM_DECODE_ORACLE,
                    "multimodal: mapInPandas Arrow-batched decode (stub codec)"),
     ]

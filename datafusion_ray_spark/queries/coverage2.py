@@ -208,22 +208,33 @@ ORDER BY n_nationkey
 """,
 )
 
-# approx_count_distinct: HLL sketches are engine-specific, so this entry is
-# rows-only at the driver (no oracle); the unit test bounds relative error.
+# approx_count_distinct: HLL estimates are engine-specific, so the raw
+# sketch values can't be hash-compared — instead the query returns the EXACT
+# distinct counts (oracle-comparable) plus booleans asserting the HLL
+# estimate landed within 2x its configured rsd (0.05). HLL is deterministic
+# for a fixed dataset, so the booleans are stable, and the oracle's TRUE
+# literals make the driver's hash gate enforce the error bound.
 _q(
     "agg_approx_distinct",
     """
-SELECT CAST(APPROX_COUNT_DISTINCT(l_orderkey) AS BIGINT) AS approx_orders,
-       CAST(APPROX_COUNT_DISTINCT(l_partkey) AS BIGINT) AS approx_parts
+SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+       ABS(CAST(APPROX_COUNT_DISTINCT(l_orderkey, 0.05) AS DOUBLE)
+           - COUNT(DISTINCT l_orderkey)) <= 0.1 * COUNT(DISTINCT l_orderkey)
+           AS orders_within_bound,
+       ABS(CAST(APPROX_COUNT_DISTINCT(l_partkey, 0.05) AS DOUBLE)
+           - COUNT(DISTINCT l_partkey)) <= 0.1 * COUNT(DISTINCT l_partkey)
+           AS parts_within_bound
 FROM lineitem
 """,
-    "approx_count_distinct (HLL; rows-only check)",
-)
-_Q["agg_approx_distinct"] = QueryDef(
-    name="agg_approx_distinct",
-    sql=_Q["agg_approx_distinct"].sql,
-    description=_Q["agg_approx_distinct"].description,
-    rows_only=True,
+    "approx_count_distinct (HLL) with oracle-enforced error bound",
+    oracle="""
+SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+       TRUE AS orders_within_bound,
+       TRUE AS parts_within_bound
+FROM lineitem
+""",
 )
 
 

@@ -182,26 +182,39 @@ ORDER BY l_returnflag
     "correlation + covariance from exact integer moments",
 )
 
-# approx_percentile: t-digest/GK sketches are engine-specific -> rows-only
-# at the driver; the unit-level check is the oracle suite's rows>0 gate plus
-# the exact-percentile query it approximates (agg_percentile).
+# approx_percentile: GK-sketch values are engine-specific, so the raw
+# estimates can't be hash-compared — instead the query returns EXACT
+# interpolated percentiles (oracle = DuckDB quantile_cont, same definition)
+# plus booleans asserting the sketch estimate landed within a small bound of
+# the exact value (rank error 1/accuracy=1e-4 -> value error well inside 1
+# quantity unit / 1% of p90 price). Deterministic for a fixed dataset; the
+# oracle's TRUE literals make the hash gate enforce the bound.
 _q(
     "agg_approx_percentile",
     """
 SELECT l_returnflag,
-       APPROX_PERCENTILE(l_quantity, 0.5) AS approx_median_qty,
-       APPROX_PERCENTILE(l_extendedprice, 0.9) AS approx_p90_price
+       ROUND(PERCENTILE(l_quantity, 0.5), 6) AS exact_median_qty,
+       ROUND(PERCENTILE(l_extendedprice, 0.9), 4) AS exact_p90_price,
+       ABS(APPROX_PERCENTILE(l_quantity, 0.5, 10000)
+           - PERCENTILE(l_quantity, 0.5)) <= 1.0 AS median_within_bound,
+       ABS(APPROX_PERCENTILE(l_extendedprice, 0.9, 10000)
+           - PERCENTILE(l_extendedprice, 0.9))
+           <= 0.01 * PERCENTILE(l_extendedprice, 0.9) AS p90_within_bound
 FROM lineitem
 GROUP BY l_returnflag
 ORDER BY l_returnflag
 """,
-    "approx_percentile sketch (rows-only check)",
-)
-_Q["agg_approx_percentile"] = QueryDef(
-    name="agg_approx_percentile",
-    sql=_Q["agg_approx_percentile"].sql,
-    description=_Q["agg_approx_percentile"].description,
-    rows_only=True,
+    "approx_percentile (GK sketch) with oracle-enforced error bound",
+    oracle="""
+SELECT l_returnflag,
+       ROUND(QUANTILE_CONT(l_quantity, 0.5), 6) AS exact_median_qty,
+       ROUND(QUANTILE_CONT(l_extendedprice, 0.9), 4) AS exact_p90_price,
+       TRUE AS median_within_bound,
+       TRUE AS p90_within_bound
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
 )
 
 

@@ -71,22 +71,36 @@ def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
     return df.repartition(target)
 
 
-#: (session id, sf_dir) already registered — registration re-reads parquet
-#: footers, so suite runs cache it per session/scale.
-_REGISTERED: dict[int, str] = {}
+#: session -> registered sf_dir. Registration re-reads parquet footers, so
+#: suite runs cache it per session/scale. Keyed on the session object via
+#: WeakValueDictionary-style identity check (NOT bare ``id()``: a stopped
+#: session's id can be reused by a new SparkSession, which would silently
+#: skip registration and surface as TABLE_OR_VIEW_NOT_FOUND).
+_REGISTERED: dict[int, tuple] = {}
 
 
 def register_tables(
     spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = ALL_TABLES
 ) -> None:
     """Register each table as a temp view (cached per session + sf_dir)."""
+    import weakref
+
     key = id(spark)
-    if _REGISTERED.get(key) == sf_dir and tables == ALL_TABLES:
+    hit = _REGISTERED.get(key)
+    if (
+        hit is not None
+        and hit[0] == sf_dir
+        and hit[1]() is spark  # weakref still alive AND same object
+        and tables == ALL_TABLES
+    ):
         return
     for name in tables:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
     if tables == ALL_TABLES:
-        _REGISTERED[key] = sf_dir
+        try:
+            _REGISTERED[key] = (sf_dir, weakref.ref(spark))
+        except TypeError:  # pragma: no cover - SparkSession is weakref-able
+            pass
 
 
 def duckdb_register(con, sf_dir: str, tables: tuple[str, ...] = ALL_TABLES) -> None:

@@ -19,23 +19,40 @@ _DROP_VIEW = re.compile(r"^\s*drop\s+view\s+(if\s+exists\s+)?(?P<name>[\w.]+)", 
 
 
 def split_statements(script: str) -> list[str]:
-    """Split on ``;`` outside single/double-quoted literals; drop empties."""
+    """Split on ``;`` outside single/double-quoted literals and outside
+    ``-- ...`` / ``/* ... */`` comments; drop empties."""
     statements: list[str] = []
     buf: list[str] = []
     quote: str | None = None
-    for ch in script:
+    i, n = 0, len(script)
+    while i < n:
+        ch = script[i]
         if quote:
             buf.append(ch)
             if ch == quote:
                 quote = None
+            i += 1
         elif ch in ("'", '"'):
             quote = ch
             buf.append(ch)
+            i += 1
+        elif script.startswith("--", i):
+            j = script.find("\n", i)
+            j = n if j == -1 else j
+            buf.append(script[i:j])
+            i = j
+        elif script.startswith("/*", i):
+            j = script.find("*/", i + 2)
+            j = n if j == -1 else j + 2
+            buf.append(script[i:j])
+            i = j
         elif ch == ";":
             statements.append("".join(buf))
             buf = []
+            i += 1
         else:
             buf.append(ch)
+            i += 1
     statements.append("".join(buf))
     return [s.strip() for s in statements if s.strip()]
 

@@ -92,6 +92,55 @@ def test_s3_path_normalization():
     assert DFRayContext._normalize_path("/local/path") == "/local/path"
 
 
+def test_collect_stream_yields_bounded_batches(spark, sf_dir):
+    """collect_stream mirrors the reference's PyRecordBatchStream
+    (``/root/reference/src/dataframe.rs:422-478``): an iterator of Arrow
+    batches, each bounded by the batch-size knob, summing to the full
+    result — without a driver-side toArrow materialization."""
+    ctx = _ctx(spark, sf_dir)
+    df = ctx.sql("SELECT l_orderkey, l_quantity FROM lineitem")
+    total_rows = df.count()
+    batches = list(df.collect_stream(max_records_per_batch=1000))
+    assert len(batches) > 1  # larger-than-one-batch result streams in pieces
+    assert all(isinstance(b, pa.RecordBatch) for b in batches)
+    assert all(b.num_rows <= 1000 for b in batches)
+    assert sum(b.num_rows for b in batches) == total_rows
+    # values round-trip: sum over streamed batches == SQL sum
+    streamed = sum(
+        pa.Table.from_batches([b]).column("l_quantity").to_pylist()[i]
+        for b in batches
+        for i in range(b.num_rows)
+    )
+    expected = df.df.groupBy().sum("l_quantity").collect()[0][0]
+    assert abs(streamed - expected) < 1e-6
+
+
+def test_s3_rewrite_reaches_filesystem_layer(spark):
+    """The s3->s3a rewrite must reach Hadoop's filesystem resolution (the
+    plan-level proof that the normalized scheme is what Spark executes):
+    without an S3 connector on the classpath, the failure names s3a."""
+    import pytest
+
+    ctx = DFRayContext(spark=spark)
+    with pytest.raises(Exception, match="(?i)s3a"):
+        ctx.register_parquet("s3t", "s3://no-such-bucket/data.parquet")
+
+
+def test_split_statements_ignores_comment_semicolons():
+    from datafusion_ray_spark.sql import split_statements
+
+    script = (
+        "SELECT 1 AS a -- trailing; comment with ; semicolons\n;"
+        "/* block; comment;\n spanning lines */ SELECT 2 AS b;"
+        "SELECT '; not a split' AS c"
+    )
+    stmts = split_statements(script)
+    assert len(stmts) == 3
+    assert stmts[0].startswith("SELECT 1")
+    assert stmts[1].endswith("SELECT 2 AS b")
+    assert stmts[2] == "SELECT '; not a split' AS c"
+
+
 def test_register_arrow_roundtrip(spark):
     import pyarrow as pa
 

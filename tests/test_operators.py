@@ -44,6 +44,25 @@ def test_simhash_identical_texts_equal(docs):
     assert ham <= 6
 
 
+def test_simhash_pairs_band_blocking_is_lossless(docs):
+    # Band blocking must find exactly the pairs a brute-force all-pairs
+    # Hamming scan finds (pigeonhole: <=3 differing bits across 4 bands
+    # guarantees one exact band match).
+    fp = {r["doc_id"]: r["simhash"] for r in dedup.simhash16(docs).collect()}
+    expected = {
+        (a, b): bin(fp[a] ^ fp[b]).count("1")
+        for a in fp
+        for b in fp
+        if a < b and bin(fp[a] ^ fp[b]).count("1") <= 3
+    }
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dedup.simhash_pairs(docs).collect()
+    }
+    assert got == expected
+    assert (1, 2) in got and got[(1, 2)] == 0  # exact dup pair survives
+
+
 def test_lang_id_prefers_french_stopwords(docs):
     out = {r["doc_id"]: r["lang_pred"] for r in text.lang_id(docs).collect()}
     assert out[1] == "en"
