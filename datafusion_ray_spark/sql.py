@@ -16,6 +16,15 @@ from pyspark.sql import DataFrame, SparkSession
 
 _CREATE_VIEW = re.compile(r"^\s*create\s+view\s+", re.IGNORECASE)
 _DROP_VIEW = re.compile(r"^\s*drop\s+view\s+(if\s+exists\s+)?(?P<name>[\w.]+)", re.IGNORECASE)
+#: DataFusion COPY statement (datafusion.proto:61; public syntax
+#: ``COPY { table | (query) } TO 'path' [STORED AS fmt] [OPTIONS (...)]``).
+_COPY = re.compile(
+    r"^\s*copy\s+(?:\((?P<query>.*)\)|(?P<table>[\w.]+))\s+to\s+"
+    r"'(?P<path>[^']+)'"
+    r"(?:\s+stored\s+as\s+(?P<fmt>\w+))?"
+    r"(?:\s+options\s*\(.*\))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 
 
 def split_statements(script: str) -> list[str]:
@@ -65,16 +74,56 @@ def rewrite_statement(stmt: str) -> str:
     return stmt
 
 
+def run_copy(spark: SparkSession, stmt: str) -> DataFrame | None:
+    """Execute a ``COPY ... TO 'path'`` statement (DataFusion DML surface,
+    ``datafusion.proto:61``); returns a 1-row (count) DataFrame like the
+    reference engine, or None if the statement is not a COPY.
+
+    Spark writes a directory of part files at ``path`` (the distributed
+    sink — at scale a single output file would serialize the write), which
+    Spark/DuckDB readers and ``register_parquet`` accept transparently.
+    Format comes from STORED AS, else the path extension, else parquet.
+    """
+    m = _COPY.match(stmt)
+    if m is None:
+        return None
+    src = spark.sql(m.group("query")) if m.group("query") else spark.table(m.group("table"))
+    path = m.group("path")
+    fmt = m.group("fmt")
+    if not fmt:
+        tail = path.rstrip("/").rsplit("/", 1)[-1]
+        fmt = tail.rsplit(".", 1)[-1] if "." in tail else "parquet"
+    fmt = fmt.lower()
+    writer = src.write.mode("overwrite")
+    if fmt == "parquet":
+        writer.parquet(path)
+        written = spark.read.parquet(path)
+    elif fmt == "csv":
+        writer.option("header", "true").csv(path)
+        written = spark.read.option("header", "true").csv(path)
+    elif fmt in ("json", "ndjson"):
+        writer.json(path)
+        written = spark.read.json(path)
+    else:
+        raise ValueError(f"unsupported COPY format: {fmt}")
+    # Read-back count: matches the reference's rows-written result and
+    # doubles as a write validation (parquet counts from footer metadata).
+    return spark.createDataFrame([(written.count(),)], "count: bigint")
+
+
 def run_script(spark: SparkSession, script: str) -> DataFrame:
     """Execute every statement; return the last statement's DataFrame.
 
     DDL statements (views) execute eagerly; the final SELECT stays lazy.
+    ``COPY ... TO`` statements execute eagerly and yield a rows-written
+    count.
     """
     statements = split_statements(script)
     if not statements:
         raise ValueError("empty SQL script")
     result: DataFrame | None = None
     for stmt in statements:
-        result = spark.sql(rewrite_statement(stmt))
+        copied = run_copy(spark, stmt)
+        result = copied if copied is not None else spark.sql(rewrite_statement(stmt))
     assert result is not None
     return result

@@ -47,6 +47,28 @@ def test_sql_ddl_dml_sink(spark, sf_dir, tmp_path):
     spark.sql("DROP TABLE region_copy")
 
 
+def test_copy_to_statement(spark, sf_dir, tmp_path):
+    """Literal COPY TO syntax through ctx.sql (reference: datafusion.proto:61;
+    DataFusion DML `COPY { table | (query) } TO 'path' STORED AS fmt`)."""
+    ctx = DFRayContext(spark=spark)
+    ctx.register_parquet("nation", f"{sf_dir}/nation.parquet")
+    # query form + STORED AS
+    out1 = str(tmp_path / "n1.parquet")
+    n = ctx.sql(
+        f"COPY (SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 7) "
+        f"TO '{out1}' STORED AS PARQUET"
+    ).to_pandas()
+    assert n["count"][0] == 7
+    assert spark.read.parquet(out1).count() == 7
+    # table form, format inferred from extension
+    out2 = str(tmp_path / "n2.csv")
+    n = ctx.sql(f"COPY nation TO '{out2}'").to_pandas()
+    assert n["count"][0] == 25
+    # round-trip: COPY output is registrable like any table
+    ctx.register_parquet("n1_back", out1)
+    assert ctx.sql("SELECT COUNT(*) AS c FROM n1_back").to_pandas()["c"][0] == 7
+
+
 def test_local_validator_matches_spark(spark, sf_dir):
     ctx = DFRayContext(spark=spark)
     ctx.register_parquet("nation", f"{sf_dir}/nation.parquet")
