@@ -85,6 +85,21 @@ class DFRayDataFrame:
         if rows:
             yield pa.RecordBatch.from_pylist(rows, schema=schema)
 
+    async def collect_stream_async(self, max_records_per_batch: int | None = None):
+        """Async variant of :meth:`collect_stream`, mirroring the reference's
+        ``PyRecordBatchStream.__anext__`` (``src/dataframe.rs:436-447``):
+        each batch is pulled on a worker thread so the event loop stays free.
+        """
+        import asyncio
+
+        it = self.collect_stream(max_records_per_batch)
+        sentinel = object()
+        while True:
+            batch = await asyncio.to_thread(next, it, sentinel)
+            if batch is sentinel:
+                return
+            yield batch
+
     def show(self, n: int = 20) -> None:
         self.df.show(n=n, truncate=False)
 
@@ -233,15 +248,28 @@ class DFRayContext:
     def register_json(self, name: str, path: str, **options: Any) -> None:
         self._register(name, self.spark.read.options(**options).json(path), path)
 
+    def register_orc(self, name: str, path: str) -> None:
+        """ORC source (Spark-native columnar format beyond the reference's
+        parquet/csv/json/avro surface — free capability on this engine)."""
+        self._register(name, self.spark.read.orc(self._normalize_path(path)), path)
+
     def register_avro(self, name: str, path: str) -> None:
-        # datafusion.proto:715; spark-avro is a separate artifact — surface a
-        # clear error when absent rather than failing deep in planning.
+        """Avro source (reference: ``datafusion.proto:715``).
+
+        Uses the ``spark-avro`` connector when it is on the classpath (the
+        distributed path — required at scale). Without it, falls back to a
+        pure-Python reader of the public Avro container format
+        (``sources/avro.py``): the file is decoded driver-side and registered
+        via ``createDataFrame`` — appropriate for dimension-table-sized
+        files, with the same SQL surface either way.
+        """
         try:
             df = self.spark.read.format("avro").load(path)
-        except Exception as exc:  # pragma: no cover - depends on classpath
-            raise NotImplementedError(
-                "avro source requires the spark-avro package on the classpath"
-            ) from exc
+        except Exception:  # connector absent -> pure-Python fallback
+            from .sources.avro import avro_to_spark_type, read_avro
+
+            schema, rows = read_avro(path)
+            df = self.spark.createDataFrame(rows, schema=avro_to_spark_type(schema))
         self._register(name, df, path)
 
     def register_listing_table(self, name: str, path: str, file_format: str = "parquet") -> None:
@@ -259,6 +287,8 @@ class DFRayContext:
             df = reader.options(header="true", inferSchema="true").csv(path)
         elif file_format == "json":
             df = reader.json(path)
+        elif file_format == "orc":
+            df = reader.orc(path)
         else:
             raise ValueError(f"unsupported listing format: {file_format}")
         self._register(name, df, path)

@@ -205,19 +205,21 @@ def frame_sample(
     explode of binary data through the JVM).
     """
 
+    stride = frame_bytes * every_n
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out: dict[str, list] = {"doc_id": [], "frame_id": [], "frame": [], "n_bytes": []}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                frames = [
-                    payload[i : i + frame_bytes]
-                    for i in range(0, len(payload), frame_bytes)
-                ]
-                for fi in range(0, len(frames), every_n):
+                # Slice only the SELECTED frames (stride = every_n frames);
+                # unselected frames are never materialized, and each slice is
+                # one C-level bytes copy, no per-byte Python.
+                for off in range(0, len(payload), stride):
+                    frame = payload[off : off + frame_bytes]
                     out["doc_id"].append(doc_id)
-                    out["frame_id"].append(fi)
-                    out["frame"].append(frames[fi])
-                    out["n_bytes"].append(len(frames[fi]))
+                    out["frame_id"].append(off // frame_bytes)
+                    out["frame"].append(frame)
+                    out["n_bytes"].append(len(frame))
             yield pd.DataFrame(out)
 
     return binary_df.mapInPandas(gen, FRAME_SCHEMA)

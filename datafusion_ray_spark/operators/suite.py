@@ -236,6 +236,40 @@ ORDER BY doc_id
 """
 
 
+def tfidf_oracle(k: int = 5) -> str:
+    return f"""
+WITH tok AS (
+    SELECT doc_id, unnest({_WORDS}) AS term FROM documents
+),
+tc AS (
+    SELECT doc_id, term, COUNT(*) AS tf_count FROM tok GROUP BY doc_id, term
+),
+dl AS (
+    SELECT doc_id, term, tf_count,
+           SUM(tf_count) OVER (PARTITION BY doc_id) AS doc_len
+    FROM tc
+),
+dfc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df_count FROM tc GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+    SELECT dl.doc_id, dl.term, CAST(dl.tf_count AS BIGINT) AS tf_count,
+           dfc.df_count,
+           ROUND((CAST(dl.tf_count AS DOUBLE) / dl.doc_len)
+                 * (ln(((SELECT n_docs FROM n) + 1.0) / (dfc.df_count + 1.0)) + 1.0),
+                 6) AS score
+    FROM dl JOIN dfc ON dl.term = dfc.term
+),
+ranked AS (
+    SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, term) AS INT) AS rank
+    FROM scored
+)
+SELECT doc_id, term, tf_count, df_count, score, rank
+FROM ranked WHERE rank <= {k}
+ORDER BY doc_id, rank
+"""
+
+
 def fingerprint_oracle() -> str:
     return f"""
 SELECT doc_id,
@@ -568,6 +602,12 @@ def run_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.winnow_fingerprints(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
+def run_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .tfidf import tfidf_topk
+
+    return tfidf_topk(_docs(spark, sf_dir), k=5).orderBy("doc_id", "rank")
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "events")
 
@@ -790,4 +830,6 @@ def extension_entries():
                    "multimodal: binary payload size stats, no decode"),
         SuiteEntry("mm_decode_features", run_mm_decode, MM_DECODE_ORACLE,
                    "multimodal: mapInPandas Arrow-batched decode (stub codec)"),
+        SuiteEntry("text_tfidf", run_tfidf, tfidf_oracle(),
+                   "TF-IDF top-k terms per doc: smoothed idf, windowed top-k"),
     ]

@@ -1,0 +1,84 @@
+"""Avro source: pure-Python container reader/writer (public Avro spec) and
+the ``register_avro`` fallback path (reference registers Avro natively —
+``datafusion.proto:715``; here spark-avro when present, else this reader)."""
+
+from __future__ import annotations
+
+import pytest
+
+from datafusion_ray_spark.sources.avro import (
+    avro_to_spark_type,
+    read_avro,
+    write_avro,
+)
+
+SCHEMA = {
+    "type": "record",
+    "name": "doc",
+    "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "title", "type": "string"},
+        {"name": "score", "type": "double"},
+        {"name": "flag", "type": "boolean"},
+        {"name": "note", "type": ["null", "string"]},
+        {"name": "tags", "type": {"type": "array", "items": "string"}},
+    ],
+}
+
+ROWS = [
+    {"id": 1, "title": "alpha", "score": 0.5, "flag": True, "note": "n1", "tags": ["a", "b"]},
+    {"id": 2, "title": "beta", "score": -1.25, "flag": False, "note": None, "tags": []},
+    {"id": 3, "title": "gamma éè", "score": 1e9, "flag": True, "note": None, "tags": ["c"]},
+]
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_container_roundtrip(tmp_path, codec):
+    p = str(tmp_path / f"t_{codec}.avro")
+    write_avro(p, SCHEMA, ROWS, codec=codec)
+    schema, rows = read_avro(p)
+    assert schema["name"] == "doc"
+    assert rows == ROWS
+
+
+def test_nested_and_negative_varints(tmp_path):
+    # zigzag edge cases: negatives, zero, large magnitudes
+    schema = {
+        "type": "record",
+        "name": "edge",
+        "fields": [{"name": "v", "type": "long"}],
+    }
+    vals = [0, -1, 1, -64, 64, 2**40, -(2**40), 2**62, -(2**62)]
+    p = str(tmp_path / "edge.avro")
+    write_avro(p, schema, [{"v": v} for v in vals])
+    _, rows = read_avro(p)
+    assert [r["v"] for r in rows] == vals
+
+
+def test_register_avro_fallback_sql(spark, tmp_path):
+    from datafusion_ray_spark import DFRayContext
+
+    p = str(tmp_path / "docs.avro")
+    write_avro(p, SCHEMA, ROWS, codec="deflate")
+    ctx = DFRayContext(spark=spark)
+    ctx.register_avro("avro_docs", p)
+    out = ctx.sql(
+        "SELECT id, title, size(tags) AS n_tags FROM avro_docs "
+        "WHERE flag ORDER BY id"
+    ).to_pandas()
+    assert list(out["id"]) == [1, 3]
+    assert list(out["n_tags"]) == [2, 1]
+    # null union decoded as SQL NULL
+    n_null = ctx.sql(
+        "SELECT COUNT(*) AS c FROM avro_docs WHERE note IS NULL"
+    ).to_pandas()["c"][0]
+    assert n_null == 2
+
+
+def test_spark_type_mapping():
+    t = avro_to_spark_type(SCHEMA)
+    assert t["id"].dataType.typeName() == "long"
+    assert t["note"].dataType.typeName() == "string"
+    assert t["tags"].dataType.typeName() == "array"
+    with pytest.raises(NotImplementedError):
+        avro_to_spark_type(["null", "string", "long"])  # multi-branch union

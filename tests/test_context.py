@@ -76,6 +76,17 @@ def test_register_csv(spark, sf_dir, tmp_path):
     assert list(out["b"]) == ["x", "y"]
 
 
+def test_register_orc_roundtrip(spark, sf_dir, tmp_path):
+    ctx = DFRayContext(spark=spark)
+    ctx.register_parquet("region_src", f"{sf_dir}/region.parquet")
+    orc_dir = str(tmp_path / "region_orc")
+    ctx.sql("SELECT * FROM region_src").df.write.mode("overwrite").orc(orc_dir)
+    ctx.register_orc("region_orc", orc_dir)
+    assert ctx.sql("SELECT COUNT(*) AS c FROM region_orc").to_pandas()["c"][0] == 5
+    ctx.register_listing_table("region_orc_lst", orc_dir, file_format="orc")
+    assert ctx.sql("SELECT COUNT(*) AS c FROM region_orc_lst").to_pandas()["c"][0] == 5
+
+
 def test_register_listing_table(spark, sf_dir):
     ctx = DFRayContext(spark=spark)
     ctx.register_listing_table("lst", sf_dir + "/lineitem.parquet")
@@ -113,6 +124,21 @@ def test_collect_stream_yields_bounded_batches(spark, sf_dir):
     )
     expected = df.df.groupBy().sum("l_quantity").collect()[0][0]
     assert abs(streamed - expected) < 1e-6
+
+
+def test_collect_stream_async_matches_sync(spark, sf_dir):
+    import asyncio
+
+    ctx = _ctx(spark, sf_dir)
+    df = ctx.sql("SELECT n_nationkey FROM nation ORDER BY n_nationkey")
+
+    async def drain():
+        return [b async for b in df.collect_stream_async(max_records_per_batch=10)]
+
+    batches = asyncio.run(drain())
+    assert len(batches) >= 2
+    got = [v for b in batches for v in b.column("n_nationkey").to_pylist()]
+    assert got == sorted(got) and len(got) == 25
 
 
 def test_s3_rewrite_reaches_filesystem_layer(spark):

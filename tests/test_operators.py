@@ -44,6 +44,23 @@ def test_simhash_identical_texts_equal(docs):
     assert ham <= 6
 
 
+def test_tfidf_rare_term_outranks_common(docs):
+    from datafusion_ray_spark.operators.tfidf import tfidf_topk
+
+    top = tfidf_topk(docs, k=3).collect()
+    by_doc = {}
+    for r in top:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 4's distinctive vocabulary ("shuffles" appears nowhere else) must
+    # outrank its common words; "the" (df=4 docs) never tops any doc.
+    top_terms_4 = [r["term"] for r in sorted(by_doc[4], key=lambda r: r["rank"])]
+    assert "the" not in top_terms_4
+    assert all(r["df_count"] == 1 for r in by_doc[4] if r["rank"] == 1)
+    # ranks are 1..k and dense per doc
+    for rows in by_doc.values():
+        assert sorted(r["rank"] for r in rows) == list(range(1, len(rows) + 1))
+
+
 def test_simhash_pairs_band_blocking_is_lossless(docs):
     # Band blocking must find exactly the pairs a brute-force all-pairs
     # Hamming scan finds (pigeonhole: <=3 differing bits across 4 bands
