@@ -608,6 +608,39 @@ def run_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_topk(_docs(spark, sf_dir), k=5).orderBy("doc_id", "rank")
 
 
+SALTED_JOIN_ORACLE = """
+SELECT s_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_nationkey
+ORDER BY s_nationkey
+"""
+
+
+def run_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted join certified against the plain-join oracle: salting is
+    semantics-preserving (the salt only respreads rows), so the aggregated
+    result must hash-match an unsalted SQL join."""
+    from .skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("k"), "l_quantity"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("k"), "s_nationkey"
+    )
+    return (
+        salted_join(li, supp, "k", n_salt=8)
+        .groupBy("s_nationkey")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.col("l_quantity").cast("long")).cast("long").alias("total_qty"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "events")
 
@@ -832,4 +865,6 @@ def extension_entries():
                    "multimodal: mapInPandas Arrow-batched decode (stub codec)"),
         SuiteEntry("text_tfidf", run_tfidf, tfidf_oracle(),
                    "TF-IDF top-k terms per doc: smoothed idf, windowed top-k"),
+        SuiteEntry("join_salted", run_salted_join, SALTED_JOIN_ORACLE,
+                   "skew-salted join (replicate-and-scatter), oracle = plain join"),
     ]

@@ -1,0 +1,79 @@
+"""End-to-end training-data pipeline: the workflow a datafusion-ray user
+migrates to this engine for, composed from the library operators.
+
+    raw documents
+      -> language ID + quality filter          (operators/text.py)
+      -> exact dedup                           (operators/dedup.py)
+      -> near-dup pairs + transitive groups    (MinHash LSH + components)
+      -> contamination-safe train/test split   (hash split, queries/coverage4)
+      -> TF-IDF top terms per surviving doc    (operators/tfidf.py)
+
+Every stage is a DataFrame -> DataFrame transform (lazily composed; Spark
+plans the whole pipeline together), so filters push into the scan and the
+dedup shuffles stay narrow.
+
+Run: python examples/llm_pipeline.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from datafusion_ray_spark.operators import dedup, text
+from datafusion_ray_spark.operators.tfidf import tfidf_topk
+from datafusion_ray_spark.session import build_session
+from datafusion_ray_spark.sources.tables import load_table, spread
+
+
+def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
+    spark = build_session(app_name="llm_pipeline")
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    n_raw = docs.count()
+
+    # 1. language + quality gate (pure JVM expressions; pushes into the scan)
+    lang = text.lang_id(docs).select("doc_id", "lang_pred")
+    qual = text.quality_score(docs).select("doc_id", "quality", "pass_min_length")
+    keep = (
+        docs.join(lang, "doc_id")
+        .join(qual, "doc_id")
+        .where(F.col("pass_min_length") & (F.col("quality") > 0.3))
+    )
+    n_kept = keep.count()
+
+    # 2. exact dedup: keep the smallest doc_id per identical text
+    exact = dedup.exact_dedup(keep)
+    keep = keep.join(
+        exact.select(F.col("keep_id").alias("doc_id")), "doc_id"
+    )
+
+    # 3. near-dup removal: MinHash LSH pairs -> transitive groups -> keep
+    #    one representative (the group id) per duplicate cluster
+    pairs = dedup.minhash_dedup_pairs(keep).where("is_near_dup")
+    groups = dedup.duplicate_groups(pairs)
+    drop = groups.where(F.col("doc_id") != F.col("group_id")).select("doc_id")
+    keep = keep.join(drop, "doc_id", "left_anti")
+    n_final = keep.count()
+
+    # 4. contamination-safe split: deterministic hash split (no overlap by
+    #    construction; see contamination_check in the suite)
+    bucket = F.pmod(F.conv(F.substring(F.md5(F.col("text")), 1, 4), 16, 10), F.lit(10))
+    train = keep.where(bucket < 9)
+    test = keep.where(bucket >= 9)
+
+    # 5. TF-IDF top terms over the training corpus
+    top_terms = tfidf_topk(train.select("doc_id", "text"), k=3)
+
+    print(f"raw={n_raw}  quality-kept={n_kept}  after-dedup={n_final}")
+    print(f"train={train.count()}  test={test.count()}")
+    print("sample top terms:")
+    top_terms.orderBy("doc_id", "rank").show(9, truncate=40)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:])
