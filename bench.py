@@ -49,7 +49,12 @@ def main() -> None:
     # warmup (not measured): JVM/codegen, the Python worker pool + Arrow
     # channel (mapInPandas spawns one worker per core on first use), and the
     # md5/expression intrinsics the dedup pipelines lean on.
-    spark.sql("SELECT COUNT(*) FROM lineitem").collect()
+    # Touch actual column data, not just parquet footers (COUNT(*) is
+    # metadata-only): warms page cache + the vectorized reader codegen paths.
+    spark.sql(
+        "SELECT COUNT(*), SUM(l_quantity), MAX(l_shipdate) FROM lineitem"
+    ).collect()
+    spark.sql("SELECT MAX(n_chars), MAX(length(text)) FROM documents").collect()
     spark.range(64).repartition(32).mapInPandas(lambda it: it, "id long").count()
     spark.sql(
         "SELECT max(md5(concat('x', CAST(id AS STRING)))) FROM range(100000)"

@@ -15,7 +15,6 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 
 _CREATE_VIEW = re.compile(r"^\s*create\s+view\s+", re.IGNORECASE)
-_DROP_VIEW = re.compile(r"^\s*drop\s+view\s+(if\s+exists\s+)?(?P<name>[\w.]+)", re.IGNORECASE)
 #: DataFusion COPY statement (datafusion.proto:61; public syntax
 #: ``COPY { table | (query) } TO 'path' [STORED AS fmt] [OPTIONS (...)]``).
 _COPY = re.compile(
@@ -63,7 +62,16 @@ def split_statements(script: str) -> list[str]:
             buf.append(ch)
             i += 1
     statements.append("".join(buf))
-    return [s.strip() for s in statements if s.strip()]
+    return [s.strip() for s in statements if not _is_blank(s)]
+
+
+_COMMENT_SPANS = re.compile(r"--[^\n]*|/\*.*?\*/", re.DOTALL)
+
+
+def _is_blank(stmt: str) -> bool:
+    """True if the statement is only whitespace and/or comments (a trailing
+    ``-- note`` after the final ``;`` must not reach ``spark.sql``)."""
+    return not _COMMENT_SPANS.sub("", stmt).strip()
 
 
 def rewrite_statement(stmt: str) -> str:

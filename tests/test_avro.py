@@ -75,6 +75,43 @@ def test_register_avro_fallback_sql(spark, tmp_path):
     assert n_null == 2
 
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _ROW = st.fixed_dictionaries(
+        {
+            "id": st.integers(min_value=-(2**63), max_value=2**63 - 1),
+            "name": st.text(max_size=40),
+            "x": st.floats(allow_nan=False, allow_infinity=False, width=64),
+            "ok": st.booleans(),
+            "maybe": st.one_of(st.none(), st.text(max_size=10)),
+        }
+    )
+    _PROP_SCHEMA = {
+        "type": "record",
+        "name": "prop",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "name", "type": "string"},
+            {"name": "x", "type": "double"},
+            {"name": "ok", "type": "boolean"},
+            {"name": "maybe", "type": ["null", "string"]},
+        ],
+    }
+
+    @settings(max_examples=50, deadline=None)
+    @given(rows=st.lists(_ROW, max_size=20), codec=st.sampled_from(["null", "deflate"]))
+    def test_avro_roundtrip_property(tmp_path_factory, rows, codec):
+        p = str(tmp_path_factory.mktemp("avro") / "prop.avro")
+        write_avro(p, _PROP_SCHEMA, rows, codec=codec)
+        _, back = read_avro(p)
+        assert back == rows
+
+except ImportError:  # pragma: no cover - hypothesis is baked in per env spec
+    pass
+
+
 def test_spark_type_mapping():
     t = avro_to_spark_type(SCHEMA)
     assert t["id"].dataType.typeName() == "long"
