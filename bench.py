@@ -99,11 +99,16 @@ def main() -> None:
     # ...then a compact (<1 KB) machine-readable summary as the FINAL stdout
     # line: consumers with a bounded tail window (the per-round driver) must
     # be able to parse it whole.  Per-query detail lives in BENCH_DETAIL.json.
-    _FAMILIES = {"dedup", "sim", "join", "ev", "text", "sketch", "mm"}
+    _FAMILIES = {"dedup", "sim", "join", "ev", "text", "sketch", "mm", "pipe"}
+    _PIPELINE = {"doc_chunk", "seq_pack", "pii_redact", "len_histogram",
+                 "source_mix", "split_train_test", "text_normalize",
+                 "contamination_check", "sample_stratified"}
 
     def family(name: str) -> str:
         if name.startswith("q") and name[1:].isdigit():
             return "tpch"
+        if name in _PIPELINE:
+            return "pipe"
         prefix = name.split("_", 1)[0]
         return prefix if prefix in _FAMILIES else "sql"
 

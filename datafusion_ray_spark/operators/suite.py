@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table, spread
-from . import dedup, text
+from . import dedup, packing, text
 from .dedup import JACCARD_THRESHOLD, N_BANDS, ROWS_PER_BAND, N_HASHES
 
 # ---------------------------------------------------------------------------
@@ -618,6 +618,10 @@ ORDER BY s_nationkey
 """
 
 
+def run_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return packing.pack_stats(_docs(spark, sf_dir))
+
+
 def run_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-salted join certified against the plain-join oracle: salting is
     semantics-preserving (the salt only respreads rows), so the aggregated
@@ -867,4 +871,7 @@ def extension_entries():
                    "TF-IDF top-k terms per doc: smoothed idf, windowed top-k"),
         SuiteEntry("join_salted", run_salted_join, SALTED_JOIN_ORACLE,
                    "skew-salted join (replicate-and-scatter), oracle = plain join"),
+        SuiteEntry("seq_pack", run_seq_pack, packing.pack_oracle(),
+                   "sequence packing: two-level distributed prefix sum -> "
+                   "token-budget bins, oracle = global-window cumsum"),
     ]

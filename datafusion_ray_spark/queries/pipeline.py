@@ -1,0 +1,201 @@
+"""Training-data pipeline queries, batch 2: chunking, PII redaction,
+length histograms, source mixing.
+
+These extend the LLM-pipeline surface of coverage4 (split/normalize/
+contamination/sampling) with the remaining preprocessing stages a corpus
+pipeline runs before tokenization: fixed-window chunking with overlap,
+PII scrubbing, length-distribution profiling, and source rebalancing.
+All stay in pure ``pyspark.sql`` expressions (embarrassingly parallel,
+no shuffles beyond the final aggregations) with exact DuckDB oracles.
+
+Cross-engine notes: Spark SQL string literals process ``\\`` escapes while
+DuckDB's are raw, so regex patterns are spelled per engine; Spark
+``REGEXP_REPLACE`` is global while DuckDB needs the ``'g'`` flag; integer
+division is ``DIV`` vs ``//``; hex→int is ``CONV(h,16,10)`` vs a ``'0x…'``
+cast.
+"""
+
+from __future__ import annotations
+
+from .tpch import QueryDef
+
+_Q: dict[str, QueryDef] = {}
+
+
+def _q(name: str, sql: str, description: str, oracle: str | None = None) -> None:
+    _Q[name] = QueryDef(name=name, sql=sql.strip(), description=description,
+                        oracle=oracle.strip() if oracle else None)
+
+
+# Fixed-size token chunking with overlap (chunk 64 tokens, stride 48 →
+# 16-token overlap), the context-window preprocessing step. Chunk count per
+# doc = 1 + max(0, ceil((n_tok - size) / stride)); the hash certifies the
+# exact chunk text.
+_q(
+    "doc_chunk",
+    """
+WITH toks AS (
+    SELECT doc_id, SPLIT(text, ' ') AS tokens,
+           SIZE(SPLIT(text, ' ')) AS n_tok
+    FROM documents
+),
+idx AS (
+    SELECT doc_id, tokens,
+           EXPLODE(SEQUENCE(0, CAST(GREATEST(CEIL((n_tok - 64) / 48.0), 0) AS INT))) AS chunk_id
+    FROM toks
+)
+SELECT doc_id,
+       CAST(chunk_id AS INT) AS chunk_id,
+       CAST(SIZE(SLICE(tokens, chunk_id * 48 + 1, 64)) AS INT) AS n_tokens,
+       MD5(ARRAY_JOIN(SLICE(tokens, chunk_id * 48 + 1, 64), ' ')) AS chunk_hash
+FROM idx
+ORDER BY doc_id, chunk_id
+""",
+    "token chunking: 64-token windows, stride 48 (16-token overlap)",
+    oracle="""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS tokens,
+           len(string_split(text, ' ')) AS n_tok
+    FROM documents
+),
+idx AS (
+    SELECT doc_id, tokens,
+           unnest(range(0, CAST(GREATEST(CEIL((n_tok - 64) / 48.0), 0) AS INT) + 1)) AS chunk_id
+    FROM toks
+)
+SELECT doc_id,
+       CAST(chunk_id AS INT) AS chunk_id,
+       CAST(len(list_slice(tokens, chunk_id * 48 + 1, chunk_id * 48 + 64)) AS INT) AS n_tokens,
+       MD5(array_to_string(list_slice(tokens, chunk_id * 48 + 1, chunk_id * 48 + 64), ' ')) AS chunk_hash
+FROM idx
+ORDER BY doc_id, chunk_id
+""",
+)
+
+
+# PII redaction. The synthetic corpus has no real PII, so deterministic
+# fake emails/IPs/phones are injected first (keyed on doc_id), then counted
+# and scrubbed; the hash certifies the exact redacted text.
+_SPARK_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_SPARK_IP = r"\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+_SPARK_PHONE = r"\\b\\d{3}-\\d{4}\\b"
+_DUCK_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_DUCK_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_DUCK_PHONE = r"\b\d{3}-\d{4}\b"
+
+_PII_AUG_SPARK = """
+    SELECT doc_id,
+           CONCAT(text,
+                  CASE WHEN doc_id % 7 = 0
+                       THEN CONCAT(' contact user', CAST(doc_id AS STRING), '@example.com now')
+                       ELSE '' END,
+                  CASE WHEN doc_id % 11 = 0
+                       THEN CONCAT(' host 10.0.', CAST(doc_id % 256 AS STRING), '.',
+                                   CAST(doc_id % 100 AS STRING), ' up')
+                       ELSE '' END,
+                  CASE WHEN doc_id % 13 = 0 THEN ' call 555-0142 today' ELSE '' END) AS text
+    FROM documents
+"""
+_PII_AUG_DUCK = _PII_AUG_SPARK.replace("AS STRING", "AS VARCHAR")
+
+_q(
+    "pii_redact",
+    f"""
+WITH aug AS ({_PII_AUG_SPARK})
+SELECT doc_id,
+       CAST(REGEXP_COUNT(text, '{_SPARK_EMAIL}') AS INT) AS n_emails,
+       CAST(REGEXP_COUNT(text, '{_SPARK_IP}') AS INT) AS n_ips,
+       CAST(REGEXP_COUNT(text, '{_SPARK_PHONE}') AS INT) AS n_phones,
+       MD5(REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(text,
+           '{_SPARK_EMAIL}', '<EMAIL>'),
+           '{_SPARK_IP}', '<IP>'),
+           '{_SPARK_PHONE}', '<PHONE>')) AS redacted_hash
+FROM aug
+ORDER BY doc_id
+""",
+    "PII scrub: email/IP/phone detection counts + redacted-text hash",
+    oracle=f"""
+WITH aug AS ({_PII_AUG_DUCK})
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_DUCK_EMAIL}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{_DUCK_IP}')) AS INT) AS n_ips,
+       CAST(len(regexp_extract_all(text, '{_DUCK_PHONE}')) AS INT) AS n_phones,
+       MD5(regexp_replace(regexp_replace(regexp_replace(text,
+           '{_DUCK_EMAIL}', '<EMAIL>', 'g'),
+           '{_DUCK_IP}', '<IP>', 'g'),
+           '{_DUCK_PHONE}', '<PHONE>', 'g')) AS redacted_hash
+FROM aug
+ORDER BY doc_id
+""",
+)
+
+
+# Length-distribution histogram on exact log2 buckets. LENGTH(BIN(n)) =
+# floor(log2(n)) + 1 with pure integer arithmetic — no float-on-the-
+# boundary hazard (both engines print minimal-width binary).
+_LEN_HIST = """
+SELECT CAST(LENGTH(BIN(n_chars)) AS INT) AS log2_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars
+FROM documents
+GROUP BY 1
+ORDER BY 1
+"""
+_q(
+    "len_histogram",
+    _LEN_HIST,
+    "document length histogram on exact integer log2 buckets",
+    oracle=_LEN_HIST,
+)
+
+
+# Source rebalancing ("uniform remix"): downsample every source to ~the
+# smallest source's size with a deterministic md5-threshold filter. The
+# per-source keep-rate is computed FROM the data (two-phase: count, then
+# broadcast-joined thresholds), so this exercises the dynamic-sampling
+# shape, not a hardcoded rate. 16-bit integer thresholds compare exactly
+# in both engines.
+_q(
+    "source_mix",
+    """
+WITH counts AS (
+    SELECT source, COUNT(*) AS c FROM documents GROUP BY source
+),
+tgt AS (SELECT MIN(c) AS target FROM counts),
+rates AS (
+    SELECT source, CAST(target * 65536 DIV c AS BIGINT) AS thr
+    FROM counts CROSS JOIN tgt
+)
+SELECT d.source,
+       CAST(r.thr AS BIGINT) AS thr,
+       CAST(COUNT(*) AS BIGINT) AS n_sampled,
+       CAST(SUM(d.n_chars) AS BIGINT) AS sampled_chars
+FROM documents d JOIN rates r ON d.source = r.source
+WHERE CAST(CONV(SUBSTRING(MD5(CAST(d.doc_id AS STRING)), 1, 4), 16, 10) AS BIGINT) < r.thr
+GROUP BY d.source, r.thr
+ORDER BY d.source
+""",
+    "source remix: downsample each source to the smallest source's size",
+    oracle="""
+WITH counts AS (
+    SELECT source, COUNT(*) AS c FROM documents GROUP BY source
+),
+tgt AS (SELECT MIN(c) AS target FROM counts),
+rates AS (
+    SELECT source, CAST(target * 65536 // c AS BIGINT) AS thr
+    FROM counts CROSS JOIN tgt
+)
+SELECT d.source,
+       CAST(r.thr AS BIGINT) AS thr,
+       CAST(COUNT(*) AS BIGINT) AS n_sampled,
+       CAST(SUM(d.n_chars) AS BIGINT) AS sampled_chars
+FROM documents d JOIN rates r ON d.source = r.source
+WHERE CAST(CONCAT('0x', SUBSTRING(MD5(CAST(d.doc_id AS VARCHAR)), 1, 4)) AS BIGINT) < r.thr
+GROUP BY d.source, r.thr
+ORDER BY d.source
+""",
+)
+
+PIPELINE_QUERIES: dict[str, QueryDef] = dict(_Q)

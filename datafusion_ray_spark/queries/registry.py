@@ -22,6 +22,7 @@ from .coverage import COVERAGE_QUERIES
 from .coverage2 import COVERAGE2_QUERIES
 from .coverage3 import COVERAGE3_QUERIES
 from .coverage4 import COVERAGE4_QUERIES
+from .pipeline import PIPELINE_QUERIES
 from .tpch import TPCH_QUERIES, QueryDef
 
 
@@ -75,7 +76,8 @@ _PRIORITY_AFTER_TPCH = [
 def build_registry() -> dict[str, SuiteEntry]:
     unordered: dict[str, SuiteEntry] = {}
     for qdef in {**TPCH_QUERIES, **COVERAGE_QUERIES, **COVERAGE2_QUERIES,
-                 **COVERAGE3_QUERIES, **COVERAGE4_QUERIES}.values():
+                 **COVERAGE3_QUERIES, **COVERAGE4_QUERIES,
+                 **PIPELINE_QUERIES}.values():
         unordered[qdef.name] = _sql_entry(qdef)
     # Extension operators (DataFrame/Pandas-UDF implementations).
     from ..operators.suite import extension_entries
