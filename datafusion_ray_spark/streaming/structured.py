@@ -129,6 +129,25 @@ def session_counts_stream(
     )
 
 
+def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup — twin of ``operators/dedup.exact_dedup``:
+    keep the first event per content digest.
+
+    ``dropDuplicatesWithinWatermark`` holds one digest per distinct content
+    in the state store and expires it once the watermark passes, so dedup
+    state is O(distinct-content within the watermark horizon), not
+    O(stream) — the property that makes exact dedup runnable on an
+    unbounded ingest stream."""
+    return (
+        events.withColumn(
+            "digest", F.md5(F.concat_ws("\x1f", "event_type", "props"))
+        )
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["digest"])
+        .select("event_id", "ts", "digest")
+    )
+
+
 def stateful_user_counts_stream(events: DataFrame) -> DataFrame:
     """Custom stateful streaming operator: per-user running event count and
     value total via ``applyInPandasWithState``.

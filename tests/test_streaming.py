@@ -81,3 +81,23 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir, events_dir):
         F.expr("user_id = v_user AND v_ts >= ts - INTERVAL 10 MINUTES AND v_ts < ts"),
     ).count()
     assert n_streamed == n_batch > 0
+
+
+def test_streaming_dedup_matches_batch(spark, sf_dir, events_dir):
+    """Streaming exact dedup keeps exactly one event per distinct content
+    digest (append mode; all events fall inside the watermark horizon)."""
+    stream = structured.stream_events(spark, events_dir)
+    structured.run_to_memory(
+        structured.dedup_stream(stream), "stream_dedup", output_mode="append"
+    )
+    streamed = spark.sql("SELECT digest FROM stream_dedup").collect()
+    digests = [r["digest"] for r in streamed]
+    assert len(digests) == len(set(digests))
+    from pyspark.sql import functions as F
+    n_distinct = (
+        load_table(spark, sf_dir, "events")
+        .select(F.md5(F.concat_ws("\x1f", "event_type", "props")).alias("d"))
+        .distinct()
+        .count()
+    )
+    assert len(digests) == n_distinct > 0
