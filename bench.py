@@ -76,6 +76,9 @@ def main() -> None:
             elapsed = time.perf_counter() - start
             best = elapsed if best is None else min(best, elapsed)
         per_query[name] = round(best, 4)
+        # Drop any blocks the query persisted (dedup candidate sets etc.) so
+        # later queries aren't measured under earlier queries' cache residue.
+        spark.catalog.clearCache()
 
     sf = args.sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else args.sf_dir

@@ -7,6 +7,7 @@ migrates to this engine for, composed from the library operators.
       -> near-dup pairs + transitive groups    (MinHash LSH + components)
       -> contamination-safe train/test split   (hash split, queries/coverage4)
       -> TF-IDF top terms per surviving doc    (operators/tfidf.py)
+      -> pack into token-budget context bins   (operators/packing.py)
 
 Every stage is a DataFrame -> DataFrame transform (lazily composed; Spark
 plans the whole pipeline together), so filters push into the scan and the
@@ -24,7 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
-from datafusion_ray_spark.operators import dedup, text
+from datafusion_ray_spark.operators import dedup, packing, text
 from datafusion_ray_spark.operators.tfidf import tfidf_topk
 from datafusion_ray_spark.session import build_session
 from datafusion_ray_spark.sources.tables import load_table, spread
@@ -68,10 +69,16 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     # 5. TF-IDF top terms over the training corpus
     top_terms = tfidf_topk(train.select("doc_id", "text"), k=3)
 
+    # 6. layout for training: pack the train split into fixed token-budget
+    #    context bins (distributed prefix sum — no global window)
+    bins = packing.pack_stats(train, budget=512)
+
     print(f"raw={n_raw}  quality-kept={n_kept}  after-dedup={n_final}")
     print(f"train={train.count()}  test={test.count()}")
     print("sample top terms:")
     top_terms.orderBy("doc_id", "rank").show(9, truncate=40)
+    print("context bins (512-token budget):")
+    bins.show(5)
     spark.stop()
 
 
