@@ -73,3 +73,59 @@ def count_min_estimate(sketch: DataFrame, keys: list) -> DataFrame:
         .groupBy("key")
         .agg(F.min("cnt").cast("long").alias("est"))
     )
+
+
+# --- HyperLogLog ----------------------------------------------------------
+#
+# Flajolet et al., "HyperLogLog: the analysis of a near-optimal cardinality
+# estimation algorithm", AofA 2007. m = 64 registers (b = 6 bits); alpha_64
+# = 0.709. Deterministic: register index and rank come from md5 hex (no
+# engine-native hash), and the register sum sum(2^-M_j) is computed as an
+# EXACT fixed-point integer sum(2^(K - M_j)) / 2^K, so the estimate is one
+# float division of two exact integers — bit-identical across engines and
+# therefore hash-certifiable (unlike approx_count_distinct's opaque HLL++).
+
+HLL_M = 64  #: registers (b = 6 index bits)
+HLL_K = 50  #: fixed-point scale; ranks > K contribute 0 (P < 2^-50)
+HLL_ALPHA = 0.709  #: bias constant for m = 64
+
+
+def hll_registers(df: DataFrame, key_col: str) -> DataFrame:
+    """Build the register table (register, max_rho) — ≤ m rows.
+
+    rho = 1 + leading-zero count of a 60-bit md5 suffix, computed with pure
+    integer arithmetic: LENGTH(BIN(v)) = floor(log2 v) + 1 (no float-on-
+    the-boundary hazard). Mergeable: registers from shards/days combine
+    with groupBy(register).max(max_rho) — the HLL property.
+    """
+    h = F.md5(F.col(key_col).cast("string"))
+    reg = (F.conv(F.substring(h, 1, 2), 16, 10).cast("long") % HLL_M).cast("int")
+    v = F.conv(F.substring(h, 3, 15), 16, 10).cast("long")  # 60 bits
+    rho = F.when(v == 0, F.lit(61)).otherwise(F.lit(61) - F.length(F.bin(v)))
+    return (
+        df.select(reg.alias("register"), rho.cast("int").alias("rho"))
+        .groupBy("register")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_estimate(registers: DataFrame) -> DataFrame:
+    """One-row estimate from a register table (raw HLL formula).
+
+    Unseen registers count as M_j = 0. The fixed-point register sum is an
+    exact BIGINT (64 terms ≤ 2^50), so the only float op is the final
+    division.
+    """
+    spark = registers.sparkSession
+    full = spark.range(HLL_M).select(F.col("id").cast("int").alias("register"))
+    term = F.expr(
+        f"CASE WHEN coalesce(max_rho, 0) <= {HLL_K} "
+        f"THEN shiftleft(CAST(1 AS BIGINT), {HLL_K} - coalesce(max_rho, 0)) "
+        f"ELSE CAST(0 AS BIGINT) END"
+    )
+    scale = float(HLL_ALPHA * HLL_M * HLL_M * (1 << HLL_K))
+    return (
+        full.join(registers, "register", "left")
+        .agg(F.sum(term).alias("reg_sum"))
+        .select(F.round(F.lit(scale) / F.col("reg_sum"), 4).alias("hll_est"))
+    )

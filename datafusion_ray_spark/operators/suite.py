@@ -463,6 +463,49 @@ ORDER BY e.event_id
 """
 
 
+def hll_oracle(key_expr: str = "l_orderkey", table: str = "lineitem",
+               bound: float = 0.3) -> str:
+    """DuckDB twin of hll_registers + hll_estimate (sketch.py): identical
+    md5-derived registers/ranks, exact fixed-point register sum, one float
+    division — hash-certifiable."""
+    from .sketch import HLL_ALPHA, HLL_K, HLL_M
+
+    return f"""
+WITH h AS (SELECT md5(CAST({key_expr} AS VARCHAR)) AS d FROM {table}),
+r AS (
+    SELECT CAST(CAST('0x' || substring(d, 1, 2) AS BIGINT) % {HLL_M} AS INT) AS register,
+           CAST('0x' || substring(d, 3, 15) AS BIGINT) AS v
+    FROM h
+),
+rho AS (
+    SELECT register,
+           MAX(CASE WHEN v = 0 THEN 61 ELSE 61 - length(bin(v)) END) AS max_rho
+    FROM r GROUP BY register
+),
+regs AS (
+    SELECT g.register, COALESCE(rho.max_rho, 0) AS m_j
+    FROM (SELECT CAST(unnest(range(0, {HLL_M})) AS INT) AS register) g
+    LEFT JOIN rho ON g.register = rho.register
+),
+s AS (
+    SELECT SUM(CASE WHEN m_j <= {HLL_K}
+                    THEN (1::BIGINT << CAST({HLL_K} - m_j AS INT))
+                    ELSE 0 END) AS reg_sum
+    FROM regs
+),
+e AS (
+    SELECT ROUND(CAST({HLL_ALPHA} AS DOUBLE) * {HLL_M} * {HLL_M}
+                 * (1::BIGINT << {HLL_K}) / reg_sum, 4) AS hll_est
+    FROM s
+),
+x AS (SELECT COUNT(DISTINCT {key_expr}) AS n_exact FROM {table})
+SELECT CAST(n_exact AS BIGINT) AS n_exact,
+       hll_est,
+       ABS(hll_est / n_exact - 1.0) <= {bound} AS within_bound
+FROM x, e
+"""
+
+
 def cms_oracle(keys: list[int]) -> str:
     from .sketch import CMS_PREFIXES, CMS_WIDTH
 
@@ -743,6 +786,19 @@ def run_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     return count_min_estimate(sketch, CMS_KEYS).orderBy("key")
 
 
+def run_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sketch import hll_estimate, hll_registers
+
+    li = spread(load_table(spark, sf_dir, "lineitem"))
+    est = hll_estimate(hll_registers(li, "l_orderkey"))
+    exact = li.agg(F.countDistinct("l_orderkey").cast("long").alias("n_exact"))
+    return exact.crossJoin(F.broadcast(est)).select(
+        "n_exact",
+        "hll_est",
+        (F.abs(F.col("hll_est") / F.col("n_exact") - 1) <= 0.3).alias("within_bound"),
+    )
+
+
 def run_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.minhash_dedup_pairs(_docs(spark, sf_dir)).where("is_near_dup")
     return dedup.duplicate_groups(pairs).orderBy("doc_id")
@@ -874,4 +930,7 @@ def extension_entries():
         SuiteEntry("seq_pack", run_seq_pack, packing.pack_oracle(),
                    "sequence packing: two-level distributed prefix sum -> "
                    "token-budget bins, oracle = global-window cumsum"),
+        SuiteEntry("sketch_hll", run_hll, hll_oracle(),
+                   "HyperLogLog: md5 registers, exact fixed-point sum, "
+                   "deterministic estimate vs exact distinct"),
     ]

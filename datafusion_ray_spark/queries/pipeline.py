@@ -17,7 +17,7 @@ cast.
 
 from __future__ import annotations
 
-from .tpch import QueryDef
+from .tpch import QueryDef, cents
 
 _Q: dict[str, QueryDef] = {}
 
@@ -196,6 +196,52 @@ WHERE CAST(CONCAT('0x', SUBSTRING(MD5(CAST(d.doc_id AS VARCHAR)), 1, 4)) AS BIGI
 GROUP BY d.source, r.thr
 ORDER BY d.source
 """,
+)
+
+# Mergeable equi-width histogram quantile sketch: $1000 buckets over
+# l_extendedprice (integer cents), cumulative counts over the (bounded,
+# few-hundred-row) bucket table, linear interpolation inside the bucket
+# where the cumulative count crosses the target rank. Histograms merge by
+# elementwise addition, so shards/days compose — and unlike a GK sketch the
+# estimate is deterministic, so it hash-certifies against the same
+# interpolation in DuckDB alongside the exact percentile.
+_HIST_Q = """
+WITH h AS (
+    SELECT {cents} DIV 100000 AS bucket, COUNT(*) AS c
+    FROM lineitem
+    GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n, COUNT(*) AS n_buckets FROM h),
+cum AS (
+    SELECT bucket, c,
+           SUM(c) OVER (ORDER BY bucket
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+    FROM h
+),
+med AS (
+    SELECT CAST(bucket AS DOUBLE) AS bucket, CAST(c AS DOUBLE) AS c,
+           CAST(cum - c AS DOUBLE) AS cum_prev
+    FROM cum CROSS JOIN tot
+    WHERE cum - c < 0.5 * n AND cum >= 0.5 * n
+),
+ex AS (SELECT {pctl} AS exact_med FROM lineitem)
+SELECT CAST(t.n_buckets AS BIGINT) AS n_buckets,
+       ROUND((m.bucket * 100000 + 100000 * (0.5 * t.n - m.cum_prev) / m.c) / 100.0, 4) AS est_median,
+       ROUND(e.exact_med, 4) AS exact_median,
+       ABS((m.bucket * 100000 + 100000 * (0.5 * t.n - m.cum_prev) / m.c) / 100.0
+           - e.exact_med) <= 1000.0 AS within_bucket
+FROM med m CROSS JOIN tot t CROSS JOIN ex e
+"""
+
+_q(
+    "sketch_hist_quantile",
+    _HIST_Q.format(cents=cents("l_extendedprice"),
+                   pctl="PERCENTILE(l_extendedprice, 0.5)"),
+    "histogram quantile sketch: $1000-bucket median estimate vs exact",
+    oracle=_HIST_Q.replace(" DIV ", " // ").format(
+        cents=cents("l_extendedprice"),
+        pctl="QUANTILE_CONT(l_extendedprice, 0.5)",
+    ),
 )
 
 PIPELINE_QUERIES: dict[str, QueryDef] = dict(_Q)

@@ -342,3 +342,38 @@ def test_count_min_upper_bound_property(spark, sf_dir):
     for k in keys:
         t = true.get(str(k), 0)
         assert t <= est[str(k)] <= n, (k, t, est[str(k)])
+
+
+def test_hll_merge_property(spark, sf_dir):
+    """HLL registers merge: max-combining two shards' register tables gives
+    exactly the registers of the union — the property that lets sketches
+    compose across partitions/days at scale."""
+    from datafusion_ray_spark.operators.sketch import hll_estimate, hll_registers
+    from datafusion_ray_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.where(F.col("l_orderkey") % 2 == 0)
+    b = li.where(F.col("l_orderkey") % 2 == 1)
+    merged = (
+        hll_registers(a, "l_orderkey")
+        .unionByName(hll_registers(b, "l_orderkey"))
+        .groupBy("register")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+    whole = hll_registers(li, "l_orderkey")
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+    est_merged = hll_estimate(merged).first()["hll_est"]
+    est_whole = hll_estimate(whole).first()["hll_est"]
+    assert est_merged == est_whole
+
+
+def test_hll_duplicate_insensitive(spark, sf_dir):
+    """Cardinality estimate is unchanged by duplicating every row."""
+    from datafusion_ray_spark.operators.sketch import hll_estimate, hll_registers
+    from datafusion_ray_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    doubled = li.unionByName(li)
+    e1 = hll_estimate(hll_registers(li, "l_orderkey")).first()["hll_est"]
+    e2 = hll_estimate(hll_registers(doubled, "l_orderkey")).first()["hll_est"]
+    assert e1 == e2
