@@ -33,12 +33,13 @@ def _hex4_to_int(digest: Column) -> Column:
     return F.conv(F.substring(digest, 1, 4), 16, 10).cast("long")
 
 
-def cms_bucket(key: Column, prefix: str) -> Column:
+def cms_bucket(key: Column, prefix: str, width: int = CMS_WIDTH) -> Column:
     digest = F.md5(F.concat(F.lit(prefix), key)) if prefix else F.md5(key)
-    return (_hex4_to_int(digest) % CMS_WIDTH).cast("int")
+    return (_hex4_to_int(digest) % width).cast("int")
 
 
-def count_min_build(df: DataFrame, key_col: str) -> DataFrame:
+def count_min_build(df: DataFrame, key_col: str,
+                    width: int = CMS_WIDTH) -> DataFrame:
     """Build the sketch: (row, bucket, cnt), D·W rows max.
 
     One scan: the D bucket ids per input row are ``posexplode``-d from a
@@ -46,7 +47,7 @@ def count_min_build(df: DataFrame, key_col: str) -> DataFrame:
     benched 2.5x slower; a struct-array explode benched ~40% slower than the
     int-array form, struct allocation per element dominates)."""
     key = F.col(key_col).cast("string")
-    arr = F.array(*[cms_bucket(key, p) for p in CMS_PREFIXES])
+    arr = F.array(*[cms_bucket(key, p, width) for p in CMS_PREFIXES])
     return (
         df.select(F.posexplode(arr).alias("row", "bucket"))
         .groupBy("row", "bucket")
@@ -72,6 +73,59 @@ def count_min_estimate(sketch: DataFrame, keys: list) -> DataFrame:
         .na.fill({"cnt": 0})
         .groupBy("key")
         .agg(F.min("cnt").cast("long").alias("est"))
+    )
+
+
+#: Heavy-hitter configuration: wider sketch (eps = e/W small enough that
+#: collisions don't promote light keys) — still only D·W counters.
+HH_WIDTH = 4096
+
+
+def heavy_hitters(df: DataFrame, key_col: str, threshold_frac: float,
+                  k: int = 10, width: int = HH_WIDTH) -> DataFrame:
+    """Top-k heavy hitters: CMS candidate generation + exact verification.
+
+    Classic two-pass batch form of the streaming heavy-hitters problem
+    (Cormode & Muthukrishnan 2005 §4): pass 1 builds the bounded sketch and
+    probes it with every distinct key (est >= true always, so NO true heavy
+    hitter is missed); pass 2 exactly counts ONLY the candidate keys via a
+    broadcast semi-join. At 100 TB: the sketch is D·W counters regardless of
+    input (broadcast-able by construction), candidates are ~1/threshold_frac
+    keys, and the exact pass never materializes the full key frequency
+    table — that is the point of the sketch.
+
+    Output is deterministic (md5 buckets + exact ordering) and includes the
+    CMS no-underestimate invariant as a checkable column.
+    """
+    n = df.count()  # driver-side scalar: one number, not data
+    threshold = threshold_frac * n
+    sketch = count_min_build(df, key_col, width=width)
+    keys = df.select(F.col(key_col).cast("string").alias("key")).distinct()
+    arr = F.array(*[cms_bucket(F.col("key"), p, width) for p in CMS_PREFIXES])
+    probes = keys.select("key", F.posexplode(arr).alias("row", "bucket"))
+    est = (
+        probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
+        .na.fill({"cnt": 0})
+        .groupBy("key")
+        .agg(F.min("cnt").cast("long").alias("est"))
+    )
+    candidates = est.where(F.col("est") >= threshold)
+    exact = (
+        df.select(F.col(key_col).cast("string").alias("key"))
+        .join(F.broadcast(candidates.select("key")), "key", "left_semi")
+        .groupBy("key")
+        .agg(F.count("*").cast("long").alias("exact"))
+    )
+    return (
+        exact.join(F.broadcast(candidates), "key")
+        .select(
+            F.col("key").cast("long").alias("key"),
+            "est",
+            "exact",
+            (F.col("est") >= F.col("exact")).alias("no_underestimate"),
+        )
+        .orderBy(F.desc("exact"), F.asc("key"))
+        .limit(k)
     )
 
 

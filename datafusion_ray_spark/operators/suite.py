@@ -547,6 +547,142 @@ ORDER BY p.key
 
 CMS_KEYS = [1, 2, 3, 4, 5]
 
+#: Heavy-hitter demo parameters (events.user_id): threshold as a fraction
+#: of total rows, top-k by exact count.
+HH_THRESHOLD_FRAC = 0.0008
+HH_K = 10
+
+
+def hh_oracle(threshold_frac: float = HH_THRESHOLD_FRAC, k: int = HH_K) -> str:
+    """DuckDB twin of sketch.heavy_hitters over events.user_id: identical
+    md5-derived buckets (width HH_WIDTH), CMS min-estimate, threshold
+    filter, exact verification, same ordering."""
+    from .sketch import CMS_PREFIXES, HH_WIDTH
+
+    hexmap = "0123456789abcdef"
+
+    def hex4(expr: str) -> str:
+        return " + ".join(
+            f"(strpos('{hexmap}', substring({expr}, {p + 1}, 1)) - 1) * {16 ** (3 - p)}"
+            for p in range(4)
+        )
+
+    def bucket(prefix: str, key_expr: str) -> str:
+        inner = f"md5('{prefix}' || {key_expr})" if prefix else f"md5({key_expr})"
+        return f"CAST(({hex4(inner)}) % {HH_WIDTH} AS INT)"
+
+    build = "\nUNION ALL\n".join(
+        f"SELECT {i} AS row, {bucket(p, 'key')} AS bucket FROM src"
+        for i, p in enumerate(CMS_PREFIXES)
+    )
+    probes = "\nUNION ALL\n".join(
+        f"SELECT key, {i} AS row, {bucket(p, 'key')} AS bucket FROM keys"
+        for i, p in enumerate(CMS_PREFIXES)
+    )
+    return f"""
+WITH src AS (SELECT CAST(user_id AS VARCHAR) AS key FROM events),
+tot AS (SELECT COUNT(*) AS n FROM src),
+sketch AS (
+    SELECT row, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM ({build}) b GROUP BY row, bucket
+),
+keys AS (SELECT DISTINCT key FROM src),
+probes AS ({probes}),
+est AS (
+    SELECT p.key, CAST(MIN(COALESCE(s.cnt, 0)) AS BIGINT) AS est
+    FROM probes p LEFT JOIN sketch s ON s.row = p.row AND s.bucket = p.bucket
+    GROUP BY p.key
+),
+cand AS (SELECT est.key, est.est FROM est, tot WHERE est.est >= {threshold_frac} * tot.n),
+exact AS (
+    SELECT s.key, CAST(COUNT(*) AS BIGINT) AS exact
+    FROM src s JOIN cand c ON s.key = c.key
+    GROUP BY s.key
+)
+SELECT CAST(e.key AS BIGINT) AS key, c.est, e.exact,
+       c.est >= e.exact AS no_underestimate
+FROM exact e JOIN cand c ON e.key = c.key
+ORDER BY e.exact DESC, CAST(e.key AS BIGINT) ASC
+LIMIT {k}
+"""
+
+
+def repetition_oracle() -> str:
+    """DuckDB twin of text.repetition_stats: array-side duplicate-bigram
+    fraction + grouped top-word share, same rounding and tiebreaks."""
+    from .text import REP_MAX_DUP_BIGRAM_FRAC, REP_MAX_TOP_WORD_FRAC
+
+    return f"""
+WITH t AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+b AS (
+    SELECT doc_id,
+           CASE WHEN len(w) >= 2
+                THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+                ELSE [] END AS bg
+    FROM t
+),
+d AS (
+    SELECT doc_id, len(bg) AS n_bigrams,
+           len(bg) - len(list_distinct(bg)) AS n_dup
+    FROM b
+),
+words AS (SELECT doc_id, unnest(w) AS word FROM t),
+wc AS (SELECT doc_id, word, COUNT(*) AS c FROM words GROUP BY doc_id, word),
+mx AS (SELECT doc_id, MAX(c) AS mc FROM wc GROUP BY doc_id),
+top AS (
+    SELECT wc.doc_id, MIN(wc.word) AS top_word, ANY_VALUE(mx.mc) AS top_count
+    FROM wc JOIN mx ON wc.doc_id = mx.doc_id AND wc.c = mx.mc
+    GROUP BY wc.doc_id
+),
+nt AS (SELECT doc_id, CAST(SUM(c) AS INT) AS n_tokens FROM wc GROUP BY doc_id),
+j AS (
+    SELECT d.doc_id, nt.n_tokens, CAST(d.n_bigrams AS INT) AS n_bigrams,
+           ROUND(CASE WHEN d.n_bigrams > 0
+                      THEN CAST(d.n_dup AS DOUBLE) / d.n_bigrams
+                      ELSE 0.0 END, 6) AS dup_bigram_frac,
+           top.top_word,
+           ROUND(CAST(top.top_count AS DOUBLE) / nt.n_tokens, 6) AS top_word_frac
+    FROM d
+    JOIN top ON d.doc_id = top.doc_id
+    JOIN nt ON d.doc_id = nt.doc_id
+)
+SELECT doc_id, n_tokens, n_bigrams, dup_bigram_frac, top_word, top_word_frac,
+       (dup_bigram_frac <= {REP_MAX_DUP_BIGRAM_FRAC}
+        AND top_word_frac <= {REP_MAX_TOP_WORD_FRAC}) AS pass_repetition
+FROM j
+ORDER BY doc_id
+"""
+
+
+def paragraph_dedup_oracle() -> str:
+    """DuckDB twin of dedup.paragraph_dedup: fixed-width word chunks,
+    corpus-wide first-occurrence winners by (doc_id, idx), in-order
+    reconstruction digest."""
+    from .dedup import CHUNK_WORDS
+
+    cw = CHUNK_WORDS
+    return f"""
+WITH t AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+c0 AS (
+    SELECT doc_id,
+           list_transform(range(0, CAST(ceil(len(w) / {cw}.0) AS BIGINT)),
+               j -> {{'idx': CAST(j AS INT),
+                      'chunk': array_to_string(list_slice(w, j * {cw} + 1, j * {cw} + {cw}), ' ')}}) AS cs
+    FROM t
+),
+c1 AS (SELECT doc_id, unnest(cs) AS s FROM c0),
+c AS (SELECT doc_id, s.idx AS idx, s.chunk AS chunk FROM c1),
+h AS (
+    SELECT doc_id, idx, chunk,
+           ROW_NUMBER() OVER (PARTITION BY md5(chunk) ORDER BY doc_id, idx) AS rn
+    FROM c
+)
+SELECT doc_id, CAST(COUNT(*) AS INT) AS n_chunks,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS INT) AS n_kept,
+       md5(COALESCE(string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY idx), '')) AS kept_hash
+FROM h GROUP BY doc_id ORDER BY doc_id
+"""
+
 
 ASOF_ORACLE = """
 WITH clicks AS (
@@ -643,6 +779,21 @@ def run_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def run_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.winnow_fingerprints(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def run_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.repetition_stats(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def run_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.paragraph_dedup(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def run_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sketch import heavy_hitters
+
+    ev = spread(load_table(spark, sf_dir, "events").select("user_id"))
+    return heavy_hitters(ev, "user_id", threshold_frac=HH_THRESHOLD_FRAC, k=HH_K)
 
 
 def run_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -789,7 +940,10 @@ def run_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
 def run_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sketch import hll_estimate, hll_registers
 
-    li = spread(load_table(spark, sf_dir, "lineitem"))
+    # Project to the key BEFORE spread(): the repartition exists only to fan
+    # the md5 work across cores, and shuffling one narrow column beats
+    # shuffling the full 16-column row.
+    li = spread(load_table(spark, sf_dir, "lineitem").select("l_orderkey"))
     est = hll_estimate(hll_registers(li, "l_orderkey"))
     exact = li.agg(F.countDistinct("l_orderkey").cast("long").alias("n_exact"))
     return exact.crossJoin(F.broadcast(est)).select(
@@ -933,4 +1087,13 @@ def extension_entries():
         SuiteEntry("sketch_hll", run_hll, hll_oracle(),
                    "HyperLogLog: md5 registers, exact fixed-point sum, "
                    "deterministic estimate vs exact distinct"),
+        SuiteEntry("text_repetition", run_repetition, repetition_oracle(),
+                   "within-doc repetition: dup-bigram + top-word fractions "
+                   "(Gopher filter)"),
+        SuiteEntry("dedup_paragraph", run_paragraph_dedup,
+                   paragraph_dedup_oracle(),
+                   "corpus-wide paragraph-hash dedup with in-order doc "
+                   "reconstruction"),
+        SuiteEntry("sketch_heavy_hitters", run_heavy_hitters, hh_oracle(),
+                   "top-k heavy hitters: CMS candidates + exact verify"),
     ]

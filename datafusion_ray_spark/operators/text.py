@@ -141,6 +141,77 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+#: Repetition thresholds (MassiveText/Gopher-style filtering, Rae et al.
+#: 2021 §A1.1): a document is repetition-flagged when too much of it is
+#: duplicated bigrams or a single dominant token.
+REP_MAX_DUP_BIGRAM_FRAC = 0.2
+REP_MAX_TOP_WORD_FRAC = 0.3
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Within-document repetition signals (the Gopher repetition filter).
+
+    Two signals per document, both exact integer ratios (bit-deterministic):
+
+    - ``dup_bigram_frac``: fraction of word-bigram occurrences beyond each
+      bigram's first occurrence — computed ARRAY-SIDE as
+      ``(n - n_distinct) / n``, so this path is shuffle-free and
+      embarrassingly parallel.
+    - ``top_word_frac``: share of tokens taken by the most frequent word
+      (ties broken by lexicographically-first word). This needs per-(doc,
+      word) counts: one map-side-combinable shuffle keyed by doc_id — at
+      100 TB both shuffles in this operator carry doc_id keys, so they
+      scale horizontally with documents and never concentrate.
+    """
+    toks = tokens(text_col)
+    base = df.select("doc_id", toks.alias("_w"))
+    bigrams = F.when(
+        F.size("_w") >= 2,
+        F.expr(
+            "zip_with(slice(_w, 1, size(_w) - 1), slice(_w, 2, size(_w) - 1), "
+            "(a, b) -> concat(a, ' ', b))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    per_doc = base.select(
+        "doc_id",
+        F.size(bigrams).cast("int").alias("n_bigrams"),
+        (F.size(bigrams) - F.size(F.array_distinct(bigrams)))
+        .cast("int")
+        .alias("_n_dup"),
+    )
+    wc = (
+        base.select("doc_id", F.explode("_w").alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("c"))
+    )
+    # Deterministic argmax in ONE aggregation: min of (-count, word) is the
+    # max count with the lexicographically-first word as tiebreak.
+    top = wc.groupBy("doc_id").agg(
+        F.min(F.struct((-F.col("c")).alias("nc"), F.col("word").alias("w"))).alias("t"),
+        F.sum("c").cast("int").alias("n_tokens"),
+    )
+    dup_frac = F.when(
+        F.col("n_bigrams") > 0,
+        F.round(F.col("_n_dup") / F.col("n_bigrams"), 6),
+    ).otherwise(F.lit(0.0))
+    top_frac = F.round((-F.col("t.nc")) / F.col("n_tokens"), 6)
+    return (
+        per_doc.join(top, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_bigrams",
+            dup_frac.alias("dup_bigram_frac"),
+            F.col("t.w").alias("top_word"),
+            top_frac.alias("top_word_frac"),
+            (
+                (dup_frac <= REP_MAX_DUP_BIGRAM_FRAC)
+                & (top_frac <= REP_MAX_TOP_WORD_FRAC)
+            ).alias("pass_repetition"),
+        )
+    )
+
+
 #: Winnowing parameters: character k-grams, window of w consecutive gram
 #: hashes; a document's fingerprint set is the distinct per-window minima
 #: (MOSS-style rolling-hash fingerprinting; guarantees any shared substring

@@ -377,3 +377,54 @@ def test_hll_duplicate_insensitive(spark, sf_dir):
     e1 = hll_estimate(hll_registers(li, "l_orderkey")).first()["hll_est"]
     e2 = hll_estimate(hll_registers(doubled, "l_orderkey")).first()["hll_est"]
     assert e1 == e2
+
+
+def test_repetition_stats_flags_repeated_text(spark):
+    rows = [
+        (1, "spam spam spam spam spam spam"),
+        (2, "every word here is completely unique today"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in text.repetition_stats(df).collect()}
+    # doc 1: all 5 bigrams are "spam spam" -> 4 of 5 are duplicates.
+    assert out[1]["dup_bigram_frac"] == 0.8
+    assert out[1]["top_word"] == "spam"
+    assert out[1]["top_word_frac"] == 1.0
+    assert not out[1]["pass_repetition"]
+    assert out[2]["dup_bigram_frac"] == 0.0
+    assert out[2]["pass_repetition"]
+
+
+def test_repetition_top_word_tiebreak_deterministic(spark):
+    df = spark.createDataFrame([(1, "b a b a")], ["doc_id", "text"])
+    row = text.repetition_stats(df).first()
+    # a and b tie at 2 -> lexicographically-first wins.
+    assert row["top_word"] == "a"
+    assert row["top_word_frac"] == 0.5
+
+
+def test_paragraph_dedup_drops_repeated_chunk(spark):
+    base = " ".join(f"w{i}" for i in range(20))  # one full chunk
+    uniq = " ".join(f"u{i}" for i in range(20))
+    rows = [(1, base + " " + uniq), (2, base + " tail words here")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in dedup.paragraph_dedup(df).collect()}
+    # doc 1 owns the first occurrence of `base` (lower doc_id): keeps both
+    # chunks; doc 2's copy of `base` is dropped, its tail chunk survives.
+    assert out[1]["n_chunks"] == 2 and out[1]["n_kept"] == 2
+    assert out[2]["n_chunks"] == 2 and out[2]["n_kept"] == 1
+    import hashlib
+    assert out[2]["kept_hash"] == hashlib.md5(b"tail words here").hexdigest()
+
+
+def test_heavy_hitters_finds_planted_key(spark):
+    from datafusion_ray_spark.operators.sketch import heavy_hitters
+
+    rows = [(7,)] * 500 + [(11,)] * 300 + [(i,) for i in range(100, 300)]
+    df = spark.createDataFrame(rows, ["k"])
+    out = heavy_hitters(df, "k", threshold_frac=0.1, k=5).collect()
+    assert [r["key"] for r in out[:2]] == [7, 11]
+    assert out[0]["exact"] == 500 and out[1]["exact"] == 300
+    # CMS invariant: the estimate never undercounts.
+    assert all(r["no_underestimate"] for r in out)
+    assert all(r["est"] >= r["exact"] for r in out)
