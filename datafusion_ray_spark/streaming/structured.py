@@ -198,3 +198,93 @@ def run_to_memory(
         .start()
     )
     q.awaitTermination()
+
+
+DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def stream_documents(spark: SparkSession, path_dir: str) -> DataFrame:
+    """Streaming read of a documents parquet directory."""
+    return spark.readStream.schema(DOCS_SCHEMA).parquet(path_dir)
+
+
+def cms_stream(events: DataFrame, key_col: str = "user_id",
+               width: int | None = None) -> DataFrame:
+    """Streaming count-min sketch — twin of ``sketch.count_min_build``.
+
+    The sketch is maintained by Spark's NATIVE streaming aggregation in
+    update/complete mode: the running state is exactly the D·W counters —
+    bounded regardless of stream length, the defining property of a sketch
+    — and each micro-batch folds in map-side-combined increments. Probing
+    the emitted table is the same broadcast join as batch. Identical
+    md5-derived buckets, so the streaming sketch equals the batch sketch
+    over the same data bit-for-bit.
+    """
+    from ..operators.sketch import CMS_PREFIXES, CMS_WIDTH, cms_bucket
+
+    w = width or CMS_WIDTH
+    key = F.col(key_col).cast("string")
+    arr = F.array(*[cms_bucket(key, p, w) for p in CMS_PREFIXES])
+    return (
+        events.select(F.posexplode(arr).alias("row", "bucket"))
+        .groupBy("row", "bucket")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def lsh_candidate_pairs_stream(docs: DataFrame,
+                               max_bucket_state: int = 64) -> DataFrame:
+    """Streaming MinHash-LSH near-dup candidates: stateful banded buckets.
+
+    The signature/banding pipeline (``dedup.lsh_buckets``) is pure
+    projection, so it runs unchanged on the stream; the stateful part is
+    per-(band, bucket) membership held in the state store via
+    ``applyInPandasWithState``. When a document lands in an occupied bucket
+    it immediately emits candidate pairs against the bucket's residents —
+    i.e. near-dup detection AT INGEST TIME, no batch re-scan.
+
+    State per bucket is capped at ``max_bucket_state`` doc ids (LSH buckets
+    are tiny by construction; a production deployment would also TTL state
+    by watermark). Scale shape: state is partitioned by (band, bucket) in
+    the state store, so it shards horizontally like the batch shuffle.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..operators.dedup import lsh_buckets
+
+    b = lsh_buckets(docs).select("band", "bucket", "doc_id")
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        seen = list(state.get[0]) if state.exists else []
+        out_a: list[int] = []
+        out_b: list[int] = []
+        for pdf in pdfs:
+            for d in sorted({int(x) for x in pdf["doc_id"]}):
+                if d in seen:
+                    continue
+                for s in seen:
+                    lo, hi = (s, d) if s < d else (d, s)
+                    out_a.append(lo)
+                    out_b.append(hi)
+                if len(seen) < max_bucket_state:
+                    seen.append(d)
+        state.update((seen,))
+        yield pd.DataFrame({"doc_a": out_a, "doc_b": out_b})
+
+    return b.groupBy("band", "bucket").applyInPandasWithState(
+        update,
+        outputStructType="doc_a long, doc_b long",
+        stateStructType="ids array<long>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -39,3 +39,10 @@ def events_dir(sf_dir, tmp_path_factory):
     d = tmp_path_factory.mktemp("events_stream")
     shutil.copy(f"{sf_dir}/events.parquet", d / "part-0.parquet")
     return str(d)
+
+
+@pytest.fixture(scope="session")
+def docs_dir(sf_dir, tmp_path_factory):
+    d = tmp_path_factory.mktemp("docs_stream")
+    shutil.copy(f"{sf_dir}/documents.parquet", d / "part-0.parquet")
+    return str(d)

@@ -101,3 +101,48 @@ def test_streaming_dedup_matches_batch(spark, sf_dir, events_dir):
         .count()
     )
     assert len(digests) == n_distinct > 0
+
+
+def test_streaming_cms_matches_batch(spark, sf_dir, events_dir):
+    """The streaming count-min sketch (native update-mode agg, D*W bounded
+    state) equals the batch sketch bit-for-bit over the same data."""
+    from datafusion_ray_spark.operators.sketch import count_min_build
+
+    stream = structured.stream_events(spark, events_dir)
+    structured.run_to_memory(structured.cms_stream(stream), "stream_cms")
+    streamed = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in spark.sql("SELECT * FROM stream_cms").collect()
+    }
+    batch = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in count_min_build(
+            load_table(spark, sf_dir, "events"), "user_id"
+        ).collect()
+    }
+    assert streamed == batch
+    assert len(streamed) > 0
+
+
+def test_streaming_lsh_candidates_match_batch(spark, sf_dir, docs_dir):
+    """Ingest-time LSH candidate pairs (stateful banded buckets) equal the
+    batch candidate set over the same corpus."""
+    from datafusion_ray_spark.operators.dedup import minhash_candidates
+
+    stream = structured.stream_documents(spark, docs_dir)
+    structured.run_to_memory(
+        structured.lsh_candidate_pairs_stream(stream), "stream_lsh",
+        output_mode="append",
+    )
+    streamed = {
+        (r["doc_a"], r["doc_b"])
+        for r in spark.sql("SELECT DISTINCT doc_a, doc_b FROM stream_lsh").collect()
+    }
+    batch = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_candidates(
+            load_table(spark, sf_dir, "documents")
+        ).collect()
+    }
+    assert streamed == batch
+    assert len(streamed) > 0
