@@ -129,6 +129,55 @@ def heavy_hitters(df: DataFrame, key_col: str, threshold_frac: float,
     )
 
 
+# --- Bloom filter ---------------------------------------------------------
+
+#: Bloom filter size in bits (2^15 <= the 16-bit hex4 range, so bit indexes
+#: stay uniform) and K = len(CMS_PREFIXES) hash functions.
+BLOOM_BITS = 32768
+
+
+def bloom_build(df: DataFrame, key_col: str, bits: int = BLOOM_BITS) -> DataFrame:
+    """Build a Bloom filter (Bloom, CACM 1970) as its SET-BIT table:
+    <= ``bits`` rows regardless of input size.
+
+    One narrow projection + distinct; filters merge by union+distinct (the
+    Bloom OR). The md5-derived bit indexes are replicable in DuckDB, so
+    membership answers are oracle-checkable bit-for-bit.
+    """
+    key = F.col(key_col).cast("string")
+    arr = F.array(
+        *[(_hex4_to_int(F.md5(F.concat(F.lit(p), key)) if p else F.md5(key))
+           % bits).cast("int")
+          for p in CMS_PREFIXES]
+    )
+    return df.select(F.explode(arr).alias("bit")).distinct()
+
+
+def bloom_probe(bloom: DataFrame, keys: list, bits: int = BLOOM_BITS) -> DataFrame:
+    """Probe the filter: key claimed present iff ALL K bits are set.
+
+    The bloom set-bit table is bounded (<= ``bits`` rows) so it broadcasts
+    by construction — the probe never shuffles the probed data. Guarantee:
+    no false negatives (a key that was inserted always reports true).
+    """
+    spark = bloom.sparkSession
+    probe_df = spark.createDataFrame([(str(k),) for k in keys], ["key"])
+    key = F.col("key")
+    arr = F.array(
+        *[(_hex4_to_int(F.md5(F.concat(F.lit(p), key)) if p else F.md5(key))
+           % bits).cast("int")
+          for p in CMS_PREFIXES]
+    )
+    k_hashes = len(CMS_PREFIXES)
+    marked = F.broadcast(bloom.withColumn("_set", F.lit(1)))
+    return (
+        probe_df.select("key", F.explode(arr).alias("bit"))
+        .join(marked, "bit", "left")
+        .groupBy("key")
+        .agg((F.sum(F.coalesce(F.col("_set"), F.lit(0))) == k_hashes).alias("claimed"))
+    )
+
+
 # --- HyperLogLog ----------------------------------------------------------
 #
 # Flajolet et al., "HyperLogLog: the analysis of a near-optimal cardinality

@@ -607,6 +607,101 @@ LIMIT {k}
 """
 
 
+#: Bloom probe keys: 1-3 are supplier keys present at every sf; 0 and the
+#: 9999990+ keys never exist.
+BLOOM_KEYS = [0, 1, 2, 3, 9999991, 9999992]
+
+#: BM25 query: one rare term (high idf) + two common ones.
+BM25_TERMS = ["dup", "window", "scan"]
+BM25_K = 20
+
+
+def bloom_oracle(keys: list[int] = BLOOM_KEYS) -> str:
+    """DuckDB twin of sketch.bloom_build + bloom_probe over distinct
+    l_suppkey: identical md5-derived bit indexes, all-K-bits membership."""
+    from .sketch import BLOOM_BITS, CMS_PREFIXES
+
+    hexmap = "0123456789abcdef"
+
+    def hex4(expr: str) -> str:
+        return " + ".join(
+            f"(strpos('{hexmap}', substring({expr}, {p + 1}, 1)) - 1) * {16 ** (3 - p)}"
+            for p in range(4)
+        )
+
+    def bit(prefix: str, key_expr: str) -> str:
+        inner = f"md5('{prefix}' || {key_expr})" if prefix else f"md5({key_expr})"
+        return f"CAST(({hex4(inner)}) % {BLOOM_BITS} AS INT)"
+
+    build = "\nUNION ALL\n".join(
+        f"SELECT {bit(p, 'key')} AS bit FROM src" for p in CMS_PREFIXES
+    )
+    key_rows = "\nUNION ALL\n".join(f"SELECT '{k}' AS key" for k in keys)
+    probes = "\nUNION ALL\n".join(
+        f"SELECT key, {bit(p, 'key')} AS bit FROM keys" for p in CMS_PREFIXES
+    )
+    return f"""
+WITH src AS (SELECT DISTINCT CAST(l_suppkey AS VARCHAR) AS key FROM lineitem),
+bits AS (SELECT DISTINCT bit FROM ({build}) b),
+keys AS ({key_rows}),
+probes AS ({probes}),
+claim AS (
+    SELECT p.key, COUNT(b.bit) = {len(CMS_PREFIXES)} AS claimed
+    FROM probes p LEFT JOIN bits b ON p.bit = b.bit
+    GROUP BY p.key
+)
+SELECT CAST(c.key AS BIGINT) AS key, c.claimed,
+       s.key IS NOT NULL AS present,
+       (c.claimed OR s.key IS NULL) AS sound
+FROM claim c LEFT JOIN src s ON c.key = s.key
+ORDER BY CAST(c.key AS BIGINT)
+"""
+
+
+def bm25_oracle(terms: list[str] = BM25_TERMS, k: int = BM25_K) -> str:
+    """DuckDB twin of tfidf.bm25_scores: same Lucene-form idf, same k1/b,
+    same rounding and ordering."""
+    from .tfidf import BM25_B, BM25_K1
+
+    n = len(terms)
+    tf_defs = ",\n           ".join(
+        f"len(list_filter(w, x -> x = '{t}')) AS tf_{i}" for i, t in enumerate(terms)
+    )
+    df_defs = ",\n           ".join(
+        f"CAST(SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{i}"
+        for i in range(n)
+    )
+    matched = " + ".join(f"(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END)" for i in range(n))
+    norm = f"{BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl / (CAST(total_len AS DOUBLE) / n_docs))"
+    score = " + ".join(
+        f"ln(1 + (n_docs - df_{i} + 0.5) / (df_{i} + 0.5))"
+        f" * tf_{i} * ({BM25_K1} + 1) / (tf_{i} + {norm})"
+        for i in range(n)
+    )
+    any_hit = " OR ".join(f"tf_{i} > 0" for i in range(n))
+    return f"""
+WITH t AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+p AS (
+    SELECT doc_id, len(w) AS dl,
+           {tf_defs}
+    FROM t
+),
+s AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(dl) AS BIGINT) AS total_len,
+           {df_defs}
+    FROM p
+)
+SELECT doc_id, CAST(dl AS BIGINT) AS doc_len,
+       CAST({matched} AS INT) AS n_matched_terms,
+       ROUND({score}, 6) AS bm25
+FROM p, s
+WHERE {any_hit}
+ORDER BY bm25 DESC, doc_id
+LIMIT {k}
+"""
+
+
 def repetition_oracle() -> str:
     """DuckDB twin of text.repetition_stats: array-side duplicate-bigram
     fraction + grouped top-word share, same rounding and tiebreaks."""
@@ -794,6 +889,35 @@ def run_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = spread(load_table(spark, sf_dir, "events").select("user_id"))
     return heavy_hitters(ev, "user_id", threshold_frac=HH_THRESHOLD_FRAC, k=HH_K)
+
+
+def run_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sketch import bloom_build, bloom_probe
+
+    li = spread(load_table(spark, sf_dir, "lineitem").select("l_suppkey"))
+    probed = bloom_probe(bloom_build(li, "l_suppkey"), BLOOM_KEYS)
+    present = (
+        li.select(F.col("l_suppkey").cast("string").alias("key"))
+        .distinct()
+        .withColumn("present", F.lit(True))
+    )
+    return (
+        probed.join(present, "key", "left")
+        .na.fill({"present": False})
+        .select(
+            F.col("key").cast("long").alias("key"),
+            "claimed",
+            "present",
+            (F.col("claimed") | ~F.col("present")).alias("sound"),
+        )
+        .orderBy("key")
+    )
+
+
+def run_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .tfidf import bm25_scores
+
+    return bm25_scores(_docs(spark, sf_dir), BM25_TERMS, k=BM25_K)
 
 
 def run_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1096,4 +1220,10 @@ def extension_entries():
                    "reconstruction"),
         SuiteEntry("sketch_heavy_hitters", run_heavy_hitters, hh_oracle(),
                    "top-k heavy hitters: CMS candidates + exact verify"),
+        SuiteEntry("sketch_bloom", run_bloom, bloom_oracle(),
+                   "Bloom filter: bounded set-bit table, broadcast probe, "
+                   "no false negatives"),
+        SuiteEntry("text_bm25", run_bm25, bm25_oracle(),
+                   "BM25 lexical search: array-side tf, one broadcast "
+                   "stats row, top-k"),
     ]

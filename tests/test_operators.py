@@ -428,3 +428,36 @@ def test_heavy_hitters_finds_planted_key(spark):
     # CMS invariant: the estimate never undercounts.
     assert all(r["no_underestimate"] for r in out)
     assert all(r["est"] >= r["exact"] for r in out)
+
+
+def test_bloom_no_false_negatives_and_merge(spark):
+    from datafusion_ray_spark.operators.sketch import bloom_build, bloom_probe
+
+    a = spark.createDataFrame([(i,) for i in range(50)], ["k"])
+    b = spark.createDataFrame([(i,) for i in range(50, 100)], ["k"])
+    whole = bloom_build(a.unionByName(b), "k")
+    # Merge = union+distinct of the set-bit tables (the Bloom OR).
+    merged = bloom_build(a, "k").unionByName(bloom_build(b, "k")).distinct()
+    assert sorted(r["bit"] for r in merged.collect()) == sorted(
+        r["bit"] for r in whole.collect()
+    )
+    probed = {
+        int(r["key"]): r["claimed"]
+        for r in bloom_probe(whole, list(range(100)) + [10**6, 10**6 + 1]).collect()
+    }
+    # Guarantee: every inserted key reports present.
+    assert all(probed[i] for i in range(100))
+
+
+def test_bm25_rare_term_outranks_common(spark):
+    from datafusion_ray_spark.operators.tfidf import bm25_scores
+
+    rows = [(1, "rareword filler filler"), (2, "common filler filler")] + [
+        (i, "common filler text here") for i in range(3, 30)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = bm25_scores(df, ["rareword", "common"], k=5).collect()
+    # The doc holding the corpus-rare term must rank first.
+    assert out[0]["doc_id"] == 1
+    assert out[0]["n_matched_terms"] == 1
+    assert all(out[0]["bm25"] > r["bm25"] for r in out[1:])
