@@ -185,3 +185,63 @@ def test_bucketed_tables_join_without_shuffle(spark, sf_dir):
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_bloom_probe_broadcasts_filter_not_shuffle(spark, sf_dir):
+    """The bloom set-bit table is bounded, so the probe must be a broadcast
+    join — the probed side streams, never shuffles for the join."""
+    from datafusion_ray_spark.operators.sketch import bloom_build, bloom_probe
+    from datafusion_ray_spark.plans import join_strategies, uses_python_workers
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey")
+    probed = bloom_probe(bloom_build(li, "l_suppkey"), [1, 2, 0])
+    assert all(s == "BroadcastHashJoin" for s in join_strategies(probed))
+    assert not uses_python_workers(probed)
+
+
+def test_heavy_hitters_all_joins_broadcast(spark, sf_dir):
+    """Candidate generation and exact verification must both run as
+    broadcast joins (sketch and candidate set are bounded-size)."""
+    from datafusion_ray_spark.operators.sketch import heavy_hitters
+    from datafusion_ray_spark.plans import join_strategies, uses_python_workers
+
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    hh = heavy_hitters(ev, "user_id", threshold_frac=0.0008, k=10)
+    strategies = join_strategies(hh)
+    assert strategies, "expected joins in the heavy-hitters plan"
+    assert all(s == "BroadcastHashJoin" for s in strategies)
+    assert not uses_python_workers(hh)
+
+
+def test_bm25_no_explode_no_python(spark, sf_dir):
+    """BM25 tf is computed array-side: no Generate (explode) node and no
+    Python workers; the only join is the broadcast of the 1-row stats."""
+    from datafusion_ray_spark.operators.tfidf import bm25_scores
+    from datafusion_ray_spark.plans import plan_tree, uses_python_workers
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = bm25_scores(docs, ["dup", "window", "scan"], k=20)
+    assert "Generate" not in plan_tree(scored)
+    assert not uses_python_workers(scored)
+
+
+def test_repetition_dup_bigram_path_shuffle_free(spark, sf_dir):
+    """The dup-bigram fraction alone (array-side path) must not shuffle."""
+    from datafusion_ray_spark.operators import text
+    from datafusion_ray_spark.plans import shuffle_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = text.tokens("text")
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.expr(
+            "zip_with(slice(split(trim(text), '\\\\s+'), 1, size(split(trim(text), '\\\\s+')) - 1), "
+            "slice(split(trim(text), '\\\\s+'), 2, size(split(trim(text), '\\\\s+')) - 1), "
+            "(a, b) -> concat(a, ' ', b))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    per_doc = docs.select(
+        "doc_id",
+        (F.size(bigrams) - F.size(F.array_distinct(bigrams))).alias("n_dup"),
+    )
+    assert shuffle_count(per_doc) == 0
