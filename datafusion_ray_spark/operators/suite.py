@@ -702,6 +702,38 @@ LIMIT {k}
 """
 
 
+def lm_score_oracle(vocab_cap: int = 50_000) -> str:
+    """DuckDB twin of text.lm_score: same Laplace-smoothed unigram LM,
+    same fixed-point nano-nat log rounding, same final division."""
+    from .text import LM_SCALE
+
+    ln2 = 0.6931471805599453
+    return f"""
+WITH words AS (SELECT doc_id, unnest({_WORDS}) AS word FROM documents),
+wc AS (
+    SELECT word, COUNT(*) AS c FROM words
+    GROUP BY word ORDER BY c DESC, word LIMIT {vocab_cap}
+),
+totals AS (SELECT CAST(SUM(c) AS BIGINT) AS total, CAST(COUNT(*) AS BIGINT) AS v FROM wc),
+probs AS (
+    SELECT word,
+           CAST(ROUND(ln((c + 1) / CAST(total + v + 1 AS DOUBLE)) * {LM_SCALE}) AS BIGINT) AS llr
+    FROM wc, totals
+),
+oov AS (
+    SELECT CAST(ROUND(ln(1.0 / (total + v + 1)) * {LM_SCALE}) AS BIGINT) AS llr_oov
+    FROM totals
+),
+tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM words GROUP BY doc_id, word)
+SELECT tf.doc_id, CAST(SUM(tf.tf) AS INT) AS n_tokens,
+       ROUND(-SUM(tf.tf * COALESCE(p.llr, o.llr_oov))
+             / (SUM(tf.tf) * {LM_SCALE}.0 * {ln2}), 4) AS xent_bits
+FROM tf LEFT JOIN probs p ON tf.word = p.word CROSS JOIN oov o
+GROUP BY tf.doc_id
+ORDER BY tf.doc_id
+"""
+
+
 def repetition_oracle() -> str:
     """DuckDB twin of text.repetition_stats: array-side duplicate-bigram
     fraction + grouped top-word share, same rounding and tiebreaks."""
@@ -918,6 +950,10 @@ def run_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .tfidf import bm25_scores
 
     return bm25_scores(_docs(spark, sf_dir), BM25_TERMS, k=BM25_K)
+
+
+def run_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.lm_score(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
 def run_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1226,4 +1262,7 @@ def extension_entries():
         SuiteEntry("text_bm25", run_bm25, bm25_oracle(),
                    "BM25 lexical search: array-side tf, one broadcast "
                    "stats row, top-k"),
+        SuiteEntry("text_lm_score", run_lm_score, lm_score_oracle(),
+                   "unigram-LM cross-entropy (CCNet-style perplexity "
+                   "proxy), fixed-point deterministic"),
     ]

@@ -253,3 +253,64 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.size(fps).cast("int").alias("n_fingerprints"),
         F.md5(F.concat_ws(" ", fps)).alias("winnow_hash"),
     )
+
+
+#: Fixed-point scale for log-probabilities: logs are rounded to integer
+#: nano-nats so per-document sums are EXACT integer arithmetic (float sum
+#: order varies across partitionings; integer sums don't).
+LM_SCALE = 1_000_000_000
+
+
+def lm_score(df: DataFrame, text_col: str = "text",
+             vocab_cap: int = 50_000) -> DataFrame:
+    """Unigram language-model cross-entropy per document — the proxy for
+    the perplexity quality filter of CCNet (Wenzek et al., "CCNet:
+    Extracting high quality monolingual datasets from web crawl data",
+    LREC 2020; Laplace-smoothed unigram LM instead of their KenLM 5-gram).
+
+    The "model" is the corpus's own unigram distribution: word counts (one
+    map-side-combinable shuffle, vocab-bounded output, capped at
+    ``vocab_cap`` by (count, word) so the table stays broadcastable on any
+    corpus), smoothed p(w) = (c_w + 1) / (total + |V| + 1) with the +1
+    bucket standing in for OOV. Scoring joins per-(doc, word) tfs against
+    the BROADCAST prob table; per-doc sums run in exact fixed-point
+    (integer nano-nats), so the score is bit-deterministic across engines
+    and partitionings.
+    """
+    words = df.select("doc_id", F.explode(tokens(text_col)).alias("word"))
+    wc = (
+        words.groupBy("word")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), F.asc("word"))
+        .limit(vocab_cap)
+    )
+    totals = wc.agg(
+        F.sum("c").alias("total"), F.count("*").alias("v")
+    )
+    denom = F.col("total") + F.col("v") + 1
+    probs = wc.crossJoin(F.broadcast(totals)).select(
+        "word",
+        F.round(F.log((F.col("c") + 1) / denom) * LM_SCALE).cast("long").alias("llr"),
+    )
+    oov = totals.select(
+        F.round(F.log(1.0 / denom) * LM_SCALE).cast("long").alias("llr_oov")
+    )
+    tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    scored = (
+        tf.join(F.broadcast(probs), "word", "left")
+        .crossJoin(F.broadcast(oov))
+        .select(
+            "doc_id",
+            "tf",
+            F.coalesce(F.col("llr"), F.col("llr_oov")).alias("llr"),
+        )
+    )
+    ln2 = 0.6931471805599453
+    return scored.groupBy("doc_id").agg(
+        F.sum("tf").cast("int").alias("n_tokens"),
+        F.round(
+            -F.sum(F.col("tf") * F.col("llr"))
+            / (F.sum("tf") * F.lit(float(LM_SCALE)) * F.lit(ln2)),
+            4,
+        ).alias("xent_bits"),
+    )
