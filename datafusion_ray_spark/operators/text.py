@@ -314,3 +314,88 @@ def lm_score(df: DataFrame, text_col: str = "text",
             4,
         ).alias("xent_bits"),
     )
+
+
+#: Gopher quality-rule constants (Rae et al., "Scaling Language Models:
+#: Methods, Analysis & Insights from Training Gopher", 2021, §A1.1 —
+#: the MassiveText quality filter, reused by MassiveWeb/RefinedWeb).
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3
+GOPHER_MAX_MEAN_WORD_LEN = 10
+GOPHER_MAX_SYMBOL_RATIO = 0.1      # '#' or '...' per word
+GOPHER_MAX_BULLET_FRAC = 0.9       # lines starting with a bullet
+GOPHER_MAX_ELLIPSIS_FRAC = 0.3     # lines ending with '...'
+GOPHER_MIN_ALPHA_WORD_FRAC = 0.8   # words containing an alphabetic char
+GOPHER_MIN_STOPWORDS = 2           # distinct hits from the 8-word list
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def _substr_count(col: Column, pat: str) -> Column:
+    """Non-overlapping substring occurrences — replace-based so the exact
+    same semantics are reproducible in any SQL engine."""
+    return (
+        (F.length(col) - F.length(F.replace(col, F.lit(pat), F.lit(""))))
+        / len(pat)
+    ).cast("int")
+
+
+def gopher_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The full Gopher/MassiveText document-quality rule set, one boolean
+    flag per rule plus the conjunction (``keep``).
+
+    Every rule is evaluated as an integer cross-multiplied comparison
+    (e.g. ``10 * alpha_words >= 8 * n_words`` instead of a float ratio), so
+    the flags are bit-deterministic across engines and partitionings.
+    Embarrassingly parallel: pure per-row projection, no shuffle, stays
+    inside whole-stage codegen end-to-end.
+    """
+    t = F.col(text_col)
+    toks = tokens(text_col)
+    n_words = F.size(toks)
+    # mean word length bounds: word chars = total chars minus the (n-1)
+    # single-space separators of a whitespace-normalized doc; exact via the
+    # summed token lengths (robust to runs of whitespace).
+    word_chars = F.aggregate(
+        F.transform(toks, lambda w: F.length(w)), F.lit(0), lambda a, x: a + x
+    )
+    n_symbols = _substr_count(t, "#") + _substr_count(t, "...")
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines)
+    bullet_lines = F.size(
+        F.filter(
+            lines,
+            lambda l: F.trim(l).startswith("•")
+            | F.trim(l).startswith("* ")
+            | F.trim(l).startswith("- "),
+        )
+    )
+    ellipsis_lines = F.size(F.filter(lines, lambda l: F.rtrim(l).endswith("...")))
+    alpha_words = F.size(F.filter(toks, lambda w: w.rlike("[a-zA-Z]")))
+    stopword_hits = F.size(
+        F.array_intersect(
+            F.transform(toks, F.lower), F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+        )
+    )
+    flags = {
+        "pass_word_count": (n_words >= GOPHER_MIN_WORDS)
+        & (n_words <= GOPHER_MAX_WORDS),
+        "pass_mean_word_len": (word_chars >= GOPHER_MIN_MEAN_WORD_LEN * n_words)
+        & (word_chars <= GOPHER_MAX_MEAN_WORD_LEN * n_words),
+        "pass_symbol_ratio": n_symbols * 10 <= n_words,
+        "pass_bullet_ratio": bullet_lines * 10 <= n_lines * 9,
+        "pass_ellipsis_ratio": ellipsis_lines * 10 <= n_lines * 3,
+        "pass_alpha_words": alpha_words * 10 >= n_words * 8,
+        "pass_stopwords": stopword_hits >= GOPHER_MIN_STOPWORDS,
+    }
+    keep = None
+    for c in flags.values():
+        keep = c if keep is None else (keep & c)
+    return df.select(
+        "doc_id",
+        n_words.cast("int").alias("n_words"),
+        word_chars.cast("int").alias("word_chars"),
+        stopword_hits.cast("int").alias("stopword_hits"),
+        *[c.alias(name) for name, c in flags.items()],
+        keep.alias("keep"),
+    )

@@ -245,3 +245,38 @@ def test_repetition_dup_bigram_path_shuffle_free(spark, sf_dir):
         (F.size(bigrams) - F.size(F.array_distinct(bigrams))).alias("n_dup"),
     )
     assert shuffle_count(per_doc) == 0
+
+
+def test_gopher_rules_shuffle_free_jvm_only(spark, sf_dir):
+    """The whole Gopher rule set is one codegen'd projection: no shuffle,
+    no Python workers."""
+    from datafusion_ray_spark.operators import text
+    from datafusion_ray_spark.plans import shuffle_count
+
+    out = text.gopher_rules(load_table(spark, sf_dir, "documents"))
+    assert shuffle_count(out) == 0
+    assert "BatchEvalPython" not in _plan(out)
+
+
+def test_dsir_ratio_table_broadcasts(spark, sf_dir):
+    """The fitted log-ratio table (<= B rows) must reach scoring as a
+    broadcast join, never a shuffle join on bucket."""
+    from datafusion_ray_spark.operators import dsir
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = dsir.dsir_logweights(docs, docs.where(F.col("lang") == "en"))
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_seeded_shuffle_single_exchange(spark, sf_dir):
+    """Shard+rank is one hash exchange on shard, never a global sort."""
+    from datafusion_ray_spark.operators.shuffleop import seeded_shuffle
+    from datafusion_ray_spark.plans import shuffle_count
+
+    out = seeded_shuffle(load_table(spark, sf_dir, "documents"))
+    plan = _plan(out)
+    assert shuffle_count(out) == 1
+    # no global ordering operator anywhere in the plan
+    assert "rangepartitioning" not in plan.lower()
