@@ -105,7 +105,8 @@ def main() -> None:
     _FAMILIES = {"dedup", "sim", "join", "ev", "text", "sketch", "mm", "pipe"}
     _PIPELINE = {"doc_chunk", "seq_pack", "pii_redact", "len_histogram",
                  "source_mix", "split_train_test", "text_normalize",
-                 "contamination_check", "sample_stratified"}
+                 "contamination_check", "sample_stratified", "dsir_weights",
+                 "shuffle_shard"}
 
     def family(name: str) -> str:
         if name.startswith("q") and name[1:].isdigit():

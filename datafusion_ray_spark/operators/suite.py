@@ -734,6 +734,130 @@ ORDER BY tf.doc_id
 """
 
 
+def shuffle_oracle(n_shards: int = 8, seed: str = "42") -> str:
+    """DuckDB twin of shuffleop.seeded_shuffle: same md5 permutation key,
+    hex4-mod shard, row_number per shard."""
+    hexmap = "0123456789abcdef"
+    hex4 = " + ".join(
+        f"(strpos('{hexmap}', substring(k, {p + 1}, 1)) - 1) * {16 ** (3 - p)}"
+        for p in range(4)
+    )
+    return f"""
+WITH keyed AS (
+    SELECT doc_id, md5('{seed}' || ':' || CAST(doc_id AS VARCHAR)) AS k
+    FROM documents
+),
+sharded AS (
+    SELECT doc_id, k, CAST(({hex4}) % {n_shards} AS INT) AS shard FROM keyed
+)
+SELECT doc_id, shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY k, doc_id) AS INT) AS pos
+FROM sharded
+ORDER BY doc_id
+"""
+
+
+def dsir_oracle() -> str:
+    """DuckDB twin of dsir.dsir_logweights with target = lang='en' docs:
+    same hashed unigram+bigram buckets (md5 hex8 mod B), same Laplace
+    smoothing, same fixed-point nano-nat rounding."""
+    from .dsir import DSIR_BUCKETS
+    from .text import LM_SCALE
+
+    hexmap = "0123456789abcdef"
+    hex8 = " + ".join(
+        f"(strpos('{hexmap}', substring(md5(feat), {p + 1}, 1)) - 1) * {16 ** (7 - p)}"
+        for p in range(8)
+    )
+    B = DSIR_BUCKETS
+    return f"""
+WITH docs AS (SELECT doc_id, lang, {_WORDS} AS w FROM documents),
+feats AS (
+    SELECT doc_id, lang,
+           unnest(list_concat(w,
+               CASE WHEN len(w) >= 2 THEN
+                   list_transform(range(1, len(w)), i -> concat(w[i], ' ', w[i+1]))
+               ELSE [] END)) AS feat
+    FROM docs
+),
+fb AS (SELECT doc_id, lang, CAST(({hex8}) % {B} AS INT) AS bucket FROM feats),
+rawc AS (SELECT bucket, COUNT(*) AS cr FROM fb GROUP BY bucket),
+tgtc AS (SELECT bucket, COUNT(*) AS ct FROM fb WHERE lang = 'en' GROUP BY bucket),
+tots AS (
+    SELECT (SELECT SUM(cr) FROM rawc) AS tr,
+           (SELECT COALESCE(SUM(ct), 0) FROM tgtc) AS tt
+),
+ratio AS (
+    SELECT r.bucket,
+           CAST(ROUND((ln((COALESCE(t.ct, 0) + 1) / CAST(tt + {B} AS DOUBLE))
+                     - ln((r.cr + 1) / CAST(tr + {B} AS DOUBLE))) * {LM_SCALE}) AS BIGINT) AS llr
+    FROM rawc r LEFT JOIN tgtc t ON r.bucket = t.bucket CROSS JOIN tots
+),
+tf AS (SELECT doc_id, bucket, COUNT(*) AS tf FROM fb GROUP BY doc_id, bucket)
+SELECT tf.doc_id, CAST(SUM(tf.tf) AS INT) AS n_feats,
+       ROUND(SUM(tf.tf * COALESCE(rr.llr, 0)) / (SUM(tf.tf) * {LM_SCALE}.0), 4) AS logw_nats
+FROM tf LEFT JOIN ratio rr ON tf.bucket = rr.bucket
+GROUP BY tf.doc_id
+ORDER BY tf.doc_id
+"""
+
+
+def gopher_oracle() -> str:
+    """DuckDB twin of text.gopher_rules: same integer cross-multiplied
+    comparisons, list-side line/word filters."""
+    from .text import (
+        GOPHER_MAX_MEAN_WORD_LEN,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_MEAN_WORD_LEN,
+        GOPHER_MIN_STOPWORDS,
+        GOPHER_MIN_WORDS,
+        GOPHER_STOPWORDS,
+    )
+
+    stops = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    return f"""
+WITH base AS (
+    SELECT doc_id,
+           {_WORDS} AS w,
+           string_split(text, chr(10)) AS lines,
+           CAST((len(text) - len(replace(text, '#', '')))
+                + (len(text) - len(replace(text, '...', ''))) / 3 AS INT) AS n_symbols
+    FROM documents
+),
+m AS (
+    SELECT doc_id,
+           CAST(len(w) AS INT) AS n_words,
+           CAST(list_aggregate(list_transform(w, x -> len(x)), 'sum') AS INT) AS word_chars,
+           n_symbols,
+           CAST(len(lines) AS INT) AS n_lines,
+           CAST(len(list_filter(lines, l -> starts_with(trim(l), '•')
+                OR starts_with(trim(l), '* ') OR starts_with(trim(l), '- '))) AS INT) AS bullet_lines,
+           CAST(len(list_filter(lines, l -> ends_with(rtrim(l), '...'))) AS INT) AS ellipsis_lines,
+           CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) AS INT) AS alpha_words,
+           CAST(len(list_intersect(list_transform(w, x -> lower(x)), [{stops}])) AS INT) AS stopword_hits
+    FROM base
+),
+f AS (
+    SELECT doc_id, n_words, word_chars, stopword_hits,
+           (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}) AS pass_word_count,
+           (word_chars >= {GOPHER_MIN_MEAN_WORD_LEN} * n_words
+            AND word_chars <= {GOPHER_MAX_MEAN_WORD_LEN} * n_words) AS pass_mean_word_len,
+           (n_symbols * 10 <= n_words) AS pass_symbol_ratio,
+           (bullet_lines * 10 <= n_lines * 9) AS pass_bullet_ratio,
+           (ellipsis_lines * 10 <= n_lines * 3) AS pass_ellipsis_ratio,
+           (alpha_words * 10 >= n_words * 8) AS pass_alpha_words,
+           (stopword_hits >= {GOPHER_MIN_STOPWORDS}) AS pass_stopwords
+    FROM m
+)
+SELECT *,
+       (pass_word_count AND pass_mean_word_len AND pass_symbol_ratio
+        AND pass_bullet_ratio AND pass_ellipsis_ratio AND pass_alpha_words
+        AND pass_stopwords) AS keep
+FROM f
+ORDER BY doc_id
+"""
+
+
 def repetition_oracle() -> str:
     """DuckDB twin of text.repetition_stats: array-side duplicate-bigram
     fraction + grouped top-word share, same rounding and tiebreaks."""
@@ -906,6 +1030,25 @@ def run_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def run_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.winnow_fingerprints(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def run_seeded_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .shuffleop import seeded_shuffle
+
+    return seeded_shuffle(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def run_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import dsir
+
+    docs = _docs(spark, sf_dir)
+    return dsir.dsir_logweights(docs, docs.where(F.col("lang") == "en")).orderBy(
+        "doc_id"
+    )
+
+
+def run_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.gopher_rules(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
 def run_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1265,4 +1408,13 @@ def extension_entries():
         SuiteEntry("text_lm_score", run_lm_score, lm_score_oracle(),
                    "unigram-LM cross-entropy (CCNet-style perplexity "
                    "proxy), fixed-point deterministic"),
+        SuiteEntry("text_gopher_rules", run_gopher, gopher_oracle(),
+                   "full Gopher/MassiveText quality rule set, "
+                   "integer-exact flags, shuffle-free"),
+        SuiteEntry("dsir_weights", run_dsir, dsir_oracle(),
+                   "DSIR importance weights: hashed n-gram buckets, "
+                   "broadcast log-ratio table, fixed-point"),
+        SuiteEntry("shuffle_shard", run_seeded_shuffle, shuffle_oracle(),
+                   "seeded deterministic global shuffle + shard "
+                   "assignment (hash permutation, no global sort)"),
     ]

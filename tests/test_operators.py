@@ -461,3 +461,67 @@ def test_bm25_rare_term_outranks_common(spark):
     assert out[0]["doc_id"] == 1
     assert out[0]["n_matched_terms"] == 1
     assert all(out[0]["bm25"] > r["bm25"] for r in out[1:])
+
+
+def test_write_shards_roundtrip_order(spark, sf_dir, tmp_path):
+    from datafusion_ray_spark.operators.shuffleop import seeded_shuffle, write_shards
+    from datafusion_ray_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "shards")
+    write_shards(docs.select("doc_id", "text"), path, n_shards=4)
+    back = spark.read.parquet(path)
+    expect = seeded_shuffle(docs, n_shards=4)
+    # Same membership per shard, and the stored file order IS the
+    # permutation order: doc_ids within a shard file appear sorted by pos.
+    got = {
+        (r["shard"], r["doc_id"])
+        for r in back.select("shard", "doc_id").collect()
+    }
+    want = {(r["shard"], r["doc_id"]) for r in expect.collect()}
+    assert got == want
+    import pyspark.sql.functions as F
+
+    pos = {(r["shard"], r["doc_id"]): r["pos"] for r in expect.collect()}
+    one = back.where(F.col("shard") == 0).withColumn(
+        "file_order", F.monotonically_increasing_id()
+    )
+    rows = sorted(one.collect(), key=lambda r: r["file_order"])
+    positions = [pos[(0, r["doc_id"])] for r in rows]
+    assert positions == sorted(positions)
+
+
+def test_dsir_select_top_fraction(spark, sf_dir):
+    from datafusion_ray_spark.operators.dsir import dsir_logweights, dsir_select
+    from datafusion_ray_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.where(F.col("lang") == "en")
+    w = dsir_logweights(docs, target)
+    n = w.count()
+    sel = dsir_select(docs, target, frac=0.2)
+    assert sel.count() == int(n * 0.2)
+    ranked = sorted(
+        w.collect(), key=lambda r: (-r["logw_nats"], r["doc_id"])
+    )[: int(n * 0.2)]
+    assert {r["doc_id"] for r in sel.collect()} == {r["doc_id"] for r in ranked}
+
+
+def test_dsir_target_docs_score_higher(spark, sf_dir):
+    """Sanity: English docs should average a higher importance weight when
+    the target distribution is English docs."""
+    from datafusion_ray_spark.operators.dsir import dsir_logweights
+    from datafusion_ray_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.where(F.col("lang") == "en")
+    w = dsir_logweights(docs, target).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    avg = {
+        r["is_en"]: r["m"]
+        for r in w.groupBy((F.col("lang") == "en").alias("is_en"))
+        .agg(F.avg("logw_nats").alias("m"))
+        .collect()
+    }
+    assert avg[True] > avg[False]
