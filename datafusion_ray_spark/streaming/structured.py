@@ -288,3 +288,69 @@ def lsh_candidate_pairs_stream(docs: DataFrame,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def heavy_hitters_stream(events: DataFrame, key_col: str = "user_id",
+                         k: int = 16, n_groups: int = 8) -> DataFrame:
+    """Streaming heavy hitters: sharded weighted Misra-Gries summaries.
+
+    Each key is routed to one of ``n_groups`` state shards (hash of the
+    key), and every shard maintains a Misra-Gries summary of at most ``k``
+    counters (Misra & Gries 1982; weighted-update form of Berinde et al.
+    2010): per micro-batch the batch's pre-aggregated key counts fold into
+    the summary; overflow subtracts the minimum counter from everything
+    and evicts zeros. Total state is ``n_groups * k`` counters — bounded
+    regardless of stream length — and shards merge by union downstream
+    (MG summaries are mergeable).
+
+    Guarantee (per shard g with n_g processed rows): every stored count is
+    an underestimate by at most n_g / k, so any key with true frequency
+    > n_g / k is guaranteed present. Output rows per micro-batch:
+    (grp, key, cnt, n_processed) — with an availableNow/single-batch drain
+    the memory sink holds exactly the final summary.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    key = F.col(key_col).cast("string")
+    grp = (
+        F.conv(F.substring(F.md5(key), 1, 4), 16, 10).cast("long") % n_groups
+    ).cast("int")
+    routed = events.select(grp.alias("grp"), key.alias("key"))
+
+    def update(gkey, pdfs, state):
+        import pandas as pd
+
+        if state.exists:
+            keys, counts, n_seen = (
+                list(state.get[0]),
+                list(state.get[1]),
+                int(state.get[2]),
+            )
+        else:
+            keys, counts, n_seen = [], [], 0
+        mg = dict(zip(keys, counts))
+        for pdf in pdfs:
+            for kv, c in sorted(pdf["key"].value_counts().items()):
+                n_seen += int(c)
+                mg[kv] = mg.get(kv, 0) + int(c)
+                if len(mg) > k:
+                    m = min(mg.values())
+                    mg = {w: c2 - m for w, c2 in mg.items() if c2 > m}
+        ordered = sorted(mg)
+        state.update((ordered, [mg[w] for w in ordered], n_seen))
+        yield pd.DataFrame(
+            {
+                "grp": [int(gkey[0])] * len(ordered),
+                "key": ordered,
+                "cnt": [mg[w] for w in ordered],
+                "n_processed": [n_seen] * len(ordered),
+            }
+        )
+
+    return routed.groupBy("grp").applyInPandasWithState(
+        update,
+        outputStructType="grp int, key string, cnt long, n_processed long",
+        stateStructType="keys array<string>, cnts array<long>, n long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

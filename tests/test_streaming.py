@@ -4,6 +4,7 @@ streaming execution (availableNow drain into a memory sink)."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from datafusion_ray_spark.sources.tables import load_table
 from datafusion_ray_spark.streaming import structured, windows
@@ -146,3 +147,43 @@ def test_streaming_lsh_candidates_match_batch(spark, sf_dir, docs_dir):
     }
     assert streamed == batch
     assert len(streamed) > 0
+
+
+def test_streaming_heavy_hitters_misra_gries_bounds(spark, sf_dir, events_dir):
+    """Sharded MG summaries: every true heavy hitter survives, and every
+    stored count is an underestimate by at most n_group/k."""
+    from datafusion_ray_spark.sources.tables import load_table
+    from datafusion_ray_spark.streaming import structured
+
+    K = 8
+    stream = structured.stream_events(spark, events_dir)
+    structured.run_to_memory(
+        structured.heavy_hitters_stream(stream, k=K),
+        "mg_hh",
+        output_mode="append",
+    )
+    got = {
+        r["key"]: (r["grp"], r["cnt"], r["n_processed"])
+        for r in spark.table("mg_hh").collect()
+    }
+    assert got, "summary is empty"
+
+    events = load_table(spark, sf_dir, "events")
+    true = {
+        str(r["user_id"]): r["c"]
+        for r in events.groupBy("user_id").agg(F.count("*").alias("c")).collect()
+    }
+    group_n = {}
+    for _, (g, _, n) in got.items():
+        group_n[g] = n
+    # underestimate bound, per key present
+    for kv, (g, cnt, n) in got.items():
+        assert cnt <= true[kv]
+        assert cnt >= true[kv] - n / K
+    # completeness: any key with true freq > n_g/k for its group is present
+    import hashlib
+
+    for kv, c in true.items():
+        g = int(hashlib.md5(kv.encode()).hexdigest()[:4], 16) % 8
+        if g in group_n and c > group_n[g] / K:
+            assert kv in got, f"missing heavy hitter {kv}"
