@@ -59,16 +59,15 @@ _PRIORITY_AFTER_TPCH = [
     "join_asof", "join_range",
     # Event windows
     "ev_tumbling_window", "ev_sliding_window", "ev_session_window",
-    "ev_daily_pivot",
-    # Text analysis
-    "text_token_stats", "text_lang_id", "text_quality", "text_fingerprint",
-    "text_winnow",
+    # Text analysis / quality / search
+    "text_token_stats", "text_lang_id", "text_quality", "text_winnow",
+    "text_bm25", "text_lm_score",
     # Sketches
-    "sketch_count_min",
+    "sketch_count_min", "sketch_hll",
     # Multimodal
-    "mm_meta_stats", "mm_byte_stats", "mm_decode_features",
-    # LLM-pipeline data management (coverage4)
-    "split_train_test", "text_normalize", "contamination_check",
+    "mm_meta_stats", "mm_decode_features",
+    # LLM-pipeline data management
+    "seq_pack", "split_train_test", "contamination_check",
     "sample_stratified",
 ]
 
