@@ -354,3 +354,65 @@ def heavy_hitters_stream(events: DataFrame, key_col: str = "user_id",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def bloom_dedup_stream(docs: DataFrame, bits: int = 32768,
+                       n_shards: int = 8) -> DataFrame:
+    """Streaming approximate dedup with BOUNDED state: a sharded Bloom
+    filter over the exact-text digest.
+
+    ``dropDuplicates`` holds one state row per distinct key forever —
+    unbounded on an unbounded stream. Here each shard's entire state is a
+    fixed ``bits``-bit bitmap (``n_shards * bits / 8`` bytes TOTAL,
+    regardless of stream length). A document whose K bit positions are all
+    set is flagged a probable duplicate; Bloom filters have no false
+    negatives, so every true exact dup IS flagged — at the price of a
+    bounded false-positive rate on novel docs (tunable via bits).
+
+    Emits (doc_id, is_new). Routing key is the text digest, so shards and
+    their bitmaps shard horizontally like any keyed state.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..operators.sketch import CMS_PREFIXES
+
+    digest = F.md5(F.col("text"))
+    shard = (
+        F.conv(F.substring(digest, 29, 4), 16, 10).cast("long") % n_shards
+    ).cast("int")
+    routed = docs.select("doc_id", digest.alias("digest"), shard.alias("shard"))
+    n_words = bits // 64
+
+    def update(key, pdfs, state):
+        import hashlib
+
+        import pandas as pd
+
+        words = list(state.get[0]) if state.exists else [0] * n_words
+        out_id: list[int] = []
+        out_new: list[bool] = []
+        for pdf in pdfs:
+            for doc_id, dg in sorted(zip(pdf["doc_id"], pdf["digest"])):
+                pos = [
+                    int(
+                        hashlib.md5((p + dg).encode()).hexdigest()[:4], 16
+                    ) % bits
+                    for p in CMS_PREFIXES
+                ]
+                seen = all(words[b // 64] >> (b % 64) & 1 for b in pos)
+                for b in pos:
+                    words[b // 64] |= 1 << (b % 64)
+                # keep words within signed-64 range for the state store
+                words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+                out_id.append(int(doc_id))
+                out_new.append(not seen)
+        state.update((words,))
+        yield pd.DataFrame({"doc_id": out_id, "is_new": out_new})
+
+    return routed.groupBy("shard").applyInPandasWithState(
+        update,
+        outputStructType="doc_id long, is_new boolean",
+        stateStructType="bits array<long>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -187,3 +187,47 @@ def test_streaming_heavy_hitters_misra_gries_bounds(spark, sf_dir, events_dir):
         g = int(hashlib.md5(kv.encode()).hexdigest()[:4], 16) % 8
         if g in group_n and c > group_n[g] / K:
             assert kv in got, f"missing heavy hitter {kv}"
+
+
+def test_streaming_bloom_dedup_no_false_negatives(spark, sf_dir, docs_dir):
+    """Bounded-state streaming dedup: every exact duplicate beyond the
+    first occurrence is flagged (Bloom has no false negatives), and the
+    false-positive drops on novel texts stay under 2%."""
+    from datafusion_ray_spark.sources.tables import load_table
+    from datafusion_ray_spark.streaming import structured
+
+    stream = structured.stream_documents(spark, docs_dir)
+    structured.run_to_memory(
+        structured.bloom_dedup_stream(stream), "bloom_dedup", output_mode="append"
+    )
+    got = {r["doc_id"]: r["is_new"] for r in spark.table("bloom_dedup").collect()}
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    assert len(got) == n
+    # ground truth: first doc_id per exact text is "new"
+    firsts = {
+        r["keep"]
+        for r in docs.groupBy("text")
+        .agg(F.min("doc_id").alias("keep"))
+        .collect()
+    }
+    # no false negatives: anything NOT flagged new must be a true non-first
+    # ... but shard-parallel processing order is by doc_id within a shard,
+    # so a doc flagged dup must have a same-text twin somewhere.
+    multi = {
+        r["doc_id"]
+        for r in docs.join(
+            docs.groupBy("text").agg(F.count("*").alias("c")).where("c > 1"),
+            "text",
+        ).collect()
+    }
+    false_pos = 0
+    for doc_id, is_new in got.items():
+        if not is_new and doc_id not in multi:
+            false_pos += 1
+    assert false_pos / n < 0.02
+    # every duplicate-text group loses at least its later members OR the
+    # bitmap flagged them: any non-first member of a dup group must not be new
+    for doc_id in multi - firsts:
+        assert not got[doc_id] or doc_id in firsts
