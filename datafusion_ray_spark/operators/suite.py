@@ -734,6 +734,62 @@ ORDER BY tf.doc_id
 """
 
 
+def ngram_contamination_oracle(k: int = 4) -> str:
+    """DuckDB twin of text.ngram_decontaminate with benchmark = src0 docs,
+    train = everything else: distinct word k-grams both sides, overlap
+    count per train doc."""
+    grams = (
+        f"list_distinct(CASE WHEN len(w) >= {k} THEN "
+        f"list_transform(range(1, len(w) - {k} + 2), "
+        f"i -> array_to_string(w[i:i+{k}-1], ' ')) ELSE [] END)"
+    )
+    return f"""
+WITH docs AS (SELECT doc_id, source, {_WORDS} AS w FROM documents),
+g AS (SELECT doc_id, source, unnest({grams}) AS gram FROM docs),
+bench AS (SELECT DISTINCT gram FROM g WHERE source = 'src0'),
+tr AS (SELECT doc_id, gram FROM g WHERE source <> 'src0'),
+hits AS (
+    SELECT tr.doc_id, CAST(COUNT(*) AS INT) AS n_shared_grams
+    FROM tr JOIN bench ON tr.gram = bench.gram
+    GROUP BY tr.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(h.n_shared_grams, 0) AS n_shared_grams,
+       COALESCE(h.n_shared_grams, 0) > 0 AS contaminated
+FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d
+LEFT JOIN hits h ON d.doc_id = h.doc_id
+ORDER BY d.doc_id
+"""
+
+
+def dedup_apply_oracle() -> str:
+    """DuckDB oracle for the end-to-end kept corpus: connected components
+    over verified minhash near-dup pairs (WITH RECURSIVE), keep only each
+    component's min-label representative; docs in no component survive."""
+    return f"""
+WITH RECURSIVE mp AS (
+{minhash_pairs_oracle()}
+),
+edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM mp WHERE is_near_dup
+    UNION ALL
+    SELECT doc_b, doc_a FROM mp WHERE is_near_dup
+),
+nodes AS (SELECT DISTINCT a AS id FROM edges),
+reach(id, r) AS (
+    SELECT id, id FROM nodes
+    UNION
+    SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id
+),
+labels AS (SELECT id AS doc_id, MIN(r) AS group_id FROM reach GROUP BY id),
+dropped AS (SELECT doc_id FROM labels WHERE doc_id <> group_id)
+SELECT d.doc_id, d.source, CAST(d.n_chars AS BIGINT) AS n_chars
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
+ORDER BY d.doc_id
+"""
+
+
 def shuffle_oracle(n_shards: int = 8, seed: str = "42") -> str:
     """DuckDB twin of shuffleop.seeded_shuffle: same md5 permutation key,
     hex4-mod shard, row_number per shard."""
@@ -1030,6 +1086,28 @@ def run_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def run_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.winnow_fingerprints(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def run_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return text.ngram_decontaminate(
+        docs.where(F.col("source") != "src0"),
+        docs.where(F.col("source") == "src0"),
+    ).orderBy("doc_id")
+
+
+def run_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup removal: pairs -> transitive groups -> keep the
+    min-label representative of every duplicate cluster."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_dedup_pairs(docs).where("is_near_dup")
+    groups = dedup.duplicate_groups(pairs)
+    dropped = groups.where(F.col("doc_id") != F.col("group_id")).select("doc_id")
+    return (
+        docs.join(dropped, "doc_id", "left_anti")
+        .select("doc_id", "source", F.col("n_chars").cast("long").alias("n_chars"))
+        .orderBy("doc_id")
+    )
 
 
 def run_seeded_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1417,4 +1495,11 @@ def extension_entries():
         SuiteEntry("shuffle_shard", run_seeded_shuffle, shuffle_oracle(),
                    "seeded deterministic global shuffle + shard "
                    "assignment (hash permutation, no global sort)"),
+        SuiteEntry("contamination_ngram", run_ngram_contamination,
+                   ngram_contamination_oracle(),
+                   "GPT-3-style k-gram benchmark decontamination "
+                   "(broadcast gram set, per-doc overlap counts)"),
+        SuiteEntry("dedup_apply", run_dedup_apply, dedup_apply_oracle(),
+                   "end-to-end kept corpus after transitive near-dup "
+                   "removal (recursive-CTE certified)"),
     ]

@@ -399,3 +399,58 @@ def gopher_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
         *[c.alias(name) for name, c in flags.items()],
         keep.alias("keep"),
     )
+
+
+def word_ngrams(text_col: str = "text", k: int = 4) -> Column:
+    """Distinct word k-grams as an array column (empty when < k tokens).
+
+    Generic-k companion to ``dedup.shingles`` (which is a zip-specialized
+    k=3). The per-position ``slice`` is O(k) per gram — fine for metadata-
+    sized k; for hot k=3 paths use ``shingles``.
+    """
+    toks = tokens(text_col)
+    grams = F.expr(
+        f"transform(sequence(1, size(split(trim({text_col}),'\\\\s+'))-{k}+1), "
+        f"i -> array_join(slice(split(trim({text_col}),'\\\\s+'), i, {k}), ' '))"
+    )
+    return F.array_distinct(
+        F.when(F.size(toks) >= k, grams).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def ngram_decontaminate(train: DataFrame, benchmark: DataFrame,
+                        text_col: str = "text", k: int = 4) -> DataFrame:
+    """Benchmark decontamination by word k-gram overlap — the GPT-3
+    appendix-C method (Brown et al. 2020 use 13-grams; k is a parameter
+    and the testdata entry uses k=4 so the signal is non-degenerate on
+    synthetic text).
+
+    A training document is contaminated when it shares ANY word k-gram
+    with any benchmark document. The benchmark gram set is
+    benchmark-sized (tiny next to the pool), so it reaches the probe as a
+    BROADCAST; per-doc work is one distinct-gram explode. At very large
+    benchmark sets, swap the broadcast for ``sketch.bloom_build`` over the
+    grams — no false negatives, same join shape.
+
+    Returns every train doc: (doc_id, n_shared_grams, contaminated).
+    """
+    bench = (
+        benchmark.select(F.explode(word_ngrams(text_col, k)).alias("gram"))
+        .distinct()
+    )
+    tr = train.select("doc_id", F.explode(word_ngrams(text_col, k)).alias("gram"))
+    hits = (
+        tr.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("int").alias("n_shared_grams"))
+    )
+    return (
+        train.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .na.fill({"n_shared_grams": 0})
+        .select(
+            "doc_id",
+            "n_shared_grams",
+            (F.col("n_shared_grams") > 0).alias("contaminated"),
+        )
+    )

@@ -525,3 +525,24 @@ def test_dsir_target_docs_score_higher(spark, sf_dir):
         .collect()
     }
     assert avg[True] > avg[False]
+
+
+def test_ngram_decontaminate_planted(spark):
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")], ["doc_id", "text"]
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "prefix alpha beta gamma delta suffix words"),  # shares a 4-gram
+            (2, "completely unrelated text with other tokens"),
+            (3, "tiny doc"),  # shorter than k
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: (r["n_shared_grams"], r["contaminated"])
+        for r in text.ngram_decontaminate(train, bench, k=4).collect()
+    }
+    assert out[1][1] and out[1][0] >= 1
+    assert out[2] == (0, False)
+    assert out[3] == (0, False)
