@@ -67,8 +67,8 @@ _PRIORITY_AFTER_TPCH = [
     # Multimodal
     "mm_meta_stats", "mm_decode_features",
     # LLM-pipeline data management
-    "seq_pack", "split_train_test", "contamination_check",
-    "sample_stratified",
+    "seq_pack", "split_train_test", "contamination_ngram",
+    "dsir_weights",
 ]
 
 

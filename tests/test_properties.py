@@ -10,6 +10,7 @@ from datetime import datetime, timedelta
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
 
 from datafusion_ray_spark.operators.asof import asof_join
 from datafusion_ray_spark.operators.rangejoin import range_join_count
@@ -159,3 +160,51 @@ def test_ngram_jaccard_prefix_filter_is_lossless(spark, texts):
                 assert got[(i, j)] == round(jac, 6)
             else:
                 assert (i, j) not in got or got[(i, j)] >= dedup.JACCARD_THRESHOLD
+
+
+_ids = st.lists(
+    st.integers(min_value=0, max_value=10_000), min_size=1, max_size=40, unique=True
+)
+
+
+@given(ids=_ids)
+@_settings
+def test_seeded_shuffle_is_permutation(spark, ids):
+    """For any id set: shards partition the rows, per-shard positions are
+    exactly 1..len(shard), and the layout is seed-deterministic."""
+    from datafusion_ray_spark.operators.shuffleop import seeded_shuffle
+
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    out = seeded_shuffle(docs, n_shards=4).collect()
+    assert {r["doc_id"] for r in out} == set(ids)
+    by_shard: dict[int, list[int]] = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+    again = seeded_shuffle(docs, n_shards=4).collect()
+    assert {(r["doc_id"], r["shard"], r["pos"]) for r in out} == {
+        (r["doc_id"], r["shard"], r["pos"]) for r in again
+    }
+
+
+@given(texts=_texts)
+@_settings
+def test_dsir_weights_order_invariant(spark, texts):
+    """DSIR log-weights are a pure function of content — row order and
+    partitioning must not change any weight (fixed-point determinism)."""
+    from datafusion_ray_spark.operators.dsir import dsir_logweights
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    target = docs.where("doc_id % 2 = 0")
+    w1 = {
+        r["doc_id"]: r["logw_nats"]
+        for r in dsir_logweights(docs, target).collect()
+    }
+    shuffled = docs.orderBy(F.desc("doc_id")).repartition(7)
+    w2 = {
+        r["doc_id"]: r["logw_nats"]
+        for r in dsir_logweights(shuffled, target).collect()
+    }
+    assert w1 == w2
