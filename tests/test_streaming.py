@@ -231,3 +231,38 @@ def test_streaming_bloom_dedup_no_false_negatives(spark, sf_dir, docs_dir):
     # bitmap flagged them: any non-first member of a dup group must not be new
     for doc_id in multi - firsts:
         assert not got[doc_id] or doc_id in firsts
+
+
+def test_transform_with_state_matches_legacy_api(spark, sf_dir, events_dir):
+    """The Spark-4 transformWithStateInPandas op equals the legacy
+    applyInPandasWithState twin AND the batch aggregate, row for row.
+
+    The new state API's driver worker needs google.protobuf
+    (StateMessage_pb2); like the Avro jar, it is absent in this sandbox,
+    so the operator is capability-gated and this test skips without it.
+    """
+    pytest.importorskip("google.protobuf")
+    from datafusion_ray_spark.sources.tables import load_table
+    from datafusion_ray_spark.streaming import structured
+
+    stream = structured.stream_events(spark, events_dir)
+    structured.run_to_memory(
+        structured.stateful_user_counts_tws(stream), "tws_counts",
+        output_mode="update",
+    )
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in spark.table("tws_counts").collect()
+    }
+    batch = {
+        r["user_id"]: (r["n"], r["tv"])
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias("tv"),
+        )
+        .collect()
+    }
+    assert got == batch
+    assert len(got) > 0
