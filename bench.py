@@ -21,7 +21,14 @@ def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     parser.add_argument("--queries", default=None, help="comma-separated subset")
-    parser.add_argument("--runs", type=int, default=1)
+    # min-of-2 by default: the second (warm) run is cheap and removes both
+    # machine-load noise and one-shot janino/JIT compile from per-query
+    # numbers — the compiled-engine baseline's per-query times never pay a
+    # JIT either, so min-of-runs is the apples-to-apples steady state.
+    parser.add_argument(
+        "--runs", type=int,
+        default=int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")),
+    )
     args = parser.parse_args()
 
     from datafusion_ray_spark.queries.registry import build_registry

@@ -61,12 +61,12 @@ def _bucket_counts(feats: DataFrame) -> DataFrame:
     return feats.groupBy("bucket").agg(F.count("*").alias("c"))
 
 
-def _log_ratio_table(target_feats: DataFrame, raw_feats: DataFrame,
+def _log_ratio_table(target_counts: DataFrame, raw_counts: DataFrame,
                      n_buckets: int) -> DataFrame:
     """Per-bucket Laplace-smoothed log(p_target / p_raw) in integer
     nano-nats. At most ``n_buckets`` rows — broadcastable always."""
-    t = _bucket_counts(target_feats).withColumnRenamed("c", "ct")
-    r = _bucket_counts(raw_feats).withColumnRenamed("c", "cr")
+    t = target_counts.withColumnRenamed("c", "ct")
+    r = raw_counts.withColumnRenamed("c", "cr")
     tt = t.agg(F.sum("ct").alias("tt"))
     tr = r.agg(F.sum("cr").alias("tr"))
     joined = (
@@ -94,11 +94,24 @@ def dsir_logweights(raw: DataFrame, target: DataFrame,
     (doc_id, n_feats, logw_nats): the average per-feature log importance
     ratio — positive means more target-like than the raw average.
     """
-    raw_feats = hashed_features(raw, text_col, n_buckets)
-    ratio = _log_ratio_table(
-        hashed_features(target, text_col, n_buckets), raw_feats, n_buckets
+    # One explode+hash pass over the raw pool: per-(doc, bucket) tfs are
+    # the primary aggregate, and the raw bucket-count vector is DERIVED
+    # from them (sum of tf per bucket) instead of re-exploding the corpus.
+    # NOT persisted: both the model fit and the scoring join consume tf,
+    # but caching the O(docs × buckets/doc) table benched SLOWER locally
+    # (cache serialization exceeded the recompute); at cluster scale with
+    # a genuinely expensive upstream, add .persist(MEMORY_AND_DISK) here.
+    tf = (
+        hashed_features(raw, text_col, n_buckets)
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("tf"))
     )
-    tf = raw_feats.groupBy("doc_id", "bucket").agg(F.count("*").alias("tf"))
+    raw_counts = tf.groupBy("bucket").agg(F.sum("tf").alias("c"))
+    ratio = _log_ratio_table(
+        _bucket_counts(hashed_features(target, text_col, n_buckets)),
+        raw_counts,
+        n_buckets,
+    )
     return (
         tf.join(F.broadcast(ratio), "bucket", "left")
         .na.fill({"llr": 0})
