@@ -114,7 +114,8 @@ def main() -> None:
     _PIPELINE = {"doc_chunk", "seq_pack", "pii_redact", "len_histogram",
                  "source_mix", "split_train_test", "text_normalize",
                  "contamination_check", "sample_stratified", "dsir_weights",
-                 "shuffle_shard", "contamination_ngram"}
+                 "shuffle_shard", "contamination_ngram", "vocab_stats",
+                 "sample_uniform"}
 
     def family(name: str) -> str:
         if name.startswith("q") and name[1:].isdigit():

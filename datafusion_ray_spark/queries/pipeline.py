@@ -244,4 +244,60 @@ _q(
     ),
 )
 
+# Corpus vocabulary profile: one row of tokenizer-planning stats — vocab
+# size, token mass, hapax count (vocabulary long-tail), and the modal word
+# (deterministic min-word tiebreak among maxima). One word-keyed
+# map-side-combinable shuffle; output is a single row regardless of corpus.
+_q(
+    "vocab_stats",
+    """
+WITH words AS (
+    SELECT EXPLODE(SPLIT(TRIM(text), '\\\\s+')) AS word FROM documents
+),
+wc AS (SELECT word, COUNT(*) AS c FROM words GROUP BY word)
+SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size,
+       CAST(SUM(c) AS BIGINT) AS total_tokens,
+       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_count,
+       MIN(CASE WHEN c = (SELECT MAX(c) FROM wc) THEN word END) AS top_word,
+       CAST(MAX(c) AS BIGINT) AS top_word_count
+FROM wc
+""",
+    "corpus vocabulary profile: vocab size, hapax count, modal word",
+    oracle="""
+WITH words AS (
+    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word FROM documents
+),
+wc AS (SELECT word, COUNT(*) AS c FROM words GROUP BY word)
+SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size,
+       CAST(SUM(c) AS BIGINT) AS total_tokens,
+       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_count,
+       MIN(CASE WHEN c = (SELECT MAX(c) FROM wc) THEN word END) AS top_word,
+       CAST(MAX(c) AS BIGINT) AS top_word_count
+FROM wc
+""",
+)
+
+
+# Deterministic uniform sample: rank by md5(seed || id) and take k — the
+# distributed equivalent of reservoir sampling (hash rank is a random
+# permutation, so any k-prefix is a uniform k-subset), but reproducible
+# and plannable as TakeOrderedAndProject (no global sort materialized).
+_q(
+    "sample_uniform",
+    """
+SELECT doc_id, source
+FROM documents
+ORDER BY MD5(CONCAT('7:', CAST(doc_id AS STRING))), doc_id
+LIMIT 100
+""",
+    "seeded uniform k-sample via hash ranking (reservoir-equivalent, "
+    "TakeOrdered plan)",
+    oracle="""
+SELECT doc_id, source
+FROM documents
+ORDER BY md5('7:' || CAST(doc_id AS VARCHAR)), doc_id
+LIMIT 100
+""",
+)
+
 PIPELINE_QUERIES: dict[str, QueryDef] = dict(_Q)

@@ -280,3 +280,14 @@ def test_seeded_shuffle_single_exchange(spark, sf_dir):
     assert shuffle_count(out) == 1
     # no global ordering operator anywhere in the plan
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_sample_uniform_is_take_ordered(spark, sf_dir):
+    """The hash-rank sampler must plan as TakeOrderedAndProject — a global
+    sort materializing 100 TB for a LIMIT 100 is a non-starter."""
+    from datafusion_ray_spark.queries.registry import build_registry
+    from datafusion_ray_spark.sources.tables import register_tables
+
+    register_tables(spark, sf_dir)
+    entry = build_registry()["sample_uniform"]
+    assert "TakeOrderedAndProject" in _plan(entry.run(spark, sf_dir))
