@@ -517,3 +517,50 @@ def paragraph_dedup(df: DataFrame, text_col: str = "text",
             ).alias("kept_hash"),
         )
     )
+
+
+def incremental_dedup_pairs(corpus: DataFrame, new_docs: DataFrame,
+                            text_col: str = "text") -> DataFrame:
+    """Near-dup pairs for an INCREMENTAL ingest batch: verified pairs that
+    involve at least one new document — never re-expanding old-vs-old.
+
+    The production ingestion shape: the existing corpus's banded LSH
+    buckets are a materialized index (here derived in-plan; persist the
+    ``lsh_buckets`` output as a bucket-partitioned table to make ingest
+    cost independent of corpus size — the new batch's buckets hash-join
+    against the index, touching only colliding buckets). Work is
+    O(new × bands) bucket rows + collisions:
+
+    - old×new candidates: equi-join of the new batch's buckets against the
+      index on (band, bucket) — the old side never self-pairs,
+    - new×new candidates: the standard in-batch expansion,
+    - verification re-reads shingles for candidate docs only (broadcast id
+      list), exactly like the batch path.
+
+    Equivalence: bucketing is per-document and deterministic, so this
+    equals the full-corpus ``minhash_dedup_pairs`` restricted to pairs
+    with a new member (tested + oracle-certified).
+    """
+    ob = lsh_buckets(corpus, text_col).select(
+        "band", "bucket", F.col("doc_id").alias("old_id")
+    )
+    nb = lsh_buckets(new_docs, text_col).select("band", "bucket", "doc_id")
+    on = (
+        nb.join(ob, ["band", "bucket"])
+        .select(
+            F.least("old_id", "doc_id").alias("doc_a"),
+            F.greatest("old_id", "doc_id").alias("doc_b"),
+        )
+        .where(F.col("doc_a") != F.col("doc_b"))
+    )
+    nn = minhash_candidates(new_docs, text_col)
+    cand = on.union(nn).distinct().persist()
+    cand.count()
+    everything = corpus.unionByName(new_docs)
+    joined, inter, union = _verify_jaccard(everything, cand, text_col)
+    return joined.select(
+        "doc_a",
+        "doc_b",
+        F.round(inter / union, 6).alias("jaccard"),
+        (inter / union >= JACCARD_THRESHOLD).alias("is_near_dup"),
+    )

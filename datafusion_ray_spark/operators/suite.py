@@ -788,6 +788,23 @@ ORDER BY d.doc_id
 """
 
 
+def incremental_dedup_oracle() -> str:
+    """Oracle: the full-corpus minhash pair set restricted to pairs that
+    involve a 'new' (src0) document — what the incremental ingest path
+    must equal by the per-document-determinism argument."""
+    return f"""
+WITH mp AS (
+{minhash_pairs_oracle()}
+)
+SELECT mp.doc_a, mp.doc_b, mp.jaccard, mp.is_near_dup
+FROM mp
+JOIN documents a ON a.doc_id = mp.doc_a
+JOIN documents b ON b.doc_id = mp.doc_b
+WHERE a.source = 'src0' OR b.source = 'src0'
+ORDER BY mp.doc_a, mp.doc_b
+"""
+
+
 def dedup_apply_oracle() -> str:
     """DuckDB oracle for the end-to-end kept corpus: connected components
     over verified minhash near-dup pairs (WITH RECURSIVE), keep only each
@@ -1126,6 +1143,14 @@ def run_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.where(F.col("source") != "src0"),
         docs.where(F.col("source") == "src0"),
     ).orderBy("doc_id")
+
+
+def run_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return dedup.incremental_dedup_pairs(
+        docs.where(F.col("source") != "src0"),
+        docs.where(F.col("source") == "src0"),
+    ).orderBy("doc_a", "doc_b")
 
 
 def run_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1538,4 +1563,8 @@ def extension_entries():
                    emb_covariance_oracle(),
                    "exact fixed-point embedding covariance block "
                    "(map-side-combined integer moments)"),
+        SuiteEntry("dedup_incremental", run_incremental_dedup,
+                   incremental_dedup_oracle(),
+                   "incremental-ingest near-dup pairs: new batch vs "
+                   "corpus LSH index, no old-vs-old expansion"),
     ]

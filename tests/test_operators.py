@@ -586,3 +586,24 @@ def test_gram_partials_match_fixed_point_covariance(spark, sf_dir):
     cov = g / n - np.outer(mean, mean)
     for r in covariance_entries(emb, dims=4).collect():
         assert abs(cov[r["i"], r["j"]] - r["cov"]) < 1e-5
+
+
+def test_incremental_dedup_equals_batch_restriction(spark, sf_dir):
+    """Incremental ingest (new batch vs corpus index) must equal the
+    full-corpus batch pairs restricted to pairs involving a new doc."""
+    from datafusion_ray_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.where(F.col("source") == "src0")
+    old = docs.where(F.col("source") != "src0")
+    inc = {
+        (r["doc_a"], r["doc_b"]): (r["jaccard"], r["is_near_dup"])
+        for r in dedup.incremental_dedup_pairs(old, new).collect()
+    }
+    new_ids = {r["doc_id"] for r in new.select("doc_id").collect()}
+    batch = {
+        (r["doc_a"], r["doc_b"]): (r["jaccard"], r["is_near_dup"])
+        for r in dedup.minhash_dedup_pairs(docs).collect()
+        if r["doc_a"] in new_ids or r["doc_b"] in new_ids
+    }
+    assert inc == batch
