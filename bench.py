@@ -72,17 +72,26 @@ def main() -> None:
     probe.join(spark.range(10).withColumnRenamed("id", "v").hint("broadcast"),
                "v", "left").collect()
 
+    # Per-query fault isolation: one broken query must never cost the round
+    # its entire bench artifact (round 1 lost it to an oversized line, round
+    # 2 to a crash-on-first-error — the summary line is now unconditional).
     per_query: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in names:
         entry = registry[name]
         best = None
-        for _ in range(args.runs):
-            start = time.perf_counter()
-            df = entry.run(spark, args.sf_dir)
-            df.collect()
-            elapsed = time.perf_counter() - start
-            best = elapsed if best is None else min(best, elapsed)
-        per_query[name] = round(best, 4)
+        try:
+            for _ in range(args.runs):
+                start = time.perf_counter()
+                df = entry.run(spark, args.sf_dir)
+                df.collect()
+                elapsed = time.perf_counter() - start
+                best = elapsed if best is None else min(best, elapsed)
+            per_query[name] = round(best, 4)
+        except Exception as e:  # noqa: BLE001 - record and keep benching
+            msg = f"{type(e).__name__}: {e}"
+            errors[name] = msg[:300]
+            print(f"bench: {name} failed: {msg[:300]}", file=sys.stderr)
         # Drop any blocks the query persisted (dedup candidate sets etc.) so
         # later queries aren't measured under earlier queries' cache residue.
         spark.catalog.clearCache()
@@ -98,6 +107,7 @@ def main() -> None:
         "sf": sf_val,
         "engine": "datafusion_ray_spark",
         "n_queries": len(per_query),
+        "errors": errors,
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_DETAIL.json")
@@ -138,10 +148,17 @@ def main() -> None:
         "n_queries": len(per_query),
         "queries": tpch,
         "families": families,
+        "n_errors": len(errors),
+        "err_queries": sorted(errors)[:20],
         "detail_file": "BENCH_DETAIL.json",
     }
     print(json.dumps(summary))
     spark.stop()
+    # Nonzero rc only when the run is substantially broken (>20% failed),
+    # so the driver still records the artifact for isolated failures.
+    if errors and len(errors) > max(1, len(names)) * 0.2:
+        return 1
+    return 0
 
 
 if __name__ == "__main__":

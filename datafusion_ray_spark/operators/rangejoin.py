@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..sources.tables import epoch_us
+
 
 def range_join_count(
     left: DataFrame,
@@ -34,18 +36,22 @@ def range_join_count(
     Returns all left columns plus ``count_alias`` (0 when none match).
     """
     w_us = window_minutes * 60 * 1_000_000
-    l = left.withColumn("_b", F.floor(F.unix_micros(F.col(ts_col)) / w_us))
+    # epoch_us handles TIMESTAMP / TIMESTAMP_NTZ / raw-nanos inputs alike
+    # (the round-2 regression: unix_micros rejects NTZ outright).
+    l = left.withColumn("_lus", epoch_us(left, ts_col)).withColumn(
+        "_b", F.floor(F.col("_lus") / w_us)
+    )
     r = (
         right.select(
             F.col(by).alias("_rk"),
-            F.unix_micros(F.col(ts_col)).alias("_rts"),
+            epoch_us(right, ts_col).alias("_rts"),
         )
         .withColumn("_b0", F.floor(F.col("_rts") / w_us))
         # a right row in bucket b can precede left rows in buckets b and b+1
         .withColumn("_b", F.explode(F.array(F.col("_b0"), F.col("_b0") + 1)))
         .drop("_b0")
     )
-    lts = F.unix_micros(l[ts_col])
+    lts = l["_lus"]
     cond = (
         (l[by] == r["_rk"])
         & (l["_b"] == r["_b"])

@@ -5,11 +5,17 @@ Mirrors the reference's per-table parquet registration
 TPC-H table) against the driver's testdata layout
 (``/root/testdata/sf*/<name>.parquet``, see FIXTURES.md).
 
-One normalization lives here: ``events.ts`` is stored as parquet
-TIMESTAMP(NANOS), which Spark refuses natively; the session reads it as raw
-int64 (``spark.sql.legacy.parquet.nanosAsLong``) and this layer converts to a
-microsecond timestamp. The DuckDB oracle applies the matching
-``CAST(ts AS TIMESTAMP)`` (ns -> us truncation) so both engines agree.
+One normalization lives here: ``events.ts`` arrives in whatever physical
+shape the testdata generator last chose — parquet TIMESTAMP(NANOS) (Spark
+refuses natively; read as raw int64 via ``spark.sql.legacy.parquet
+.nanosAsLong``), plain ``timestamp[us]`` without timezone (Spark 4 reads as
+TIMESTAMP_NTZ under the default ``inferTimestampNTZ``), or tz-tagged micros
+(plain TIMESTAMP).  ``ts_to_utc`` maps ALL of them to one canonical
+TIMESTAMP whose instant is the stored wall-clock interpreted as UTC, using
+session-timezone-INDEPENDENT expressions (``timestampdiff`` on NTZ is pure
+wall-clock arithmetic), so results don't shift under a caller session with
+a non-UTC zone.  The DuckDB oracle applies the matching
+``CAST(ts AS TIMESTAMP)`` so both engines agree.
 """
 
 from __future__ import annotations
@@ -33,22 +39,55 @@ ALL_TABLES = TPCH_TABLES + EXT_TABLES
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Epoch micros of a TIMESTAMP_NTZ column as pure wall-clock arithmetic:
+# timestampdiff on NTZ operands never consults the session timezone, unlike
+# CAST(ntz AS TIMESTAMP) / to_utc_timestamp, both of which are silently
+# session-tz-dependent (verified: under America/New_York they shift by 5 h).
+_NTZ_EPOCH_US = (
+    "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {col})"
+)
+
+
+def epoch_us(df: DataFrame, col: str = "ts") -> F.Column:
+    """Epoch-microseconds Column for ``df[col]``, whatever physical shape the
+    timestamp arrived in (TIMESTAMP, TIMESTAMP_NTZ, or raw int64 nanos from
+    a nanosAsLong read).  NTZ wall-clock is interpreted as UTC, matching
+    DuckDB's ``epoch_us(CAST(ts AS TIMESTAMP))``, via expressions that do
+    not depend on the session timezone."""
+    dtype = dict(df.dtypes).get(col)
+    if dtype == "bigint":  # raw nanos; integer DIV matches DuckDB truncation
+        return F.expr(f"{col} DIV 1000")
+    if dtype == "timestamp_ntz":
+        return F.expr(_NTZ_EPOCH_US.format(col=col))
+    return F.unix_micros(F.col(col))
+
+
+def ts_to_utc(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize a timestamp column to the engine-canonical TIMESTAMP type
+    (instant = stored wall-clock interpreted as UTC).  No-op when already
+    TIMESTAMP; works identically on batch and streaming DataFrames (pure
+    projection)."""
+    dtype = dict(df.dtypes).get(col)
+    if dtype in ("bigint", "timestamp_ntz"):
+        return df.withColumn(col, F.timestamp_micros(epoch_us(df, col)))
+    return df
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table with engine-canonical column types."""
     # Defensive conf for caller-supplied sessions (the driver contract runs
     # these loaders under a session we did not build): the engine's declared
-    # timestamp semantics are UTC, and events.ts is parquet TIMESTAMP(NANOS),
-    # which Spark rejects outright unless nanosAsLong is on.
+    # timestamp semantics are UTC (date_trunc/to_date consult the session
+    # zone), and if events.ts is parquet TIMESTAMP(NANOS) Spark rejects the
+    # read outright unless nanosAsLong is on.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # int64 nanos (via nanosAsLong) -> microsecond timestamp; integer
-        # division (NOT `/`, which is double division and rounds) so the
-        # truncation matches DuckDB's CAST(timestamp_ns AS TIMESTAMP).
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if name == "events":
+        # Whatever the generator produced (int64 nanos, NTZ micros, or tz'd
+        # micros) -> one canonical TIMESTAMP; see module docstring.
+        df = ts_to_utc(df, "ts")
     return df
 
 

@@ -13,27 +13,75 @@ by grouping key; watermarks bound state size for late data.
 
 from __future__ import annotations
 
+import glob
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # raw nanos (nanosAsLong read)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+from ..sources.tables import ts_to_utc
+
+
+def _events_ts_type(path_dir: str) -> T.DataType:
+    """Read one parquet footer to learn how ``ts`` is physically stored.
+
+    readStream requires a user-supplied schema, and guessing wrong is not a
+    loud failure: forcing LongType over a micros-stored column silently
+    yields values 1000x off (the round-2 regression — epoch ≈ 1970, wrong
+    answers, no error).  The footer is the source of truth, so ask it.
+    """
+    candidates = (
+        [path_dir]
+        if os.path.isfile(path_dir)
+        else sorted(
+            glob.glob(os.path.join(path_dir, "**", "*.parquet"), recursive=True)
+        )
+    )
+    if not candidates:  # empty dir: assume the current generator's shape
+        return T.TimestampNTZType()
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pq.read_schema(candidates[0]).field("ts").type
+    if pa.types.is_integer(t):
+        return T.LongType()  # raw int64 nanos
+    if pa.types.is_timestamp(t):
+        if t.unit == "ns" and t.tz is None:
+            # TIMESTAMP(NANOS): Spark only reads it via nanosAsLong
+            return T.LongType()
+        return T.TimestampType() if t.tz else T.TimestampNTZType()
+    raise TypeError(f"unsupported parquet type for events.ts: {t}")
+
+
+def events_schema(ts_type: T.DataType = T.TimestampNTZType()) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+
+#: kept for import compatibility (tests/examples); matches current testdata.
+EVENTS_SCHEMA = events_schema()
 
 
 def stream_events(spark: SparkSession, path_dir: str) -> DataFrame:
-    """Streaming read of an events parquet directory, normalized like the
-    batch loader (nanos -> microsecond timestamps)."""
-    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(path_dir)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    """Streaming read of an events parquet directory, normalized to the same
+    canonical TIMESTAMP as the batch loader (``sources.tables.load_table``)
+    whatever the files' physical ts encoding (int64 nanos, NTZ micros, or
+    tz'd micros)."""
+    ts_type = _events_ts_type(path_dir)
+    if isinstance(ts_type, T.LongType):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw = spark.readStream.schema(events_schema(ts_type)).parquet(path_dir)
+    return ts_to_utc(raw, "ts")
 
 
 def tumbling_counts_stream(
@@ -42,6 +90,7 @@ def tumbling_counts_stream(
     """Watermarked tumbling counts — streaming twin of
     ``windows.tumbling_agg`` (late data beyond the watermark is dropped;
     state is bounded per window x event_type)."""
+    events = ts_to_utc(events, "ts")
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", width).alias("w"), "event_type")
@@ -67,6 +116,7 @@ def sliding_counts_stream(
     """Watermarked sliding (hopping) window counts — streaming twin of
     ``windows.sliding_agg`` (each event lands in width/slide overlapping
     windows; late data beyond the watermark is dropped)."""
+    events = ts_to_utc(events, "ts")
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", width, slide).alias("w"))
@@ -117,6 +167,7 @@ def session_counts_stream(
     so state for closed sessions is dropped — the property that keeps
     per-user session state bounded on an unbounded stream.
     """
+    events = ts_to_utc(events, "ts")
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")

@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..sources.tables import ts_to_utc
+
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 
@@ -29,6 +31,7 @@ def _dsum(col: str, alias: str) -> F.Column:
 
 def tumbling_agg(df: DataFrame, width: str = "1 hour") -> DataFrame:
     """Tumbling-window counts + sums per event_type."""
+    df = ts_to_utc(df, "ts")
     return (
         df.groupBy(F.window("ts", width).alias("w"), "event_type")
         .agg(F.count("*").cast("long").alias("n"), _dsum("value", "sum_value"))
@@ -44,6 +47,7 @@ def tumbling_agg(df: DataFrame, width: str = "1 hour") -> DataFrame:
 def sliding_agg(df: DataFrame, width: str = "1 hour", slide: str = "15 minutes") -> DataFrame:
     """Sliding-window (hopping) counts: each event lands in width/slide
     overlapping windows."""
+    df = ts_to_utc(df, "ts")
     return (
         df.groupBy(F.window("ts", width, slide).alias("w"))
         .agg(F.count("*").cast("long").alias("n"), _dsum("value", "sum_value"))
@@ -53,7 +57,12 @@ def sliding_agg(df: DataFrame, width: str = "1 hour", slide: str = "15 minutes")
 
 def session_agg(df: DataFrame, gap: str = "30 minutes") -> DataFrame:
     """Session windows per user: events merge while consecutive gaps are
-    below ``gap``; session end = last event + gap (Spark semantics)."""
+    below ``gap``; session end = last event + gap (Spark semantics).
+
+    Input ts is normalized first (round-2 regression: ``unix_micros`` on the
+    NTZ ``w.start`` Spark derives from an NTZ input column is a type error).
+    """
+    df = ts_to_utc(df, "ts")
     return (
         df.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
         .agg(F.count("*").cast("long").alias("n_events"), _dsum("value", "sum_value"))
@@ -70,6 +79,7 @@ def session_agg(df: DataFrame, gap: str = "30 minutes") -> DataFrame:
 def daily_type_pivot(df: DataFrame) -> DataFrame:
     """Daily event-type count matrix (groupBy().pivot() — Spark plans the
     same partial/final agg as a manual CASE fan-out)."""
+    df = ts_to_utc(df, "ts")
     return (
         df.groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
         .pivot("event_type", list(EVENT_TYPES))
