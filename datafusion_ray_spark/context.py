@@ -69,21 +69,42 @@ class DFRayDataFrame:
         memory is bounded by one partition + one batch, not the result size.
         Batch size defaults to ``spark.sql.execution.arrow.maxRecordsPerBatch``
         (the ``DFRayContext(batch_size=...)`` knob).
+
+        Data stays Arrow end to end: executors serialize each batch to an
+        IPC payload inside ``mapInArrow`` (one binary cell per batch, so the
+        driver-side Row loop is per-BATCH, not per-row) and the driver
+        re-opens the payloads as record batches — no ``Row.asDict``
+        anywhere.
         """
         n = max_records_per_batch or int(
             self.df.sparkSession.conf.get(
                 "spark.sql.execution.arrow.maxRecordsPerBatch", "10000"
             )
         )
-        schema = self.to_arrow_schema()
-        rows: list[dict] = []
-        for row in self.df.toLocalIterator(prefetchPartitions=True):
-            rows.append(row.asDict(recursive=True))
-            if len(rows) >= n:
-                yield pa.RecordBatch.from_pylist(rows, schema=schema)
-                rows = []
-        if rows:
-            yield pa.RecordBatch.from_pylist(rows, schema=schema)
+
+        def ipc_chunks(batches):
+            import io
+
+            import pyarrow as arrow
+
+            for batch in batches:
+                # Re-chunk to the requested bound; wrap each chunk as one
+                # single-row binary cell carrying its own IPC stream.
+                for sub in arrow.Table.from_batches([batch]).to_batches(
+                    max_chunksize=n
+                ):
+                    sink = io.BytesIO()
+                    with arrow.ipc.new_stream(sink, sub.schema) as writer:
+                        writer.write_batch(sub)
+                    yield arrow.RecordBatch.from_pydict(
+                        {"ipc": [sink.getvalue()]},
+                        schema=arrow.schema([("ipc", arrow.binary())]),
+                    )
+
+        encoded = self.df.mapInArrow(ipc_chunks, "ipc binary")
+        for row in encoded.toLocalIterator(prefetchPartitions=True):
+            with pa.ipc.open_stream(row.ipc) as reader:
+                yield from reader
 
     async def collect_stream_async(self, max_records_per_batch: int | None = None):
         """Async variant of :meth:`collect_stream`, mirroring the reference's
@@ -271,6 +292,40 @@ class DFRayContext:
             schema, rows = read_avro(path)
             df = self.spark.createDataFrame(rows, schema=avro_to_spark_type(schema))
         self._register(name, df, path)
+
+    def register_delta(self, name: str, path: str) -> None:
+        """Delta Lake table (capability-gated like Avro: activates when the
+        ``delta-spark`` jars are on the classpath; raises a clear
+        NotImplementedError here, where the sandbox has no connector jars).
+        Lakehouse formats are the natural 100 TB table layer — time travel,
+        compaction, and partition evolution come from the connector, the
+        query surface is unchanged."""
+        self._register_lakehouse(name, "delta", self._normalize_path(path))
+
+    def register_iceberg(self, name: str, table_or_path: str) -> None:
+        """Apache Iceberg table (capability-gated: needs the
+        ``iceberg-spark-runtime`` jar + catalog conf; identifier may be a
+        catalog table name or a path, per the connector's rules)."""
+        self._register_lakehouse(
+            name, "iceberg", self._normalize_path(table_or_path)
+        )
+
+    def _register_lakehouse(self, name: str, fmt: str, location: str) -> None:
+        try:
+            df = self.spark.read.format(fmt).load(location)
+        except Exception as e:
+            msg = str(e)
+            if any(
+                s in msg
+                for s in ("DATA_SOURCE_NOT_FOUND", "ClassNotFoundException", "Failed to find")
+            ):
+                raise NotImplementedError(
+                    f"{fmt} connector not on the classpath; add the "
+                    f"{'delta-spark' if fmt == 'delta' else 'iceberg-spark-runtime'} "
+                    "jar at deploy time (capability-gated, like Avro)"
+                ) from e
+            raise
+        self._register(name, df, location)
 
     def register_listing_table(self, name: str, path: str, file_format: str = "parquet") -> None:
         """Directory-of-files table (reference: ``src/context.rs:82-107``).

@@ -134,6 +134,59 @@ def test_multimodal_unknown_codec_raises(docs):
         multimodal.decode_features(binary).collect()
 
 
+class _XorCodec:
+    """Second codec for the registry seam test: checksum of payload XOR 0xFF,
+    constant feature — trivially distinguishable from FakeCodec output."""
+
+    def features(self, payloads):
+        import numpy as np
+
+        lens = np.array([len(b) for b in payloads], dtype=np.int64)
+        checksum = np.array(
+            [sum(x ^ 0xFF for x in b) for b in payloads], dtype=np.int64
+        )
+        feature = np.full(
+            (len(payloads), multimodal.FEATURE_DIM), 0.5, dtype=np.float32
+        )
+        return lens, checksum, feature
+
+    def resize(self, payloads, width, height):
+        return [bytes(width * height) for _ in payloads]
+
+
+def test_multimodal_codec_registry_injection(docs):
+    """VERDICT r2 #8: a second codec plugs in via register_codec without
+    touching the operator, and a mixed-format batch dispatches per-format."""
+    multimodal.register_codec("xor", _XorCodec())
+    try:
+        binary = multimodal.with_binary_payload(docs).withColumn(
+            "meta",
+            F.struct(
+                F.when(F.col("doc_id") % 2 == 0, "xor").otherwise("fake").alias("format"),
+                F.col("meta.width"), F.col("meta.height"), F.col("meta.channels"),
+            ),
+        )
+        rows = {r["doc_id"]: r for r in multimodal.decode_features(binary).collect()}
+        payloads = {
+            r["doc_id"]: bytes(r["payload"])
+            for r in binary.select("doc_id", "payload").collect()
+        }
+        for doc_id, r in rows.items():
+            want = (
+                sum(x ^ 0xFF for x in payloads[doc_id])
+                if doc_id % 2 == 0
+                else sum(payloads[doc_id])
+            )
+            assert r["checksum"] == want, f"doc {doc_id} routed to wrong codec"
+        resized = multimodal.resize(binary, width=4, height=2).collect()
+        for r in resized:
+            assert len(bytes(r["payload"])) == 8
+            if r["doc_id"] % 2 == 0:
+                assert bytes(r["payload"]) == bytes(8)
+    finally:
+        multimodal.CODECS.pop("xor", None)
+
+
 def test_multimodal_meta_scan_prunes_payload(docs, tmp_path):
     # write a real parquet so the scan has a ReadSchema to prune
     p = str(tmp_path / "mm.parquet")
