@@ -348,6 +348,17 @@ class DFRayContext:
             raise ValueError(f"unsupported listing format: {file_format}")
         self._register(name, df, path)
 
+    def register_binary_dir(self, name: str, path: str, glob: str | None = None) -> None:
+        """Register a directory of media files as a multimodal table
+        (doc_id, path, payload, meta) via the distributed ``binaryFile``
+        source — the ingest on-ramp for the multimodal operator family
+        (``operators/multimodal.py``)."""
+        from .operators.multimodal import from_binary_files
+
+        self._register(
+            name, from_binary_files(self.spark, self._normalize_path(path), glob), path
+        )
+
     def register_dataframe(self, name: str, df: DataFrame) -> None:
         self._register(name, df, "<dataframe>")
 

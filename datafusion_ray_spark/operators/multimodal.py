@@ -154,6 +154,41 @@ DECODE_SCHEMA = T.StructType(
 )
 
 
+def from_binary_files(
+    spark, path: str, glob: str | None = None, recursive: bool = True
+) -> DataFrame:
+    """Ingest a directory of media files as the engine's multimodal shape
+    (doc_id, payload, meta) via Spark's distributed ``binaryFile`` source —
+    the real on-ramp for image/audio/video corpora (each executor reads its
+    own files; nothing flows through the driver).
+
+    ``meta.format`` is the lowercased file extension, so a file named
+    ``x.png`` routes to the PIL codec when present and a ``.fake`` file to
+    the stub codec; width/height are unknown at ingest (-1) until decode.
+    ``doc_id`` is a stable 63-bit hash of the file path (xxhash64 —
+    deterministic across runs and executors).
+    """
+    reader = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", str(recursive).lower())
+    )
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    raw = reader.load(path)
+    ext = F.lower(F.element_at(F.split(F.col("path"), r"\."), -1))
+    return raw.select(
+        F.abs(F.xxhash64(F.col("path"))).alias("doc_id"),
+        F.col("path"),
+        F.col("content").alias("payload"),
+        F.struct(
+            ext.alias("format"),
+            F.lit(-1).alias("width"),
+            F.lit(-1).alias("height"),
+            F.lit(3).alias("channels"),
+        ).alias("meta"),
+    )
+
+
 def with_binary_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach a binary payload + metadata struct to the documents table.
 

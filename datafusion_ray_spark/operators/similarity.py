@@ -329,3 +329,67 @@ def neardup_pairs(
         .orderBy(F.col("cosine").desc(), "vec_a", "vec_b")
         .limit(k)
     )
+
+
+def semdedup(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    threshold: float = 0.4,
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup: semantic deduplication by cluster-then-prune (Abbas et al.,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication", 2023 — public paper; no reference-repo counterpart).
+
+    1. Coarse-cluster every vector to its nearest centroid
+       (:func:`ivf_assign` — one JVM argmax projection, no shuffle; the
+       centroids come from :func:`kmeans_centroids` in production).
+    2. Within each cell, pairwise cosine among members. This is the step
+       that makes SemDeDup tractable at 100 TB: the pair join is an
+       equi-join on ``cell``, so work is sum(cell²) instead of corpus² —
+       cell sizes are bounded by k (scale k with the corpus; skewed cells
+       can additionally be salted like any hot join key).
+    3. A vector is a semantic duplicate iff some LOWER-id cell-mate is
+       within ``threshold`` cosine — keep-lowest-id, the same deterministic
+       keeper rule as the text dedup family.
+
+    Returns (vec_id, cell, kept) for every input vector. Norms are
+    precomputed once per vector (not per pair), and only (cell, id, vector,
+    norm) rows enter the join — no payload columns.
+    """
+    assigned = ivf_assign(df, centroids, emb_col).select(
+        "vec_id", F.col("cell"), F.col(emb_col).alias("_emb")
+    )
+    normed = assigned.withColumn("nrm", norm(_as_double("_emb")))
+    a = normed.select(
+        "cell",
+        F.col("vec_id").alias("vec_a"),
+        F.col("_emb").alias("emb_a"),
+        F.col("nrm").alias("norm_a"),
+    )
+    b = normed.select(
+        "cell",
+        F.col("vec_id").alias("vec_b"),
+        F.col("_emb").alias("emb_b"),
+        F.col("nrm").alias("norm_b"),
+    )
+    cosine = F.round(
+        dot(_as_double("emb_a"), _as_double("emb_b"))
+        / (F.col("norm_a") * F.col("norm_b")),
+        6,
+    )
+    dups = (
+        a.join(b, "cell")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .where(cosine >= threshold)
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        assigned.join(dups.withColumn("_dup", F.lit(True)), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cell").cast("int").alias("cell"),
+            F.coalesce(~F.col("_dup"), F.lit(True)).alias("kept"),
+        )
+    )

@@ -1145,6 +1145,72 @@ def run_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+SEMDEDUP_THRESHOLD = 0.4
+
+
+def semdedup_oracle(threshold: float = SEMDEDUP_THRESHOLD) -> str:
+    from .similarity import CENTROID_VEC_IDS
+
+    lo, hi = min(CENTROID_VEC_IDS), max(CENTROID_VEC_IDS)
+    return f"""
+WITH cents AS (
+    SELECT vec_id AS cid, embedding AS ce FROM embeddings
+    WHERE vec_id BETWEEN {lo} AND {hi}
+),
+pr AS (
+    SELECT e.vec_id, c.cid,
+           CAST(unnest(e.embedding) AS DOUBLE) AS x,
+           CAST(unnest(c.ce) AS DOUBLE) AS y
+    FROM embeddings e CROSS JOIN cents c
+),
+sc AS (
+    SELECT vec_id, cid,
+           ROUND({_DOT_DEC} / (SQRT({_NORM_X}) * SQRT({_NORM_Y})), 6) AS score
+    FROM pr GROUP BY vec_id, cid
+),
+assign AS (
+    SELECT vec_id, cid AS cell
+    FROM (SELECT vec_id, cid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) AS rn
+          FROM sc)
+    WHERE rn = 1
+),
+pp AS (
+    SELECT a.vec_id AS va, b.vec_id AS vb,
+           CAST(unnest(ea.embedding) AS DOUBLE) AS x,
+           CAST(unnest(eb.embedding) AS DOUBLE) AS y
+    FROM assign a
+    JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    JOIN embeddings ea ON ea.vec_id = a.vec_id
+    JOIN embeddings eb ON eb.vec_id = b.vec_id
+),
+pcos AS (
+    SELECT va, vb,
+           ROUND({_DOT_DEC} / (SQRT({_NORM_X}) * SQRT({_NORM_Y})), 6) AS cosine
+    FROM pp GROUP BY va, vb
+),
+dups AS (SELECT DISTINCT vb AS vec_id FROM pcos WHERE cosine >= {threshold})
+SELECT a.vec_id, CAST(a.cell AS INT) AS cell, d.vec_id IS NULL AS kept
+FROM assign a LEFT JOIN dups d ON d.vec_id = a.vec_id
+ORDER BY a.vec_id
+"""
+
+
+def run_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import similarity
+
+    emb = _emb(spark, sf_dir)
+    rows = (
+        emb.where(F.col("vec_id").isin(list(similarity.CENTROID_VEC_IDS)))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    centroids = sorted((r["vec_id"], list(r["embedding"])) for r in rows)
+    return similarity.semdedup(
+        emb, centroids, threshold=SEMDEDUP_THRESHOLD
+    ).orderBy("vec_id")
+
+
 def run_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     return dedup.incremental_dedup_pairs(
@@ -1567,4 +1633,7 @@ def extension_entries():
                    incremental_dedup_oracle(),
                    "incremental-ingest near-dup pairs: new batch vs "
                    "corpus LSH index, no old-vs-old expansion"),
+        SuiteEntry("sim_semdedup", run_semdedup, semdedup_oracle(),
+                   "SemDeDup: cluster-then-prune semantic dedup "
+                   "(within-cell cosine, keep-lowest-id)"),
     ]

@@ -1,0 +1,60 @@
+"""Bucketed table layout: co-located, shuffle-free equi-joins.
+
+The reference executes every join behind its Arrow-Flight shuffle
+(`/root/reference/src/stage_reader.rs` — each stage fetches repartitioned
+streams); the Spark-native way to DELETE that shuffle for recurring joins
+is the bucketed-table layout: both sides pre-hashed into the same number
+of buckets on the join key at write time, so the planner proves
+co-partitioning and plans a SortMergeJoin with NO Exchange on either side.
+
+At 100 TB this is the difference between re-shuffling the fact table on
+every pipeline run and shuffling it once at ingest: a nightly
+orders⋈lineitem pipeline pays the bucket write once, then every downstream
+join/aggregation on the bucket key is map-side.
+
+Buckets also bound task input size (choose n_buckets so one bucket of the
+LARGER table fits an executor's memory) and feed bucket-pruned scans for
+point lookups on the key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str | list[str],
+    n_buckets: int = 32,
+    sort: bool = True,
+    path: str | None = None,
+    file_format: str = "parquet",
+) -> None:
+    """Persist ``df`` as a bucketed (and bucket-sorted) managed table.
+
+    ``sort=True`` additionally sorts within each bucket file, so a
+    bucket-key SortMergeJoin needs neither Exchange NOR Sort — the scan
+    output order is the join order.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    writer = df.write.bucketBy(n_buckets, *keys)
+    if sort:
+        writer = writer.sortBy(*keys)
+    if path:
+        writer = writer.option("path", path)
+    writer.mode("overwrite").format(file_format).saveAsTable(table)
+
+
+def bucketed_join(
+    spark: SparkSession,
+    left_table: str,
+    right_table: str,
+    on,  # str | list[str] | Column join condition
+    how: str = "inner",
+) -> DataFrame:
+    """Join two tables previously written with :func:`write_bucketed` on the
+    same key and bucket count.  The plan this produces is the point: verify
+    with ``.explain`` that there is no Exchange above either scan
+    (asserted in tests/test_plans.py)."""
+    return spark.table(left_table).join(spark.table(right_table), on, how)

@@ -134,6 +134,28 @@ def test_multimodal_unknown_codec_raises(docs):
         multimodal.decode_features(binary).collect()
 
 
+def test_semdedup_removes_planted_clone(spark):
+    """A cloned vector (cosine 1.0 with its original) must be pruned,
+    keeping the lowest id; an orthogonal vector in the same cell survives."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = [list(map(float, rng.normal(size=8))) for _ in range(4)]
+    rows = (
+        [(i, base[i], 0) for i in range(4)]  # ids 0..3 (centroids 1..?)
+        + [(10, base[0], 0)]                 # exact clone of vec 0
+        + [(11, [v * 2.0 for v in base[0]], 0)]  # scaled clone: cosine 1.0
+    )
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    centroids = [(i, base[i]) for i in range(4)]
+    out = {r["vec_id"]: r for r in similarity.semdedup(emb, centroids, threshold=0.95).collect()}
+    assert out[0]["kept"] is True          # lowest id of the clone group
+    assert out[10]["kept"] is False        # exact clone pruned
+    assert out[11]["kept"] is False        # scaled clone pruned
+    assert all(out[i]["kept"] for i in range(1, 4))  # non-dups survive
+    assert out[10]["cell"] == out[0]["cell"] == 0
+
+
 class _XorCodec:
     """Second codec for the registry seam test: checksum of payload XOR 0xFF,
     constant feature — trivially distinguishable from FakeCodec output."""
@@ -185,6 +207,27 @@ def test_multimodal_codec_registry_injection(docs):
                 assert bytes(r["payload"]) == bytes(8)
     finally:
         multimodal.CODECS.pop("xor", None)
+
+
+def test_multimodal_binary_file_ingest(spark, tmp_path):
+    """binaryFile-source ingest: files on disk become (doc_id, payload,
+    meta) rows and flow through the decode kernel unchanged."""
+    payloads = {"a.fake": b"hello world", "sub/b.fake": b"\x00\x01\x02\x03"}
+    for rel, data in payloads.items():
+        p = tmp_path / rel
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_bytes(data)
+    df = multimodal.from_binary_files(spark, str(tmp_path), glob="*.fake")
+    rows = {r["path"].rsplit("/", 1)[-1]: r for r in df.collect()}
+    assert set(rows) == {"a.fake", "b.fake"}
+    assert bytes(rows["a.fake"]["payload"]) == b"hello world"
+    assert rows["a.fake"]["meta"]["format"] == "fake"
+    assert all(r["doc_id"] >= 0 for r in rows.values())
+    feats = {
+        r["n_bytes"]: r for r in multimodal.decode_features(df.drop("path")).collect()
+    }
+    assert feats[11]["checksum"] == sum(b"hello world")
+    assert feats[4]["checksum"] == 0 + 1 + 2 + 3
 
 
 def test_multimodal_meta_scan_prunes_payload(docs, tmp_path):

@@ -149,26 +149,24 @@ def test_bucketed_tables_join_without_shuffle(spark, sf_dir):
     entirely — the co-located-join pattern SCALE.md prescribes for repeated
     big-table joins."""
     from datafusion_ray_spark import plans
+    from datafusion_ray_spark.sources.bucketing import bucketed_join, write_bucketed
 
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_customer")
-    orders.write.bucketBy(8, "o_custkey").sortBy("o_custkey").mode(
-        "overwrite"
-    ).saveAsTable("b_orders")
-    cust.write.bucketBy(8, "c_custkey").sortBy("c_custkey").mode(
-        "overwrite"
-    ).saveAsTable("b_customer")
+    write_bucketed(orders, "b_orders", "o_custkey", n_buckets=8)
+    write_bucketed(cust, "b_customer", "c_custkey", n_buckets=8)
     # forbid broadcast so the test proves the BUCKETING removed the
     # exchange, not the small-table fallback
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     try:
         joined = (
-            spark.table("b_orders")
-            .join(
-                spark.table("b_customer"),
+            bucketed_join(
+                spark,
+                "b_orders",
+                "b_customer",
                 F.col("o_custkey") == F.col("c_custkey"),
             )
             .groupBy("c_mktsegment")
