@@ -1145,6 +1145,32 @@ def run_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def ppl_bucket_oracle(n_buckets: int = 3, per_bucket: int = 20,
+                      seed: int = 42) -> str:
+    base = lm_score_oracle().strip().rstrip()
+    return f"""
+WITH base AS ({base}),
+b AS (
+    SELECT doc_id, n_tokens, xent_bits,
+           NTILE({n_buckets}) OVER (ORDER BY xent_bits ASC, doc_id ASC) AS bucket
+    FROM base
+),
+r AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY bucket
+        ORDER BY md5('s{seed}:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+    FROM b
+)
+SELECT doc_id, n_tokens, xent_bits, CAST(bucket AS INT) AS bucket
+FROM r WHERE rn <= {per_bucket}
+ORDER BY bucket, doc_id
+"""
+
+
+def run_ppl_bucket_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.ppl_bucket_sample(_docs(spark, sf_dir)).orderBy("bucket", "doc_id")
+
+
 SEMDEDUP_THRESHOLD = 0.4
 
 
@@ -1636,4 +1662,8 @@ def extension_entries():
         SuiteEntry("sim_semdedup", run_semdedup, semdedup_oracle(),
                    "SemDeDup: cluster-then-prune semantic dedup "
                    "(within-cell cosine, keep-lowest-id)"),
+        SuiteEntry("ppl_bucket_sample", run_ppl_bucket_sample,
+                   ppl_bucket_oracle(),
+                   "CCNet-style perplexity-stratified seeded sampling "
+                   "(head/middle/tail fluency buckets)"),
     ]

@@ -454,3 +454,50 @@ def ngram_decontaminate(train: DataFrame, benchmark: DataFrame,
             (F.col("n_shared_grams") > 0).alias("contaminated"),
         )
     )
+
+
+def ppl_bucket_sample(
+    df: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = 3,
+    per_bucket: int = 20,
+    seed: int = 42,
+) -> DataFrame:
+    """CCNet-style perplexity-stratified sampling (Wenzek et al., LREC
+    2020 split web data into head/middle/tail by LM perplexity): score
+    every document with the unigram cross-entropy (:func:`lm_score`),
+    split the corpus into ``n_buckets`` fluency strata, and draw a
+    deterministic seeded sample of ``per_bucket`` docs per stratum — the
+    curation step that keeps some of every quality band instead of
+    hard-filtering the tail.
+
+    Determinism: stratum = NTILE over (xent_bits, doc_id); within-stratum
+    sample order = md5(seed || doc_id) — both reproducible in any SQL
+    engine, so the whole pipeline is oracle-checkable.
+
+    Scale: the NTILE is a single global ordering of (doc_id, xent) rows —
+    narrow but still one sort. At 100 TB replace the exact NTILE with
+    bucket thresholds from ``approxQuantile`` on xent_bits (driver gets
+    n_buckets floats) and a pure filter per stratum; the seeded
+    within-stratum ordering is already embarrassingly parallel
+    (hash + per-stratum top-k).
+    """
+    from pyspark.sql import Window
+
+    scored = lm_score(df, text_col)
+    bucket = F.ntile(n_buckets).over(
+        Window.orderBy(F.asc("xent_bits"), F.asc("doc_id"))
+    )
+    key = F.md5(F.concat(F.lit(f"s{seed}:"), F.col("doc_id").cast("string")))
+    rn = F.row_number().over(Window.partitionBy("bucket").orderBy(key, "doc_id"))
+    return (
+        scored.withColumn("bucket", bucket)
+        .withColumn("rn", rn)
+        .where(F.col("rn") <= per_bucket)
+        .select(
+            "doc_id",
+            "n_tokens",
+            "xent_bits",
+            F.col("bucket").cast("int").alias("bucket"),
+        )
+    )

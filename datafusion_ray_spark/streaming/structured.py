@@ -533,3 +533,53 @@ def stateful_user_counts_tws(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def dsir_score_stream(docs: DataFrame, ratio: dict[int, int],
+                      n_buckets: int | None = None) -> DataFrame:
+    """Streaming DSIR scoring against a FROZEN log-ratio table — the
+    at-ingest twin of ``operators.dsir.dsir_logweights`` (fit once in
+    batch via ``dsir.frozen_ratio``, score every arriving document
+    forever).
+
+    Completely STATELESS: each document's score is a per-row array
+    expression — tokenize, hash unigram+bigram features to buckets, look
+    each bucket up in an ``n_buckets``-element literal array, integer-sum
+    — so there is no shuffle, no state store, and no watermark needed;
+    state is the broadcast-size literal table itself. Output is
+    bit-identical to the batch scorer on the same data (same md5 buckets,
+    same integer nano-nat arithmetic, same rounding).
+    """
+    from ..operators.dsir import DSIR_BUCKETS
+    from ..operators.text import LM_SCALE, tokens
+
+    nb = n_buckets or DSIR_BUCKETS
+    toks = tokens("text")
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.zip_with(
+            F.slice(toks, 1, F.size(toks) - 1),
+            F.slice(toks, 2, F.size(toks) - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = F.concat(toks, bigrams)
+    llr_arr = F.array(*[F.lit(int(ratio.get(b, 0))) for b in range(nb)])
+
+    def bucket(f):
+        return (
+            F.conv(F.substring(F.md5(f), 1, 8), 16, 10).cast("long") % nb
+        ).cast("int")
+
+    vals = F.transform(feats, lambda f: F.element_at(llr_arr, bucket(f) + 1))
+    total = F.aggregate(vals, F.lit(0).cast("long"), lambda a, x: a + x)
+    n = F.size(feats)
+    return (
+        docs.where(n > 0)
+        .select(
+            "doc_id",
+            n.cast("int").alias("n_feats"),
+            F.round(total / (n.cast("double") * F.lit(float(LM_SCALE))), 4)
+            .alias("logw_nats"),
+        )
+    )

@@ -266,3 +266,32 @@ def test_transform_with_state_matches_legacy_api(spark, sf_dir, events_dir):
     }
     assert got == batch
     assert len(got) > 0
+
+
+def test_streaming_dsir_scores_match_batch(spark, sf_dir, docs_dir):
+    """Streaming DSIR scoring against a frozen batch-fit ratio table is
+    bit-identical to the batch scorer — and stateless (append mode, no
+    state store)."""
+    from pyspark.sql import functions as F
+
+    from datafusion_ray_spark.operators import dsir
+
+    docs = load_table(spark, sf_dir, "documents")
+    ratio = dsir.frozen_ratio(docs, docs.where(F.col("lang") == "en"))
+    stream = structured.stream_documents(spark, docs_dir)
+    structured.run_to_memory(
+        structured.dsir_score_stream(stream, ratio), "stream_dsir",
+        output_mode="append",
+    )
+    streamed = {
+        r["doc_id"]: (r["n_feats"], r["logw_nats"])
+        for r in spark.sql("SELECT * FROM stream_dsir").collect()
+    }
+    batch = {
+        r["doc_id"]: (r["n_feats"], r["logw_nats"])
+        for r in dsir.dsir_logweights(
+            docs, docs.where(F.col("lang") == "en")
+        ).collect()
+    }
+    assert streamed == batch
+    assert len(streamed) > 0
