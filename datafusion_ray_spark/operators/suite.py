@@ -1379,6 +1379,14 @@ def run_ev_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return W.tumbling_agg(_events(spark, sf_dir)).orderBy("bucket_start", "event_type")
 
 
+def run_resample_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import windows as W
+
+    return W.resample_fill(_events(spark, sf_dir)).orderBy(
+        "bucket_start", "event_type"
+    )
+
+
 def run_ev_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming import windows as W
 
@@ -1666,4 +1674,7 @@ def extension_entries():
                    ppl_bucket_oracle(),
                    "CCNet-style perplexity-stratified seeded sampling "
                    "(head/middle/tail fluency buckets)"),
+        SuiteEntry("ev_resample_fill", run_resample_fill, W.RESAMPLE_ORACLE,
+                   "gap-filled hourly resample: dense time spine x type "
+                   "grid, zero rows for empty buckets"),
     ]

@@ -148,3 +148,60 @@ FROM events
 GROUP BY 1
 ORDER BY day
 """
+
+
+def resample_fill(df: DataFrame, width_seconds: int = 3600) -> DataFrame:
+    """Gap-filled resampling: per-event_type counts on a fixed grid with
+    ZERO rows for empty buckets — the time-series `resample().fillna(0)`
+    shape dashboards and feature pipelines need (a plain groupBy silently
+    drops empty buckets).
+
+    Spark-first: the dense time spine is `sequence(min, max, step)` exploded
+    from a one-row global bounds aggregate crossed with the distinct type
+    list, then a left join against the bucketed counts. Scale: the spine is
+    O(time-range / width) rows regardless of event volume, the counts side
+    is already aggregated (bounded by the same grid), so the final join is
+    grid-sized — event rows are touched exactly once, in the first
+    map-side-combinable groupBy.
+    """
+    df = ts_to_utc(df, "ts")
+    bucket = (F.floor(F.unix_timestamp("ts") / width_seconds) * width_seconds).cast(
+        "long"
+    )
+    counts = (
+        df.groupBy(bucket.alias("bucket_start"), "event_type")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    bounds = counts.agg(
+        F.min("bucket_start").alias("lo"), F.max("bucket_start").alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.lit(int(width_seconds)).cast("long"))
+        ).alias("bucket_start")
+    )
+    types = df.select("event_type").distinct()
+    grid = spine.crossJoin(types)
+    return (
+        grid.join(counts, ["bucket_start", "event_type"], "left")
+        .na.fill({"n": 0})
+        .select("bucket_start", "event_type", "n")
+    )
+
+
+RESAMPLE_ORACLE = """
+WITH c AS (
+    -- epoch_us // 1e6 floors like Spark's unix_timestamp; CAST(epoch(..))
+    -- would ROUND and shift sub-second events across hour boundaries
+    SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 3600) * 3600 AS bucket_start,
+           event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT MIN(bucket_start) AS lo, MAX(bucket_start) AS hi FROM c),
+spine AS (SELECT unnest(range(lo, hi + 3600, 3600)) AS bucket_start FROM bounds),
+types AS (SELECT DISTINCT event_type FROM events)
+SELECT s.bucket_start, t.event_type, COALESCE(c.n, 0) AS n
+FROM spine s CROSS JOIN types t
+LEFT JOIN c ON c.bucket_start = s.bucket_start AND c.event_type = t.event_type
+ORDER BY s.bucket_start, t.event_type
+"""
