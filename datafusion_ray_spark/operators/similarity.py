@@ -393,3 +393,113 @@ def semdedup(
             F.coalesce(~F.col("_dup"), F.lit(True)).alias("kept"),
         )
     )
+
+
+#: Product-quantization configuration: DIM=64 split into PQ_M subspaces of
+#: PQ_SUB dims; PQ_K centroids per subspace (codes fit a nibble). The
+#: per-subspace codebooks are the sliced subvectors of the vectors with
+#: PQ_SAMPLE_VEC_IDS (deterministic, data-derived — k-means per subspace in
+#: production), mirroring the IVF centroid convention above.
+PQ_M = 8
+PQ_K = 16
+PQ_SUB = DIM // PQ_M
+PQ_SAMPLE_VEC_IDS = tuple(range(1, PQ_K + 1))
+
+#: Distances are compared/summed in integer MICRO-UNITS
+#: (round(l2² × 1e6)): argmin ties and ADC sums are then exact integer
+#: arithmetic, bit-identical across engines and partitionings.
+PQ_SCALE = 1_000_000
+
+
+def pq_codebooks(samples: list[tuple[int, list[float]]],
+                 m: int = PQ_M) -> list[list[list[float]]]:
+    """codebooks[s][j] = subspace-s slice of the j-th sample vector
+    (samples sorted by vec_id; j is the 0-based code)."""
+    ordered = [vec for _, vec in sorted(samples)]
+    sub = len(ordered[0]) // m
+    return [
+        [[float(v) for v in vec[s * sub:(s + 1) * sub]] for vec in ordered]
+        for s in range(m)
+    ]
+
+
+def _l2_micro(a: Column, cvec: list[float]) -> Column:
+    """round(||a - c||² × 1e6) as BIGINT — the fixed-point distance unit."""
+    diff2 = F.zip_with(a, _lit_vec(cvec), lambda x, y: (x - y) * (x - y))
+    s = F.aggregate(diff2, F.lit(0.0), lambda acc, x: acc + x)
+    return F.round(s * PQ_SCALE).cast("long")
+
+
+def pq_encode(df: DataFrame, codebooks: list[list[list[float]]],
+              emb_col: str = "embedding") -> DataFrame:
+    """Encode every vector as PQ_M nibble codes: per subspace, the argmin
+    centroid by micro-unit L2 (ties to the smallest code).
+
+    One narrow JVM projection — PQ_M × PQ_K small dot products per row, no
+    shuffle, no Python. The encoded table is DIM×4 bytes → PQ_M bytes per
+    vector (64× smaller here): the compression that lets a 100 TB vector
+    corpus keep its *codes* hot in memory while raw vectors stay on disk.
+    """
+    e = _as_double(emb_col)
+    codes = []
+    for s, cb in enumerate(codebooks):
+        sub = F.slice(e, s * PQ_SUB + 1, PQ_SUB)
+        cands = F.array(
+            *[
+                F.struct(_l2_micro(sub, cvec).alias("d"), F.lit(j).alias("j"))
+                for j, cvec in enumerate(cb)
+            ]
+        )
+        codes.append(F.array_min(cands)["j"])
+    return df.withColumn("code", F.array(*codes).cast("array<int>"))
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    exclude_vec_id: int | None = None,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) approximate top-k over PQ codes (Jégou,
+    Douze & Schmid, "Product quantization for nearest neighbor search",
+    TPAMI 2011): precompute the query's distance to every centroid of every
+    subspace (a PQ_M × PQ_K lookup table — driver/broadcast sized by
+    construction), then score each database vector as the SUM of table
+    lookups selected by its codes.
+
+    Per-row work is PQ_M integer array lookups + an exact integer sum —
+    no vector arithmetic against the corpus at query time, which is the
+    whole point of PQ at 100 TB. Returns (vec_id, approx_dist_u) ascending.
+    """
+    import math
+
+    lut: list[list[int]] = []
+    for s, cb in enumerate(codebooks):
+        q_sub = [float(v) for v in query_vec[s * PQ_SUB:(s + 1) * PQ_SUB]]
+        row = []
+        for cvec in cb:
+            # fsum = exactly-rounded sum of the double products, matching
+            # the oracle's exact decimal summation of the same products
+            d = math.fsum((x - y) * (x - y) for x, y in zip(q_sub, cvec))
+            row.append(int(round(d * PQ_SCALE)))
+        lut.append(row)
+
+    encoded = pq_encode(df, codebooks)
+    if exclude_vec_id is not None:
+        encoded = encoded.where(F.col("vec_id") != exclude_vec_id)
+    terms = [
+        F.element_at(
+            F.array(*[F.lit(v) for v in lut[s]]),
+            F.element_at(F.col("code"), s + 1) + 1,
+        )
+        for s in range(len(lut))
+    ]
+    approx = terms[0]
+    for t in terms[1:]:
+        approx = approx + t
+    return (
+        encoded.select("vec_id", approx.cast("long").alias("approx_dist_u"))
+        .orderBy(F.asc("approx_dist_u"), "vec_id")
+        .limit(k)
+    )

@@ -1171,6 +1171,67 @@ def run_ppl_bucket_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.ppl_bucket_sample(_docs(spark, sf_dir)).orderBy("bucket", "doc_id")
 
 
+def pq_oracle(k: int = 10) -> str:
+    from .similarity import PQ_M, PQ_SAMPLE_VEC_IDS, PQ_SCALE, PQ_SUB
+
+    lo, hi = min(PQ_SAMPLE_VEC_IDS), max(PQ_SAMPLE_VEC_IDS)
+    return f"""
+WITH subs AS (SELECT CAST(s.range AS INT) AS s FROM range(0, {PQ_M}) s),
+cb AS (
+    SELECT subs.s,
+           CAST(ROW_NUMBER() OVER (PARTITION BY subs.s ORDER BY vec_id) - 1 AS INT) AS j,
+           embedding[subs.s * {PQ_SUB} + 1 : subs.s * {PQ_SUB} + {PQ_SUB}] AS cvec
+    FROM embeddings CROSS JOIN subs
+    WHERE vec_id BETWEEN {lo} AND {hi}
+),
+pr AS (
+    SELECT e.vec_id, cb.s, cb.j,
+           CAST(unnest(e.embedding[cb.s * {PQ_SUB} + 1 : cb.s * {PQ_SUB} + {PQ_SUB}]) AS DOUBLE) AS x,
+           CAST(unnest(cb.cvec) AS DOUBLE) AS y
+    FROM embeddings e CROSS JOIN cb
+),
+d AS (
+    SELECT vec_id, s, j,
+           CAST(ROUND(CAST(SUM(CAST((x - y) * (x - y) AS DECIMAL(28,14))) AS DOUBLE)
+                      * {PQ_SCALE}) AS BIGINT) AS du
+    FROM pr GROUP BY vec_id, s, j
+),
+code AS (
+    SELECT vec_id, s, j AS cj
+    FROM (SELECT vec_id, s, j,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY du, j) AS rn
+          FROM d)
+    WHERE rn = 1
+),
+lut AS (SELECT s, j, du FROM d WHERE vec_id = 0),
+score AS (
+    SELECT c.vec_id, CAST(SUM(l.du) AS BIGINT) AS approx_dist_u
+    FROM code c JOIN lut l ON l.s = c.s AND l.j = c.cj
+    WHERE c.vec_id <> 0
+    GROUP BY c.vec_id
+)
+SELECT vec_id, approx_dist_u
+FROM score ORDER BY approx_dist_u, vec_id LIMIT {k}
+"""
+
+
+def run_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import similarity
+
+    emb = _emb(spark, sf_dir)
+    rows = (
+        emb.where(F.col("vec_id").isin(list(similarity.PQ_SAMPLE_VEC_IDS)))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    books = similarity.pq_codebooks(
+        [(r["vec_id"], list(r["embedding"])) for r in rows]
+    )
+    return similarity.pq_adc_topk(
+        emb, _query_vec(spark, sf_dir), books, k=10, exclude_vec_id=0
+    )
+
+
 SEMDEDUP_THRESHOLD = 0.4
 
 
@@ -1677,4 +1738,7 @@ def extension_entries():
         SuiteEntry("ev_resample_fill", run_resample_fill, W.RESAMPLE_ORACLE,
                    "gap-filled hourly resample: dense time spine x type "
                    "grid, zero rows for empty buckets"),
+        SuiteEntry("sim_ann_pq", run_ann_pq, pq_oracle(),
+                   "product-quantization ANN: nibble codes + ADC lookup "
+                   "sums (integer micro-units)"),
     ]

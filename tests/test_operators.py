@@ -134,6 +134,33 @@ def test_multimodal_unknown_codec_raises(docs):
         multimodal.decode_features(binary).collect()
 
 
+def test_pq_adc_ranks_planted_clone_first(spark, sf_dir):
+    """An exact clone of the query vector encodes to the query's own codes,
+    so its ADC distance is the minimum possible — it must rank first.
+    Codes stay in [0, PQ_K) and the whole pipeline stays JVM-side."""
+    from datafusion_ray_spark.plans import uses_python_workers
+    from datafusion_ray_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = (
+        emb.where(F.col("vec_id").isin(list(similarity.PQ_SAMPLE_VEC_IDS)))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    books = similarity.pq_codebooks([(r["vec_id"], list(r["embedding"])) for r in rows])
+    q = [float(v) for v in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    clone = spark.createDataFrame([(9_999_999, q, 0)], ["vec_id", "embedding", "label"])
+    out = similarity.pq_adc_topk(
+        emb.unionByName(clone), q, books, k=5, exclude_vec_id=0
+    )
+    assert not uses_python_workers(out)
+    top = out.collect()
+    assert top[0]["vec_id"] == 9_999_999
+    codes = similarity.pq_encode(emb, books).select("code").first()["code"]
+    assert len(codes) == similarity.PQ_M
+    assert all(0 <= c < similarity.PQ_K for c in codes)
+
+
 def test_semdedup_removes_planted_clone(spark):
     """A cloned vector (cosine 1.0 with its original) must be pruned,
     keeping the lowest id; an orthogonal vector in the same cell survives."""
