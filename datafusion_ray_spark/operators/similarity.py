@@ -503,3 +503,39 @@ def pq_adc_topk(
         .orderBy(F.asc("approx_dist_u"), "vec_id")
         .limit(k)
     )
+
+
+def ivfpq_ann_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    centroids: list[tuple[int, list[float]]],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    nprobe: int = N_PROBE,
+    exclude_vec_id: int | None = None,
+) -> DataFrame:
+    """IVF-PQ: the production ANN stack (FAISS's IVFADC layout, Jégou et
+    al. 2011 §V) — coarse-quantize to prune the corpus to ``nprobe`` cells,
+    then rank survivors by PQ asymmetric distance.
+
+    The two indexes compose multiplicatively at 100 TB: IVF reads
+    ~nprobe/n_cells of the partitions (cell = partition in the materialized
+    layout), PQ makes what remains 64× smaller and turns per-row scoring
+    into integer lookups. Both index artifacts (k×dim centroids,
+    PQ_M×PQ_K codebooks) are driver/broadcast sized by construction.
+    """
+    import math
+
+    qn = math.sqrt(sum(float(v) * float(v) for v in query_vec))
+    scored = sorted(
+        (
+            -round(sum(float(a) * float(b) for a, b in zip(query_vec, vec))
+                   / (qn * math.sqrt(sum(float(v) * float(v) for v in vec))), 6),
+            cid,
+        )
+        for cid, vec in centroids
+    )
+    probe = [cid for _, cid in scored[:nprobe]]
+    cand = ivf_assign(df, centroids).where(F.col("cell").isin(probe))
+    return pq_adc_topk(cand, query_vec, codebooks, k=k,
+                       exclude_vec_id=exclude_vec_id)

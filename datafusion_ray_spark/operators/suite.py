@@ -1215,6 +1215,109 @@ FROM score ORDER BY approx_dist_u, vec_id LIMIT {k}
 """
 
 
+def ivfpq_oracle(k: int = 10, nprobe: int = 2) -> str:
+    from .similarity import (
+        CENTROID_VEC_IDS,
+        PQ_M,
+        PQ_SAMPLE_VEC_IDS,
+        PQ_SCALE,
+        PQ_SUB,
+    )
+
+    clo, chi = min(CENTROID_VEC_IDS), max(CENTROID_VEC_IDS)
+    plo, phi = min(PQ_SAMPLE_VEC_IDS), max(PQ_SAMPLE_VEC_IDS)
+    return f"""
+WITH cents AS (
+    SELECT vec_id AS cid, embedding AS ce FROM embeddings
+    WHERE vec_id BETWEEN {clo} AND {chi}
+),
+cpr AS (
+    SELECT e.vec_id, c.cid,
+           CAST(unnest(e.embedding) AS DOUBLE) AS x,
+           CAST(unnest(c.ce) AS DOUBLE) AS y
+    FROM embeddings e CROSS JOIN cents c
+),
+csc AS (
+    SELECT vec_id, cid,
+           ROUND({_DOT_DEC} / (SQRT({_NORM_X}) * SQRT({_NORM_Y})), 6) AS score
+    FROM cpr GROUP BY vec_id, cid
+),
+assign AS (
+    SELECT vec_id, cid AS cell
+    FROM (SELECT vec_id, cid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) AS rn
+          FROM csc)
+    WHERE rn = 1
+),
+probe AS (
+    SELECT cid FROM (SELECT cid, ROW_NUMBER() OVER (ORDER BY score DESC, cid) AS rn
+                     FROM csc WHERE vec_id = 0)
+    WHERE rn <= {nprobe}
+),
+subs AS (SELECT CAST(s.range AS INT) AS s FROM range(0, {PQ_M}) s),
+cb AS (
+    SELECT subs.s,
+           CAST(ROW_NUMBER() OVER (PARTITION BY subs.s ORDER BY vec_id) - 1 AS INT) AS j,
+           embedding[subs.s * {PQ_SUB} + 1 : subs.s * {PQ_SUB} + {PQ_SUB}] AS cvec
+    FROM embeddings CROSS JOIN subs
+    WHERE vec_id BETWEEN {plo} AND {phi}
+),
+pr AS (
+    SELECT e.vec_id, cb.s, cb.j,
+           CAST(unnest(e.embedding[cb.s * {PQ_SUB} + 1 : cb.s * {PQ_SUB} + {PQ_SUB}]) AS DOUBLE) AS x,
+           CAST(unnest(cb.cvec) AS DOUBLE) AS y
+    FROM embeddings e CROSS JOIN cb
+),
+d AS (
+    SELECT vec_id, s, j,
+           CAST(ROUND(CAST(SUM(CAST((x - y) * (x - y) AS DECIMAL(28,14))) AS DOUBLE)
+                      * {PQ_SCALE}) AS BIGINT) AS du
+    FROM pr GROUP BY vec_id, s, j
+),
+code AS (
+    SELECT vec_id, s, j AS cj
+    FROM (SELECT vec_id, s, j,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY du, j) AS rn
+          FROM d)
+    WHERE rn = 1
+),
+lut AS (SELECT s, j, du FROM d WHERE vec_id = 0),
+score AS (
+    SELECT c.vec_id, CAST(SUM(l.du) AS BIGINT) AS approx_dist_u
+    FROM code c
+    JOIN assign a ON a.vec_id = c.vec_id
+    JOIN lut l ON l.s = c.s AND l.j = c.cj
+    WHERE c.vec_id <> 0 AND a.cell IN (SELECT cid FROM probe)
+    GROUP BY c.vec_id
+)
+SELECT vec_id, approx_dist_u
+FROM score ORDER BY approx_dist_u, vec_id LIMIT {k}
+"""
+
+
+def run_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import similarity
+
+    emb = _emb(spark, sf_dir)
+    crows = (
+        emb.where(F.col("vec_id").isin(list(similarity.CENTROID_VEC_IDS)))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    centroids = sorted((r["vec_id"], list(r["embedding"])) for r in crows)
+    prows = (
+        emb.where(F.col("vec_id").isin(list(similarity.PQ_SAMPLE_VEC_IDS)))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    books = similarity.pq_codebooks(
+        [(r["vec_id"], list(r["embedding"])) for r in prows]
+    )
+    return similarity.ivfpq_ann_topk(
+        emb, _query_vec(spark, sf_dir), centroids, books, k=10, exclude_vec_id=0
+    )
+
+
 def run_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import similarity
 
@@ -1741,4 +1844,7 @@ def extension_entries():
         SuiteEntry("sim_ann_pq", run_ann_pq, pq_oracle(),
                    "product-quantization ANN: nibble codes + ADC lookup "
                    "sums (integer micro-units)"),
+        SuiteEntry("sim_ann_ivfpq", run_ann_ivfpq, ivfpq_oracle(),
+                   "IVF-PQ (FAISS IVFADC): nprobe cell pruning + ADC "
+                   "code scoring"),
     ]
