@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..sources.tables import epoch_us, ts_to_utc
+
 
 def asof_join(
     left: DataFrame,
@@ -28,40 +30,80 @@ def asof_join(
     ts_col: str = "ts",
     right_cols: tuple[str, ...] = ("value",),
     prefix: str = "r_",
+    direction: str = "backward",
+    tolerance_seconds: int | None = None,
 ) -> DataFrame:
-    """Backward as-of join: for each left row, the most recent right row with
-    ``r.ts <= l.ts`` in the same ``by`` group (NULLs when none exists).
+    """As-of join: for each left row, the nearest right row in the same
+    ``by`` group (NULLs when none exists) — pandas ``merge_asof`` surface.
+
+    - ``direction="backward"`` (default): most recent right with
+      ``r.ts <= l.ts``; equal timestamps count as "already happened"
+      (right sorts before left at the same instant), matching DuckDB's
+      ``ASOF JOIN ... ON l.ts >= r.ts``.
+    - ``direction="forward"``: earliest right with ``r.ts >= l.ts`` (equal
+      ts matches, same as pandas).
+    - ``tolerance_seconds``: a found match farther than this from ``l.ts``
+      is nulled out (pandas ``tolerance=``). A pure post-projection — the
+      plan is unchanged, still ONE shuffle and one window pass. For
+      timestamp columns the unit is seconds; for a numeric ts column the
+      value is compared in the column's own units (pandas int-tolerance
+      semantics).
 
     Right payload columns arrive as ``{prefix}{col}`` plus ``{prefix}ts``.
-    Equal timestamps count as "already happened" (right sorts before left at
-    the same instant), matching DuckDB's ``ASOF JOIN ... ON l.ts >= r.ts``.
+    Only TIMESTAMP_NTZ inputs are normalized (the round-2 regression
+    shape); numeric ts columns pass through untouched — ordering and
+    differencing are already well-defined on them.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if dict(left.dtypes).get(ts_col) == "timestamp_ntz":
+        left = ts_to_utc(left, ts_col)
+    if dict(right.dtypes).get(ts_col) == "timestamp_ntz":
+        right = ts_to_utc(right, ts_col)
+    # Side tags order rows at EQUAL timestamps so the window sees the
+    # right row: backward scans [start, current] (right must sort first),
+    # forward scans [current, end] (right must sort after the left row).
+    r_side = 0 if direction == "backward" else 2
     r_tagged = right.select(
         F.col(by),
         F.col(ts_col),
-        F.lit(0).alias("_side"),
+        F.lit(r_side).alias("_side"),
         F.col(ts_col).alias(f"{prefix}ts"),
         *[F.col(c).alias(f"{prefix}{c}") for c in right_cols],
     )
     l_tagged = left.withColumn("_side", F.lit(1))
     unioned = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
-    w = (
-        Window.partitionBy(by)
-        .orderBy(ts_col, "_side")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    base = Window.partitionBy(by).orderBy(ts_col, "_side")
+    if direction == "backward":
+        w = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        pick = lambda c: F.last(c, ignorenulls=True)  # noqa: E731
+    else:
+        w = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        pick = lambda c: F.first(c, ignorenulls=True)  # noqa: E731
     matched = unioned.select(
         "*",
         *[
-            F.last(f"{prefix}{c}", ignorenulls=True).over(w).alias(f"_m_{c}")
+            pick(f"{prefix}{c}").over(w).alias(f"_m_{c}")
             for c in ("ts", *right_cols)
         ],
     )
     out_cols = [c for c in left.columns]
-    return (
-        matched.where(F.col("_side") == 1)
-        .select(
-            *out_cols,
-            *[F.col(f"_m_{c}").alias(f"{prefix}{c}") for c in ("ts", *right_cols)],
-        )
-    )
+    m = matched.where(F.col("_side") == 1)
+    if tolerance_seconds is not None:
+        if dict(m.dtypes).get(ts_col, "").startswith("timestamp"):
+            lus, mus = epoch_us(m, ts_col), F.unix_micros(F.col("_m_ts"))
+            tol_units = tolerance_seconds * 1_000_000
+        else:  # numeric ts: tolerance in the column's own units
+            lus, mus = F.col(ts_col), F.col("_m_ts")
+            tol_units = tolerance_seconds
+        diff = (lus - mus) if direction == "backward" else (mus - lus)
+        ok = F.col("_m_ts").isNull() | (diff <= tol_units)
+        picked = [
+            F.when(ok, F.col(f"_m_{c}")).alias(f"{prefix}{c}")
+            for c in ("ts", *right_cols)
+        ]
+    else:
+        picked = [
+            F.col(f"_m_{c}").alias(f"{prefix}{c}") for c in ("ts", *right_cols)
+        ]
+    return m.select(*out_cols, *picked)

@@ -1675,6 +1675,40 @@ def run_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(clicks, views).orderBy("event_id")
 
 
+ASOF_FWD_ORACLE = """
+WITH clicks AS (
+    SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
+),
+views AS (
+    SELECT user_id, ts, value FROM events WHERE event_type = 'view'
+),
+m AS (
+    SELECT c.event_id, c.user_id, c.ts, c.value,
+           v.ts AS m_ts, v.value AS m_value
+    FROM clicks c ASOF LEFT JOIN views v
+      ON c.user_id = v.user_id AND c.ts <= v.ts
+)
+SELECT event_id, user_id, ts, value,
+       CASE WHEN m_ts <= ts + INTERVAL '30' MINUTE THEN m_ts END AS r_ts,
+       CASE WHEN m_ts <= ts + INTERVAL '30' MINUTE THEN m_value END AS r_value
+FROM m
+ORDER BY event_id
+"""
+
+
+def run_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = ev.where(F.col("event_type") == "view").select("user_id", "ts", "value")
+    return asof_join(
+        clicks, views, direction="forward", tolerance_seconds=30 * 60
+    ).orderBy("event_id")
+
+
 def run_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .rangejoin import range_join_count
 
@@ -1847,4 +1881,7 @@ def extension_entries():
         SuiteEntry("sim_ann_ivfpq", run_ann_ivfpq, ivfpq_oracle(),
                    "IVF-PQ (FAISS IVFADC): nprobe cell pruning + ADC "
                    "code scoring"),
+        SuiteEntry("join_asof_forward", run_asof_forward, ASOF_FWD_ORACLE,
+                   "forward as-of join with 30-minute tolerance "
+                   "(pandas merge_asof surface)"),
     ]

@@ -61,6 +61,34 @@ def test_asof_join_matches_naive(spark, sides):
         assert got[i] == expect, (i, k, t, got[i], expect)
 
 
+@given(sides=_two_sides(), tol=st.one_of(st.none(), st.integers(0, 15)))
+@_settings
+def test_asof_join_forward_tolerance_matches_naive(spark, sides, tol):
+    left_rows, right_rows = sides
+    left = spark.createDataFrame(
+        [(i, k, t, float(t)) for i, (k, t) in enumerate(left_rows)],
+        "event_id long, user_id long, ts long, value double",
+    )
+    right = spark.createDataFrame(
+        [(k, t, float(t) * 10) for (k, t) in right_rows],
+        "user_id long, ts long, value double",
+    )
+    got = {
+        r["event_id"]: (r["r_ts"], r["r_value"])
+        for r in asof_join(
+            left, right, direction="forward", tolerance_seconds=tol
+        ).collect()
+    }
+    for i, (k, t) in enumerate(left_rows):
+        following = [
+            (rt, rt * 10.0) for (rk, rt) in right_rows if rk == k and rt >= t
+        ]
+        expect = min(following) if following else (None, None)
+        if tol is not None and expect[0] is not None and expect[0] - t > tol:
+            expect = (None, None)
+        assert got[i] == expect, (i, k, t, tol, got[i], expect)
+
+
 @given(sides=_two_sides())
 @_settings
 def test_range_join_count_matches_naive(spark, sides):
