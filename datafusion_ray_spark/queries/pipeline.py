@@ -300,4 +300,36 @@ LIMIT 100
 """,
 )
 
+# Deterministic WEIGHTED sample without replacement (Efraimidis & Spirakis,
+# "Weighted random sampling with a reservoir", IPL 2006): key_i =
+# ln(u_i)/w_i with u_i a seeded hash-uniform in (0,1); the top-k by key is
+# distributed exactly like weighted sampling without replacement. Same
+# TakeOrderedAndProject plan as sample_uniform — no global sort, no state.
+# Weight = n_chars (longer docs proportionally likelier), the usual
+# size-weighted corpus sampling. Key values never leave the ORDER BY, so
+# last-ulp libm differences between engines cannot affect emitted columns.
+_q(
+    "sample_weighted",
+    """
+SELECT doc_id, source, CAST(n_chars AS BIGINT) AS weight
+FROM documents
+WHERE n_chars > 0
+ORDER BY LN((CAST(CONV(SUBSTRING(MD5(CONCAT('11:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS DOUBLE) + 0.5)
+           / 4294967296.0) / n_chars DESC,
+         doc_id
+LIMIT 100
+""",
+    "seeded weighted k-sample without replacement (Efraimidis-Spirakis "
+    "hash keys, TakeOrdered plan)",
+    oracle="""
+SELECT doc_id, source, CAST(n_chars AS BIGINT) AS weight
+FROM documents
+WHERE n_chars > 0
+ORDER BY ln((CAST(CAST('0x' || substr(md5('11:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE) + 0.5)
+            / 4294967296.0) / n_chars DESC,
+         doc_id
+LIMIT 100
+""",
+)
+
 PIPELINE_QUERIES: dict[str, QueryDef] = dict(_Q)

@@ -35,6 +35,23 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
         print("materialized index top-5 (partition-pruned):")
         similarity.indexed_ann_topk(spark, path, q, k=5, exclude_vec_id=0).show()
 
+    crows = (
+        emb.where(F.col("vec_id").isin(list(similarity.CENTROID_VEC_IDS)))
+        .select("vec_id", "embedding").collect()
+    )
+    centroids = sorted((r["vec_id"], list(r["embedding"])) for r in crows)
+    prows = (
+        emb.where(F.col("vec_id").isin(list(similarity.PQ_SAMPLE_VEC_IDS)))
+        .select("vec_id", "embedding").collect()
+    )
+    books = similarity.pq_codebooks([(r["vec_id"], list(r["embedding"])) for r in prows])
+
+    print("PQ / ADC top-5 (8-byte codes, integer lookup sums):")
+    similarity.pq_adc_topk(emb, q, books, k=5, exclude_vec_id=0).show()
+
+    print("IVF-PQ top-5 (nprobe cells, then ADC):")
+    similarity.ivfpq_ann_topk(emb, q, centroids, books, k=5, exclude_vec_id=0).show()
+
     spark.stop()
 
 
