@@ -137,8 +137,9 @@ def test_multimodal_unknown_codec_raises(docs):
 def test_pq_adc_ranks_planted_clone_first(spark, sf_dir):
     """An exact clone of the query vector encodes to the query's own codes,
     so its ADC distance is the minimum possible — it must rank first.
-    Codes stay in [0, PQ_K) and the whole pipeline stays JVM-side."""
-    from datafusion_ray_spark.plans import uses_python_workers
+    Codes stay in [0, PQ_K) and the pipeline is shuffle-free (encode is a
+    partition-preserving Arrow kernel; top-k is a TakeOrdered)."""
+    from datafusion_ray_spark.plans import shuffle_count
     from datafusion_ray_spark.sources.tables import load_table
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -153,7 +154,7 @@ def test_pq_adc_ranks_planted_clone_first(spark, sf_dir):
     out = similarity.pq_adc_topk(
         emb.unionByName(clone), q, books, k=5, exclude_vec_id=0
     )
-    assert not uses_python_workers(out)
+    assert shuffle_count(out) == 0
     top = out.collect()
     assert top[0]["vec_id"] == 9_999_999
     codes = similarity.pq_encode(emb, books).select("code").first()["code"]
