@@ -1335,6 +1335,26 @@ def run_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fuzzy_oracle(key_len: int = 24, tau: int = 2) -> str:
+    return f"""
+WITH k AS (
+    SELECT doc_id, substr(text, 1, {key_len}) AS key
+    FROM documents WHERE length(text) >= {key_len}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(levenshtein(a.key, b.key) AS INT) AS dist
+FROM k a JOIN k b ON a.doc_id < b.doc_id
+WHERE levenshtein(a.key, b.key) <= {tau}
+ORDER BY doc_a, doc_b
+"""
+
+
+def run_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .fuzzy import fuzzy_join_pairs
+
+    return fuzzy_join_pairs(_docs(spark, sf_dir)).orderBy("doc_a", "doc_b")
+
+
 SEMDEDUP_THRESHOLD = 0.4
 
 
@@ -1884,4 +1904,7 @@ def extension_entries():
         SuiteEntry("join_asof_forward", run_asof_forward, ASOF_FWD_ORACLE,
                    "forward as-of join with 30-minute tolerance "
                    "(pandas merge_asof surface)"),
+        SuiteEntry("dedup_fuzzy_prefix", run_fuzzy_join, fuzzy_oracle(),
+                   "edit-distance fuzzy self-join via PassJoin segment "
+                   "blocking (candidates only, never all-pairs)"),
     ]

@@ -162,6 +162,33 @@ def test_pq_adc_ranks_planted_clone_first(spark, sf_dir):
     assert all(0 <= c < similarity.PQ_K for c in codes)
 
 
+def test_fuzzy_join_catches_insertion_shift(spark):
+    """An INSERTION shifts every later character, so no segment matches at
+    its home position — only the ±tau probe window finds it. This is the
+    case plain segment-equality blocking silently misses."""
+    from datafusion_ray_spark.operators.fuzzy import fuzzy_join_pairs
+
+    base = "abcdefgh" "ijklmnop" "qrstuvwx"  # 24 chars = 3 segments
+    rows = [
+        (1, base + " tail", "en", "s", 29),
+        (2, "Z" + base[:23] + " tail", "en", "s", 30),      # ins at front: dist 2
+        (3, base[:8] + "XY" + base[8:22] + " t", "en", "s", 29),  # ins mid: dist ~4
+        (4, "zzzzzzzzzzzzzzzzzzzzzzzz diff", "en", "s", 29),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    got = {(r["doc_a"], r["doc_b"]): r["dist"] for r in fuzzy_join_pairs(docs).collect()}
+    assert (1, 2) in got and got[(1, 2)] == 2  # found via shifted segments only
+    assert (1, 4) not in got
+    # oracle-grade ground truth for every pair the operator emits
+    import duckdb
+
+    con = duckdb.connect()
+    for (a, b), dist in got.items():
+        ka = next(r[1][:24] for r in rows if r[0] == a)
+        kb = next(r[1][:24] for r in rows if r[0] == b)
+        assert con.execute("SELECT levenshtein(?, ?)", [ka, kb]).fetchone()[0] == dist
+
+
 def test_semdedup_removes_planted_clone(spark):
     """A cloned vector (cosine 1.0 with its original) must be pruned,
     keeping the lowest id; an orthogonal vector in the same cell survives."""
