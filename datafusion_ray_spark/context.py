@@ -240,10 +240,27 @@ class DFRayContext:
         schema — ``src/context.rs:69-79``).
 
         http(s) URLs are supported like the reference's http object store
-        (``examples/http_csv.py:27-35``): Spark has no http filesystem, so
-        the driver fetches once to a local spool file and registers that.
+        (``examples/http_csv.py:27-35``), and DISTRIBUTED: a Spark 4
+        Python Data Source splits the file into byte-range partitions that
+        executors fetch with HTTP Range requests (``sources/httpcsv.py``).
+        Servers without Range support degrade to one executor-side
+        partition; if the datasource path fails entirely, the driver-spool
+        fallback still registers the table.
         """
         if path.startswith(("http://", "https://")):
+            try:
+                from .sources.httpcsv import register_http_csv
+
+                register_http_csv(self.spark)
+                reader = self.spark.read.format("http_csv").option("url", path)
+                for k, v in options.items():
+                    reader = reader.option(k, str(v))
+                df = reader.load()
+                df.limit(0).collect()  # surface schema/connect errors NOW
+                self._register(name, df, path)
+                return
+            except Exception:
+                logger.info("http_csv datasource failed; driver-spool fallback")
             path = self._fetch_url(path)
         path = self._normalize_path(path)
         opts = {"header": "true", "inferSchema": "true"}

@@ -495,6 +495,26 @@ def test_count_min_upper_bound_property(spark, sf_dir):
         assert t <= est[str(k)] <= n, (k, t, est[str(k)])
 
 
+def test_count_min_merge_property(spark, sf_dir):
+    """CMS counters merge by ADDITION: sum-combining two shards' sketches
+    equals the whole-corpus sketch counter-for-counter — the property that
+    lets every executor (or every day's partition) sketch independently."""
+    from datafusion_ray_spark.operators.sketch import count_min_build
+    from datafusion_ray_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.where(F.col("l_orderkey") % 2 == 0)
+    b = li.where(F.col("l_orderkey") % 2 == 1)
+    merged = (
+        count_min_build(a, "l_partkey")
+        .unionByName(count_min_build(b, "l_partkey"))
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    whole = count_min_build(li, "l_partkey")
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+
+
 def test_hll_merge_property(spark, sf_dir):
     """HLL registers merge: max-combining two shards' register tables gives
     exactly the registers of the union — the property that lets sketches
