@@ -50,24 +50,26 @@ def _sql_entry(qdef: QueryDef) -> SuiteEntry:
 # operators) ahead of scalar/coverage filler.  Everything stays green in the
 # local oracle gate (tests/test_suite_oracle.py) regardless of order.
 _PRIORITY_AFTER_TPCH = [
-    # Dedup family
+    # Dedup family (round 3 adds PassJoin fuzzy + SemDeDup to the window;
+    # displaced entries stay certified in CORRECTNESS_LOCAL.json)
     "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
-    "dedup_groups", "dedup_embedding_cosine",
+    "dedup_groups", "dedup_embedding_cosine", "dedup_fuzzy_prefix",
     # Similarity / ANN
-    "sim_knn_brute", "sim_ann_lsh", "sim_ann_ivf",
+    "sim_knn_brute", "sim_ann_lsh", "sim_ann_ivf", "sim_ann_pq",
+    "sim_semdedup",
     # Temporal joins
     "join_asof", "join_range",
     # Event windows
-    "ev_tumbling_window", "ev_sliding_window", "ev_session_window",
+    "ev_tumbling_window", "ev_session_window",
     # Text analysis / quality / search
     "text_token_stats", "text_lang_id", "text_quality", "text_winnow",
     "text_bm25", "text_lm_score",
     # Sketches
     "sketch_count_min", "sketch_hll",
     # Multimodal
-    "mm_meta_stats", "mm_decode_features",
+    "mm_decode_features",
     # LLM-pipeline data management
-    "seq_pack", "split_train_test", "contamination_ngram",
+    "seq_pack", "contamination_ngram",
     "dsir_weights",
 ]
 

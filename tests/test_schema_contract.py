@@ -115,9 +115,12 @@ def test_canonical_dtypes(spark, sf, table):
 _ADVERSE_QUERIES = [
     "q1",
     "join_range",
+    "join_asof_forward",
     "ev_session_window",
     "ev_tumbling_window",
     "ev_daily_pivot",
+    "ev_resample_fill",
+    "sim_semdedup",
 ]
 
 
