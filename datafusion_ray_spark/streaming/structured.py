@@ -583,3 +583,51 @@ def dsir_score_stream(docs: DataFrame, ratio: dict[int, int],
             .alias("logw_nats"),
         )
     )
+
+
+def lm_score_stream(docs: DataFrame, probs: dict[str, int],
+                    llr_oov: int) -> DataFrame:
+    """Streaming perplexity scoring against a FROZEN unigram LM — the
+    at-ingest twin of ``operators.text.lm_score`` (fit once in batch via
+    ``text.frozen_lm``, score every arriving document forever).
+
+    STATELESS like ``dsir_score_stream``: the frozen prob table rides in
+    the mapInPandas closure (vocab-capped, driver-sized) and each
+    document scores from its own tokens — no shuffle, no state store, no
+    watermark. Tokenization replicates the JVM ``split(trim(text),
+    '\\s+')`` exactly (Java ``\\s`` is ASCII-only, so the kernel splits
+    on the same ASCII class). Output is bit-identical to the batch
+    scorer on the same data (same integer nano-nat sums, same rounding).
+    """
+    import re
+
+    from pyspark.sql import types as T
+
+    from ..operators.text import LM_SCALE
+
+    ln2 = 0.6931471805599453
+    ws = re.compile(r"[ \t\n\x0b\x0c\r]+")
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_tokens", T.IntegerType()),
+            T.StructField("xent_bits", T.DoubleType()),
+        ]
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, ns, xs = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = ws.split(text.strip(" \t\n\x0b\x0c\r"))
+                s = sum(probs.get(w, llr_oov) for w in toks)
+                ids.append(int(doc_id))
+                ns.append(len(toks))
+                xs.append(round(-s / (len(toks) * LM_SCALE * ln2), 4))
+            yield pd.DataFrame(
+                {"doc_id": ids, "n_tokens": ns, "xent_bits": xs}
+            )
+
+    return docs.mapInPandas(gen, out_schema)

@@ -236,3 +236,46 @@ def test_dsir_weights_order_invariant(spark, texts):
         for r in dsir_logweights(shuffled, target).collect()
     }
     assert w1 == w2
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+_fuzzy_keys = st.lists(
+    st.text(alphabet="ab", min_size=24, max_size=28),
+    min_size=2,
+    max_size=10,
+    unique=True,
+)
+
+
+@given(keys=_fuzzy_keys)
+@_settings
+def test_fuzzy_join_matches_bruteforce(spark, keys):
+    """PassJoin blocking is LOSSLESS: output equals all-pairs levenshtein
+    over the 24-char prefixes (tiny alphabet forces near-collisions and
+    shift-window cases)."""
+    from datafusion_ray_spark.operators.fuzzy import fuzzy_join_pairs
+
+    docs = spark.createDataFrame(
+        [(i, k, "en", "s", len(k)) for i, k in enumerate(keys)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["dist"]
+        for r in fuzzy_join_pairs(docs).collect()
+    }
+    want = {}
+    for i in range(len(keys)):
+        for j in range(i + 1, len(keys)):
+            d = _lev(keys[i][:24], keys[j][:24])
+            if d <= 2:
+                want[(i, j)] = d
+    assert got == want, (got, want)

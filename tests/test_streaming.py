@@ -295,3 +295,27 @@ def test_streaming_dsir_scores_match_batch(spark, sf_dir, docs_dir):
     }
     assert streamed == batch
     assert len(streamed) > 0
+
+
+def test_streaming_lm_scores_match_batch(spark, sf_dir, docs_dir):
+    """Streaming perplexity scoring against a frozen batch-fit unigram LM
+    is bit-identical to the batch scorer — stateless, like the DSIR twin."""
+    from datafusion_ray_spark.operators import text
+
+    docs = load_table(spark, sf_dir, "documents")
+    probs, llr_oov = text.frozen_lm(docs)
+    stream = structured.stream_documents(spark, docs_dir)
+    structured.run_to_memory(
+        structured.lm_score_stream(stream, probs, llr_oov), "stream_lm",
+        output_mode="append",
+    )
+    streamed = {
+        r["doc_id"]: (r["n_tokens"], r["xent_bits"])
+        for r in spark.sql("SELECT * FROM stream_lm").collect()
+    }
+    batch = {
+        r["doc_id"]: (r["n_tokens"], r["xent_bits"])
+        for r in text.lm_score(docs).collect()
+    }
+    assert streamed == batch
+    assert len(streamed) > 0
