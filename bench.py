@@ -125,7 +125,8 @@ def main() -> None:
                  "source_mix", "split_train_test", "text_normalize",
                  "contamination_check", "sample_stratified", "dsir_weights",
                  "shuffle_shard", "contamination_ngram", "vocab_stats",
-                 "sample_uniform", "ppl_bucket_sample", "sample_weighted"}
+                 "sample_uniform", "ppl_bucket_sample", "sample_weighted",
+                 "lang_temperature_mix"}
 
     def family(name: str) -> str:
         if name.startswith("q") and name[1:].isdigit():

@@ -300,6 +300,55 @@ LIMIT 100
 """,
 )
 
+# Temperature-based language rebalancing (the multilingual sampling rule of
+# Lample & Conneau, "Cross-lingual language model pretraining", 2019 §3.1,
+# exponent alpha = 0.5 i.e. T = 2): keep-rate r_l ∝ p_l^(alpha-1) =
+# sqrt(c_min/c_l), normalized so the rarest language keeps everything —
+# flattens the language distribution toward (but not all the way to)
+# uniform. Deterministic hash acceptance per doc; IEEE sqrt is correctly
+# rounded, so the integer thresholds are engine-identical.
+_q(
+    "lang_temperature_mix",
+    """
+WITH counts AS (SELECT lang, COUNT(*) AS c FROM documents GROUP BY lang),
+mn AS (SELECT MIN(c) AS cmin FROM counts),
+rates AS (
+    SELECT lang, c,
+           CAST(FLOOR(65536 * SQRT(CAST(cmin AS DOUBLE) / c)) AS BIGINT) AS thr
+    FROM counts CROSS JOIN mn
+)
+SELECT d.lang,
+       CAST(r.c AS BIGINT) AS n_before,
+       CAST(r.thr AS BIGINT) AS thr,
+       CAST(COUNT(*) AS BIGINT) AS n_sampled,
+       CAST(SUM(d.n_chars) AS BIGINT) AS sampled_chars
+FROM documents d JOIN rates r ON d.lang = r.lang
+WHERE CAST(CONV(SUBSTRING(MD5(CONCAT('13:', CAST(d.doc_id AS STRING))), 1, 4), 16, 10) AS BIGINT) < r.thr
+GROUP BY d.lang, r.c, r.thr
+ORDER BY d.lang
+""",
+    "temperature (T=2) language rebalancing: keep-rate sqrt(c_min/c_l), "
+    "deterministic hash acceptance",
+    oracle="""
+WITH counts AS (SELECT lang, COUNT(*) AS c FROM documents GROUP BY lang),
+mn AS (SELECT MIN(c) AS cmin FROM counts),
+rates AS (
+    SELECT lang, c,
+           CAST(FLOOR(65536 * SQRT(CAST(cmin AS DOUBLE) / c)) AS BIGINT) AS thr
+    FROM counts CROSS JOIN mn
+)
+SELECT d.lang,
+       CAST(r.c AS BIGINT) AS n_before,
+       CAST(r.thr AS BIGINT) AS thr,
+       CAST(COUNT(*) AS BIGINT) AS n_sampled,
+       CAST(SUM(d.n_chars) AS BIGINT) AS sampled_chars
+FROM documents d JOIN rates r ON d.lang = r.lang
+WHERE CAST(CONCAT('0x', SUBSTRING(MD5('13:' || CAST(d.doc_id AS VARCHAR)), 1, 4)) AS BIGINT) < r.thr
+GROUP BY d.lang, r.c, r.thr
+ORDER BY d.lang
+""",
+)
+
 # Deterministic WEIGHTED sample without replacement (Efraimidis & Spirakis,
 # "Weighted random sampling with a reservoir", IPL 2006): key_i =
 # ln(u_i)/w_i with u_i a seeded hash-uniform in (0,1); the top-k by key is
