@@ -286,6 +286,20 @@ class DFRayContext:
     def register_json(self, name: str, path: str, **options: Any) -> None:
         self._register(name, self.spark.read.options(**options).json(path), path)
 
+    def register_text(self, name: str, path: str, wholetext: bool = False,
+                      line_sep: str | None = None) -> None:
+        """Line-oriented text source (one row per line, column ``value``) —
+        the raw-corpus on-ramp for the text operator family; ``wholetext``
+        reads one row per FILE instead (document-per-file corpora)."""
+        reader = self.spark.read
+        if line_sep:
+            reader = reader.option("lineSep", line_sep)
+        self._register(
+            name,
+            reader.text(self._normalize_path(path), wholetext=wholetext),
+            path,
+        )
+
     def register_orc(self, name: str, path: str) -> None:
         """ORC source (Spark-native columnar format beyond the reference's
         parquet/csv/json/avro surface — free capability on this engine)."""

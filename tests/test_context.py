@@ -181,3 +181,19 @@ def test_register_arrow_roundtrip(spark):
     # batches input form too
     ctx.register_arrow("mem_b", t.to_batches())
     assert ctx.sql("SELECT COUNT(*) AS c FROM mem_b").to_pandas()["c"][0] == 3
+
+
+def test_register_text_lines_and_wholetext(spark, tmp_path):
+    from datafusion_ray_spark import DFRayContext
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    (d / "a.txt").write_text("alpha line\nbeta line\n")
+    (d / "b.txt").write_text("gamma line\n")
+    ctx = DFRayContext(spark=spark)
+    ctx.register_text("corpus_lines", str(d))
+    n = ctx.sql("SELECT COUNT(*) AS n FROM corpus_lines WHERE value LIKE '%line'").to_pandas()
+    assert int(n["n"][0]) == 3
+    ctx.register_text("corpus_docs", str(d), wholetext=True)
+    docs = ctx.sql("SELECT value FROM corpus_docs").to_pandas()
+    assert len(docs) == 2 and any("alpha" in v and "beta" in v for v in docs["value"])

@@ -211,6 +211,25 @@ def test_semdedup_removes_planted_clone(spark):
     assert out[10]["cell"] == out[0]["cell"] == 0
 
 
+def test_kmeans_feeds_semdedup(spark, sf_dir):
+    """The production SemDeDup path: centroids LEARNED in-engine
+    (kmeans_centroids) feed the cluster-then-prune dedup; a planted clone
+    is still pruned and every vector gets a verdict."""
+    from datafusion_ray_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = [float(v) for v in emb.where(F.col("vec_id") == 7).first()["embedding"]]
+    clone = spark.createDataFrame([(8_888_888, q, 0)], ["vec_id", "embedding", "label"])
+    both = emb.unionByName(clone)
+    centroids = similarity.kmeans_centroids(both, k=8, iterations=2)
+    assert len(centroids) == 8 and all(len(v) == 64 for _, v in centroids)
+    out = {r["vec_id"]: r for r in similarity.semdedup(both, centroids, threshold=0.99).collect()}
+    assert len(out) == both.count()
+    assert out[7]["kept"] is True
+    assert out[8_888_888]["kept"] is False  # clone pruned under learned cells
+    assert out[8_888_888]["cell"] == out[7]["cell"]
+
+
 class _XorCodec:
     """Second codec for the registry seam test: checksum of payload XOR 0xFF,
     constant feature — trivially distinguishable from FakeCodec output."""
