@@ -308,20 +308,32 @@ class DFRayContext:
     def register_avro(self, name: str, path: str) -> None:
         """Avro source (reference: ``datafusion.proto:715``).
 
-        Uses the ``spark-avro`` connector when it is on the classpath (the
-        distributed path — required at scale). Without it, falls back to a
-        pure-Python reader of the public Avro container format
-        (``sources/avro.py``): the file is decoded driver-side and registered
-        via ``createDataFrame`` — appropriate for dimension-table-sized
-        files, with the same SQL surface either way.
+        Three tiers, best available wins:
+        1. the ``spark-avro`` connector when on the classpath (JVM scan);
+        2. the DISTRIBUTED pure-Python container reader — a Spark 4 Python
+           Data Source splitting files into byte-range partitions at the
+           Avro sync markers (``sources/avro.py``), so even without the
+           jar the scan parallelizes across executors;
+        3. driver-side decode + ``createDataFrame`` as the last resort
+           (e.g. an exotic codec the pure reader rejects).
+        Same SQL surface in all three.
         """
         try:
             df = self.spark.read.format("avro").load(path)
-        except Exception:  # connector absent -> pure-Python fallback
-            from .sources.avro import avro_to_spark_type, read_avro
+        except Exception:  # connector absent -> pure-Python paths
+            try:
+                from .sources.avro import register_pyavro
 
-            schema, rows = read_avro(path)
-            df = self.spark.createDataFrame(rows, schema=avro_to_spark_type(schema))
+                register_pyavro(self.spark)
+                df = self.spark.read.format("pyavro").option("path", path).load()
+                df.limit(0).collect()  # surface schema/codec errors NOW
+            except Exception:
+                from .sources.avro import avro_to_spark_type, read_avro
+
+                schema, rows = read_avro(path)
+                df = self.spark.createDataFrame(
+                    rows, schema=avro_to_spark_type(schema)
+                )
         self._register(name, df, path)
 
     def register_delta(self, name: str, path: str) -> None:

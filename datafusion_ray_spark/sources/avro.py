@@ -248,8 +248,11 @@ def _write_datum(enc: _Encoder, schema, v):
     raise NotImplementedError(f"writer: unsupported type {t}")
 
 
-def write_avro(path: str, schema: dict, rows: list[dict], codec: str = "null") -> None:
-    """Write rows (list of dicts) as one Avro container block."""
+def write_avro(path: str, schema: dict, rows: list[dict], codec: str = "null",
+               block_rows: int | None = None) -> None:
+    """Write rows (list of dicts) as an Avro container file; ``block_rows``
+    splits the data into multiple sync-delimited blocks (the unit the
+    distributed reader parallelizes over)."""
     if codec not in ("null", "deflate"):
         raise NotImplementedError("null/deflate codecs only")
     sync = b"\x00" * 8 + b"sparkavro"[:8]
@@ -262,16 +265,19 @@ def write_avro(path: str, schema: dict, rows: list[dict], codec: str = "null") -
         enc.write_bytes(v)
     enc.write_long(0)
     enc.write(sync)
-    body = _Encoder()
-    for row in rows:
-        _write_datum(body, schema, row)
-    payload = body.value()
-    if codec == "deflate":
-        payload = zlib.compress(payload)[2:-4]  # raw deflate (no zlib header)
-    enc.write_long(len(rows))
-    enc.write_long(len(payload))
-    enc.write(payload)
-    enc.write(sync)
+    step = block_rows or max(1, len(rows))
+    for off in range(0, len(rows), step):
+        chunk = rows[off : off + step]
+        body = _Encoder()
+        for row in chunk:
+            _write_datum(body, schema, row)
+        payload = body.value()
+        if codec == "deflate":
+            payload = zlib.compress(payload)[2:-4]  # raw deflate (no zlib header)
+        enc.write_long(len(chunk))
+        enc.write_long(len(payload))
+        enc.write(payload)
+        enc.write(sync)
     with open(path, "wb") as f:
         f.write(enc.value())
 
@@ -316,3 +322,175 @@ def avro_to_spark_type(schema):
         "bytes": T.BinaryType(),
         "string": T.StringType(),
     }[schema]
+
+
+# ---------------------------------------------------------------------------
+# distributed reader: Spark 4 Python Data Source over container blocks
+
+
+def _parse_header(path: str):
+    """(record schema, codec, sync, header_end) from a container file,
+    reading only as many bytes as the header needs."""
+    with open(path, "rb") as f:
+        buf = f.read(1 << 16)
+        while True:
+            try:
+                dec = _Decoder(buf)
+                if dec.read(4) != MAGIC:
+                    raise ValueError(f"{path}: not an Avro container file")
+                meta = {}
+                while True:
+                    n = dec.read_long()
+                    if n == 0:
+                        break
+                    if n < 0:
+                        n = -n
+                        dec.read_long()
+                    for _ in range(n):
+                        k = dec.read_string()
+                        meta[k] = dec.read_bytes()
+                sync = dec.read(16)
+                break
+            except (EOFError, IndexError):
+                more = f.read(1 << 16)
+                if not more:
+                    raise
+                buf += more
+    schema = json.loads(meta["avro.schema"])
+    codec = meta.get("avro.codec", b"null").decode()
+    if codec not in ("null", "deflate"):
+        raise NotImplementedError(f"avro codec {codec!r} (null/deflate only)")
+    return schema, codec, sync, dec._pos
+
+
+def _file_varint(f) -> int:
+    shift = accum = 0
+    while True:
+        b = f.read(1)
+        if not b:
+            raise EOFError("truncated avro block header")
+        byte = b[0]
+        accum |= (byte & 0x7F) << shift
+        if not byte & 0x80:
+            return (accum >> 1) ^ -(accum & 1)
+        shift += 7
+
+
+def _avro_files(path: str) -> list[str]:
+    import glob as _glob
+    import os as _os
+
+    if _os.path.isfile(path):
+        return [path]
+    return sorted(
+        _glob.glob(_os.path.join(path, "**", "*.avro"), recursive=True)
+    ) or sorted(_glob.glob(_os.path.join(path, "*")))
+
+
+def _build_datasource_classes():
+    """Distributed pure-Python Avro scan (``format("pyavro")``): container
+    files are splittable at their 16-byte sync markers, so partitions are
+    plain byte ranges — each executor seeks into its range, synchronizes on
+    the next marker, and decodes only the blocks that START inside its
+    range (ownership: ``start < block_pos <= end``, so every block lands in
+    exactly one partition, including marker-on-boundary cases). This is the
+    same split discipline Hadoop's Avro input format uses, and it removes
+    the driver-side limitation of the ``read_avro`` fallback: scan
+    parallelism = file bytes / partition_bytes, independent of file count.
+    (Classes built lazily to keep the pyspark.datasource import optional.)
+    """
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    class _AvroDataSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "pyavro"
+
+        def schema(self):
+            files = _avro_files(self.options["path"])
+            if not files:
+                raise FileNotFoundError(self.options["path"])
+            schema, _, _, _ = _parse_header(files[0])
+            return avro_to_spark_type(schema)
+
+        def reader(self, schema):
+            return _AvroReader(self.options)
+
+    class _AvroReader(DataSourceReader):
+        def __init__(self, options):
+            self.path = options["path"]
+            self.part_bytes = int(options.get("partition_bytes", 4 << 20))
+
+        def partitions(self):
+            import os as _os
+
+            parts = []
+            for fp in _avro_files(self.path):
+                size = _os.path.getsize(fp)
+                if size <= self.part_bytes:
+                    parts.append(InputPartition((fp, 0, size)))
+                    continue
+                for s in range(0, size, self.part_bytes):
+                    parts.append(
+                        InputPartition((fp, s, min(s + self.part_bytes, size)))
+                    )
+            return parts
+
+        def read(self, partition):
+            import os as _os
+
+            path, start, end = partition.value
+            schema, codec, sync, hend = _parse_header(path)
+            fields = [f["name"] for f in schema["fields"]]
+            size = _os.path.getsize(path)
+            with open(path, "rb") as f:
+                if start < hend:
+                    p = hend  # partition containing the header owns block 1
+                    if p > end:
+                        return
+                else:
+                    # synchronize: first sync whose block start lands in
+                    # (start, end]; scan from start-15 so a marker that
+                    # straddles the boundary is still seen
+                    scan_from = max(hend, start - 15)
+                    f.seek(scan_from)
+                    window = f.read(end - scan_from + 16)
+                    p = None
+                    q = window.find(sync)
+                    while q != -1:
+                        cand = scan_from + q + 16
+                        if start < cand <= end:
+                            p = cand
+                            break
+                        if cand > end:
+                            break
+                        q = window.find(sync, q + 1)
+                    if p is None:
+                        return
+                while p <= end and p < size:
+                    f.seek(p)
+                    count = _file_varint(f)
+                    bsize = _file_varint(f)
+                    block = f.read(bsize)
+                    if len(block) != bsize:
+                        raise EOFError(f"{path}: truncated block at {p}")
+                    if codec == "deflate":
+                        block = zlib.decompress(block, -15)
+                    bdec = _Decoder(block)
+                    for _ in range(count):
+                        d = _read_datum(bdec, schema)
+                        yield tuple(d[name] for name in fields)
+                    if f.read(16) != sync:
+                        raise ValueError(f"{path}: sync mismatch after {p}")
+                    p = f.tell()
+
+    return _AvroDataSource
+
+
+def register_pyavro(spark) -> None:
+    """Idempotently register the distributed ``pyavro`` format."""
+    spark.dataSource.register(_build_datasource_classes())

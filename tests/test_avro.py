@@ -119,3 +119,56 @@ def test_spark_type_mapping():
     assert t["tags"].dataType.typeName() == "array"
     with pytest.raises(NotImplementedError):
         avro_to_spark_type(["null", "string", "long"])  # multi-branch union
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_pyavro_distributed_range_split(spark, tmp_path, codec):
+    """The pyavro Data Source splits a multi-block container file into
+    byte-range partitions with exact row accounting (every sync-delimited
+    block decoded by exactly one partition)."""
+    from datafusion_ray_spark.sources.avro import register_pyavro, write_avro
+
+    schema = {
+        "type": "record",
+        "name": "row",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "label", "type": "string"},
+            {"name": "score", "type": "double"},
+        ],
+    }
+    rows = [
+        {"id": i, "label": f"label_{i % 7}", "score": i * 0.25} for i in range(2000)
+    ]
+    p = str(tmp_path / f"big_{codec}.avro")
+    write_avro(p, schema, rows, codec=codec, block_rows=50)  # 40 blocks
+
+    register_pyavro(spark)
+    df = (
+        spark.read.format("pyavro")
+        .option("path", p)
+        .option("partition_bytes", 4096)  # force many range partitions
+        .load()
+    )
+    assert df.rdd.getNumPartitions() > 1, "file did not split"
+    assert df.count() == 2000, "blocks lost or double-read at range boundaries"
+    assert df.agg({"id": "sum"}).first()[0] == sum(range(2000))
+    got = {r["id"]: (r["label"], r["score"]) for r in df.collect()}
+    assert got[1234] == ("label_2", 308.5)
+
+
+def test_register_avro_uses_distributed_reader(spark, tmp_path):
+    from datafusion_ray_spark import DFRayContext
+    from datafusion_ray_spark.sources.avro import write_avro
+
+    schema = {
+        "type": "record",
+        "name": "row",
+        "fields": [{"name": "id", "type": "long"}],
+    }
+    p = str(tmp_path / "t.avro")
+    write_avro(p, schema, [{"id": i} for i in range(300)], block_rows=20)
+    ctx = DFRayContext(spark=spark)
+    ctx.register_avro("avro_dist", p)
+    out = ctx.sql("SELECT COUNT(*) AS n, SUM(id) AS s FROM avro_dist").to_pandas()
+    assert int(out["n"][0]) == 300 and int(out["s"][0]) == sum(range(300))
