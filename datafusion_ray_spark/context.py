@@ -387,6 +387,9 @@ class DFRayContext:
             df = reader.json(path)
         elif file_format == "orc":
             df = reader.orc(path)
+        elif file_format == "avro":
+            self.register_avro(name, path)
+            return
         else:
             raise ValueError(f"unsupported listing format: {file_format}")
         self._register(name, df, path)

@@ -1355,6 +1355,37 @@ def run_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_join_pairs(_docs(spark, sf_dir)).orderBy("doc_a", "doc_b")
 
 
+def fuzzy_groups_oracle() -> str:
+    """Entity-resolution components over the fuzzy-key pairs, via the same
+    ``WITH RECURSIVE`` min-label reachability oracle as dedup_groups."""
+    return f"""
+WITH RECURSIVE fp AS (
+{fuzzy_oracle()}
+),
+edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM fp
+    UNION ALL
+    SELECT doc_b, doc_a FROM fp
+),
+nodes AS (SELECT DISTINCT a AS id FROM edges),
+reach(id, r) AS (
+    SELECT id, id FROM nodes
+    UNION
+    SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id
+)
+SELECT id AS doc_id, CAST(MIN(r) AS BIGINT) AS group_id
+FROM reach GROUP BY id ORDER BY doc_id
+"""
+
+
+def run_fuzzy_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import duplicate_groups
+    from .fuzzy import fuzzy_join_pairs
+
+    pairs = fuzzy_join_pairs(_docs(spark, sf_dir)).select("doc_a", "doc_b")
+    return duplicate_groups(pairs).orderBy("doc_id")
+
+
 SEMDEDUP_THRESHOLD = 0.4
 
 
@@ -1907,4 +1938,8 @@ def extension_entries():
         SuiteEntry("dedup_fuzzy_prefix", run_fuzzy_join, fuzzy_oracle(),
                    "edit-distance fuzzy self-join via PassJoin segment "
                    "blocking (candidates only, never all-pairs)"),
+        SuiteEntry("dedup_fuzzy_groups", run_fuzzy_groups,
+                   fuzzy_groups_oracle(),
+                   "entity resolution: connected components over the "
+                   "fuzzy-key pairs (recursive-CTE certified)"),
     ]

@@ -172,3 +172,19 @@ def test_register_avro_uses_distributed_reader(spark, tmp_path):
     ctx.register_avro("avro_dist", p)
     out = ctx.sql("SELECT COUNT(*) AS n, SUM(id) AS s FROM avro_dist").to_pandas()
     assert int(out["n"][0]) == 300 and int(out["s"][0]) == sum(range(300))
+
+
+def test_register_listing_table_avro_dir(spark, tmp_path):
+    from datafusion_ray_spark import DFRayContext
+    from datafusion_ray_spark.sources.avro import write_avro
+
+    schema = {"type": "record", "name": "row",
+              "fields": [{"name": "id", "type": "long"}]}
+    write_avro(str(tmp_path / "a.avro"), schema,
+               [{"id": i} for i in range(100)], block_rows=10)
+    write_avro(str(tmp_path / "b.avro"), schema,
+               [{"id": i} for i in range(100, 250)], block_rows=10)
+    ctx = DFRayContext(spark=spark)
+    ctx.register_listing_table("avdir", str(tmp_path), file_format="avro")
+    out = ctx.sql("SELECT COUNT(*) AS n, SUM(id) AS s FROM avdir").to_pandas()
+    assert int(out["n"][0]) == 250 and int(out["s"][0]) == sum(range(250))
