@@ -1386,6 +1386,37 @@ def run_fuzzy_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_groups(pairs).orderBy("doc_id")
 
 
+def hash_embed_oracle(dim: int = 64) -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, unnest({_WORDS}) AS tok FROM documents),
+counts AS (
+    SELECT doc_id,
+           CAST(CAST(CONCAT('0x', SUBSTRING(md5(tok), 1, 8)) AS BIGINT) % {dim} AS INT) AS b,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM toks GROUP BY 1, 2
+),
+per_doc AS (
+    SELECT doc_id,
+           map_from_entries(list_transform(list_zip(list(b), list(c)),
+                                           p -> {{'k': p[1], 'v': p[2]}})) AS m,
+           SUM(c * c) AS norm2,
+           CAST(SUM(c) AS INT) AS n_tokens
+    FROM counts GROUP BY doc_id
+)
+SELECT doc_id,
+       list_transform(range(0, {dim}),
+                      i -> ROUND(CAST(coalesce(m[CAST(i AS INT)][1], 0) AS DOUBLE)
+                                 / SQRT(CAST(norm2 AS DOUBLE)), 6)) AS embedding,
+       n_tokens
+FROM per_doc
+ORDER BY doc_id
+"""
+
+
+def run_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.hash_embedding(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
 SEMDEDUP_THRESHOLD = 0.4
 
 
@@ -1942,4 +1973,7 @@ def extension_entries():
                    fuzzy_groups_oracle(),
                    "entity resolution: connected components over the "
                    "fuzzy-key pairs (recursive-CTE certified)"),
+        SuiteEntry("text_hash_embed", run_hash_embed, hash_embed_oracle(),
+                   "hashing-trick document embedding (feature hashing, "
+                   "L2-normalized) bridging text -> ANN/semdedup"),
     ]

@@ -531,3 +531,49 @@ def frozen_lm(df: DataFrame, text_col: str = "text",
         {r["word"]: int(r["llr"]) for r in probs.collect()},
         int(oov_row["llr_oov"]),
     )
+
+
+HASH_EMBED_DIM = 64
+
+
+def hash_embedding(df: DataFrame, text_col: str = "text",
+                   dim: int = HASH_EMBED_DIM) -> DataFrame:
+    """Deterministic hashing-trick document embedding (the classic
+    "hashing vectorizer", Weinberger et al., "Feature hashing for large
+    scale multitask learning", ICML 2009): token -> md5 bucket in [0,dim),
+    per-bucket counts, L2-normalized dense vector.
+
+    The bridge from the text family to the vector family: the output
+    column feeds :mod:`similarity` unchanged (cosine top-k, LSH/IVF/PQ
+    ANN, SemDeDup) — a zero-model embedder for corpora with no neural
+    embeddings yet. One explode + one map-side-combinable groupBy per
+    corpus; the dense array is assembled per doc from a bucket->count map
+    (no dim² work, no Python).
+
+    Returns (doc_id, embedding array<double>, n_tokens int); values are
+    rounded to 6 decimals after an exact integer norm so the vectors are
+    engine-deterministic.
+    """
+    toks = df.select("doc_id", F.explode(tokens(text_col)).alias("tok"))
+    bucket = (
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long") % dim
+    ).cast("int")
+    counts = (
+        toks.select("doc_id", bucket.alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    per_doc = counts.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("b", "c"))).alias("m"),
+        F.sum(F.col("c") * F.col("c")).alias("norm2"),  # exact integer
+        F.sum("c").cast("int").alias("n_tokens"),
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.round(
+            F.coalesce(F.element_at("m", i.cast("int")), F.lit(0)).cast("double")
+            / F.sqrt(F.col("norm2").cast("double")),
+            6,
+        ),
+    )
+    return per_doc.select("doc_id", dense.alias("embedding"), "n_tokens")

@@ -211,6 +211,22 @@ def test_semdedup_removes_planted_clone(spark):
     assert out[10]["cell"] == out[0]["cell"] == 0
 
 
+def test_hash_embedding_feeds_semdedup(docs):
+    """The text->vector bridge end to end: hash-embed documents, then
+    SemDeDup over the derived vectors prunes the exact text duplicate
+    (identical text -> identical vector -> cosine 1.0)."""
+    emb = text.hash_embedding(docs).withColumnRenamed("doc_id", "vec_id")
+    rows = {r["vec_id"]: list(r["embedding"]) for r in emb.collect()}
+    assert rows[1] == rows[2]  # identical texts embed identically
+    centroids = [(i, rows[i]) for i in sorted(rows)[:2]]
+    out = {
+        r["vec_id"]: r["kept"]
+        for r in similarity.semdedup(emb, centroids, threshold=0.99).collect()
+    }
+    assert out[1] is True and out[2] is False  # clone pruned, keep-lowest-id
+    assert out[4] is True  # distinct content survives
+
+
 def test_kmeans_feeds_semdedup(spark, sf_dir):
     """The production SemDeDup path: centroids LEARNED in-engine
     (kmeans_centroids) feed the cluster-then-prune dedup; a planted clone
