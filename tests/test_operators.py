@@ -813,3 +813,38 @@ def test_incremental_dedup_equals_batch_restriction(spark, sf_dir):
         if r["doc_a"] in new_ids or r["doc_b"] in new_ids
     }
     assert inc == batch
+
+
+def test_quality_classifier_learns_rule_signal(spark, sf_dir):
+    """Weak-label bootstrap end to end: train on a TEXT-DERIVED rule (the
+    synthetic corpus shares one vocabulary across the lang/source columns,
+    so only content rules are learnable), then the model must (a) agree
+    with the rule on held-in data near-perfectly and (b) rank planted
+    in-class text above out-of-class text."""
+    pytest.importorskip("numpy")
+    from datafusion_ray_spark.operators import classifier
+    from datafusion_ray_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    rule = F.col("text").like("%spark%")
+    labeled = classifier.weak_labels(docs, rule)
+    base_rate = labeled.agg(F.avg("label")).first()[0]
+    assert 0.1 < base_rate < 0.9, "rule no longer well-distributed"
+    model = classifier.train_quality_classifier(labeled)
+    scored = classifier.score_quality(model, docs).join(
+        labeled.select("doc_id", "label"), "doc_id"
+    )
+    agree = scored.where(
+        F.col("quality_pred") == F.col("label").cast("int")
+    ).count() / scored.count()
+    assert agree >= 0.9, f"classifier barely learned the rule signal: {agree}"
+
+    planted = spark.createDataFrame(
+        [(900001, "big spark table merge sort"), (900002, "big table merge sort row")],
+        ["doc_id", "text"],
+    )
+    probs = {
+        r["doc_id"]: r["quality_prob"]
+        for r in classifier.score_quality(model, planted).collect()
+    }
+    assert probs[900001] > probs[900002]
