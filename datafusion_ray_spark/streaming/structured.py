@@ -631,3 +631,89 @@ def lm_score_stream(docs: DataFrame, probs: dict[str, int],
             )
 
     return docs.mapInPandas(gen, out_schema)
+
+
+EMBEDDINGS_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("label", T.IntegerType()),
+    ]
+)
+
+
+def stream_embeddings(spark: SparkSession, path_dir: str) -> DataFrame:
+    """Streaming read of an embeddings parquet directory."""
+    return spark.readStream.schema(EMBEDDINGS_SCHEMA).parquet(path_dir)
+
+
+def semdedup_stream(vectors: DataFrame,
+                    centroids: list[tuple[int, list[float]]],
+                    threshold: float = 0.4,
+                    max_cell_state: int = 256) -> DataFrame:
+    """SemDeDup AT INGEST: every arriving vector is coarse-assigned to its
+    IVF cell (stateless Arrow kernel, same as batch) and compared against
+    the cell's resident vectors in the state store — a semantic duplicate
+    is flagged the moment it arrives, no batch re-scan.
+
+    State per cell is capped at ``max_cell_state`` resident vectors (k
+    scales with the corpus in production so cells stay small; a TTL/
+    re-cluster cycle handles drift). Within-cell residents accumulate in
+    arrival order, so with id-ordered arrival the verdicts equal the batch
+    operator's keep-lowest-id rule (asserted in tests). State shards by
+    cell exactly like the batch shuffle.
+    """
+    import numpy as np
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..operators.similarity import ivf_assign
+
+    assigned = ivf_assign(vectors, centroids).select("cell", "vec_id", "embedding")
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        if state.exists:
+            ids = list(state.get[0])
+            flat = list(state.get[1])
+        else:
+            ids, flat = [], []
+        dim = None
+        out_id, out_kept = [], []
+        for pdf in pdfs:
+            order = pdf.sort_values("vec_id")
+            for vec_id, emb in zip(order["vec_id"], order["embedding"]):
+                v = np.asarray(emb, dtype=np.float64)
+                dim = dim or len(v)
+                vn = np.sqrt((v * v).sum()) or 1.0
+                dup = False
+                if ids:
+                    M = np.asarray(flat, dtype=np.float64).reshape(len(ids), -1)
+                    mn = np.sqrt((M * M).sum(axis=1))
+                    mn[mn == 0.0] = 1.0
+                    cos = np.round(M @ v / (mn * vn), 6)
+                    dup = bool((cos >= threshold).any())
+                out_id.append(int(vec_id))
+                out_kept.append(not dup)
+                # EVERY arrival becomes a resident (batch semantics: a
+                # vector is a dup if ANY earlier cell-mate is close, even
+                # one that was itself flagged), capped for bounded state.
+                if len(ids) < max_cell_state:
+                    ids.append(int(vec_id))
+                    flat.extend(float(x) for x in v)
+        state.update((ids, flat))
+        yield pd.DataFrame(
+            {
+                "vec_id": out_id,
+                "cell": [int(key[0])] * len(out_id),
+                "kept": out_kept,
+            }
+        )
+
+    return assigned.groupBy("cell").applyInPandasWithState(
+        update,
+        outputStructType="vec_id long, cell int, kept boolean",
+        stateStructType="ids array<long>, flat array<double>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -46,3 +46,10 @@ def docs_dir(sf_dir, tmp_path_factory):
     d = tmp_path_factory.mktemp("docs_stream")
     shutil.copy(f"{sf_dir}/documents.parquet", d / "part-0.parquet")
     return str(d)
+
+
+@pytest.fixture(scope="session")
+def emb_dir(sf_dir, tmp_path_factory):
+    d = tmp_path_factory.mktemp("emb_stream")
+    shutil.copy(f"{sf_dir}/embeddings.parquet", d / "part-0.parquet")
+    return str(d)

@@ -378,3 +378,34 @@ def test_streaming_dedup_state_survives_restart(spark, sf_dir, tmp_path):
     # and recovery never duplicates within the output horizon of one run
     assert n_total <= n_first + n_half2_distinct
     assert result.where(F.col("digest").isNull()).count() == 0
+
+
+def test_streaming_semdedup_matches_batch(spark, sf_dir, emb_dir):
+    """At-ingest SemDeDup equals the batch operator when vectors arrive in
+    id order: same cells, same kept/pruned verdicts, vector for vector."""
+    from pyspark.sql import functions as F
+
+    from datafusion_ray_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = (
+        emb.where(F.col("vec_id").isin(list(similarity.CENTROID_VEC_IDS)))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    centroids = sorted((r["vec_id"], list(r["embedding"])) for r in rows)
+    stream = structured.stream_embeddings(spark, emb_dir)
+    structured.run_to_memory(
+        structured.semdedup_stream(stream, centroids, threshold=0.4),
+        "stream_semdedup", output_mode="append",
+    )
+    streamed = {
+        r["vec_id"]: (r["cell"], r["kept"])
+        for r in spark.sql("SELECT * FROM stream_semdedup").collect()
+    }
+    batch = {
+        r["vec_id"]: (r["cell"], r["kept"])
+        for r in similarity.semdedup(emb, centroids, threshold=0.4).collect()
+    }
+    assert streamed == batch
+    assert len(streamed) > 0 and not all(k for _, k in streamed.values())
