@@ -409,3 +409,48 @@ def test_streaming_semdedup_matches_batch(spark, sf_dir, emb_dir):
     }
     assert streamed == batch
     assert len(streamed) > 0 and not all(k for _, k in streamed.values())
+
+
+def test_streaming_heavy_hitters_state_survives_restart(spark, sf_dir, tmp_path):
+    """Custom applyInPandasWithState state (Misra-Gries counters +
+    n_processed) must recover from the checkpoint on restart: after a
+    two-run ingest, each shard's final n_processed counts BOTH halves —
+    a stateless restart would count only the second."""
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "src"
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+    tbl = pq.read_table(f"{sf_dir}/events.parquet")
+    half = tbl.num_rows // 2
+    pq.write_table(tbl.slice(0, half), src / "part-0.parquet")
+
+    def run_once():
+        stream = structured.stream_events(spark, str(src))
+        q = (
+            structured.heavy_hitters_stream(stream, k=8)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    pq.write_table(tbl.slice(half), src / "part-1.parquet")
+    run_once()
+
+    result = spark.read.parquet(out)
+    # final summary = the last emission per shard; n_processed there must
+    # account for every event routed to that shard across BOTH runs
+    final_n = {
+        r["grp"]: r["mx"]
+        for r in result.groupBy("grp").agg(F.max("n_processed").alias("mx")).collect()
+    }
+    assert sum(final_n.values()) == tbl.num_rows, (
+        f"recovered state counted {sum(final_n.values())} of {tbl.num_rows} "
+        "events: Misra-Gries state did not survive the restart"
+    )
