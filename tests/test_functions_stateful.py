@@ -81,3 +81,33 @@ def test_stateful_user_counts_matches_batch(spark, sf_dir, events_dir):
         .collect()
     }
     assert got == batch
+
+
+def test_udtf_chunking_matches_sql_twin(spark, sf_dir):
+    """The UDTF chunker (LATERAL, per-document) must agree with the
+    pure-SQL doc_chunk query on chunk counts and chunk hashes."""
+    from datafusion_ray_spark.functions.udtfs import register_udtfs
+    from datafusion_ray_spark.sources.tables import register_tables
+
+    register_udtfs(spark)
+    register_tables(spark, sf_dir)
+    via_udtf = spark.sql(
+        "SELECT d.doc_id, c.chunk_id, c.n_tokens, MD5(c.chunk) AS chunk_hash "
+        "FROM documents d, LATERAL chunk_tokens(d.text, 64, 48) c"
+    )
+    from datafusion_ray_spark.queries.registry import build_registry
+
+    sql_twin = build_registry()["doc_chunk"].run(spark, sf_dir)
+    a = {(r["doc_id"], r["chunk_id"]): (r["n_tokens"], r["chunk_hash"])
+         for r in via_udtf.collect()}
+    b = {(r["doc_id"], r["chunk_id"]): (r["n_tokens"], r["chunk_hash"])
+         for r in sql_twin.collect()}
+    assert a == b and len(a) > 0
+
+
+def test_udtf_char_ngrams(spark):
+    from datafusion_ray_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    got = {r["ngram"] for r in spark.sql("SELECT * FROM char_ngrams('abcab', 3)").collect()}
+    assert got == {"abc", "bca", "cab"}
