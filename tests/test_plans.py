@@ -289,3 +289,27 @@ def test_sample_uniform_is_take_ordered(spark, sf_dir):
     register_tables(spark, sf_dir)
     entry = build_registry()["sample_uniform"]
     assert "TakeOrderedAndProject" in _plan(entry.run(spark, sf_dir))
+
+
+def test_events_date_partition_pruning(spark, sf_dir, tmp_path):
+    """The canonical event layout: a single-day predicate must become a
+    PartitionFilter (directories skipped at plan time), and the day's
+    data must round-trip exactly."""
+    from datafusion_ray_spark.sources.layout import (
+        read_events_partitioned,
+        write_events_partitioned,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "events_by_day")
+    write_events_partitioned(ev, path)
+
+    back = read_events_partitioned(spark, path)
+    day = back.select("event_date").first()["event_date"]
+    q = back.where(F.col("event_date") == day)
+    plan = _plan(q)
+    assert "PartitionFilters" in plan and "event_date" in plan.split("PartitionFilters")[1].split("]")[0]
+    n_day = q.count()
+    n_expected = ev.where(F.to_date("ts") == day).count()
+    assert n_day == n_expected > 0
+    assert back.count() == ev.count()
