@@ -1128,7 +1128,45 @@ def run_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def run_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text.winnow_fingerprints(_docs(spark, sf_dir)).orderBy("doc_id")
+    return (
+        text.winnow_fingerprints(_docs(spark, sf_dir))
+        .select("doc_id", "n_fingerprints", "winnow_hash")
+        .orderBy("doc_id")
+    )
+
+
+def substring_dup_oracle(min_shared: int = 20) -> str:
+    from .text import WINNOW_K, WINNOW_W
+
+    return f"""
+WITH grams AS (
+    SELECT doc_id,
+           list_transform(
+               range(1, GREATEST(length(text) - {WINNOW_K - 1}, 0) + 1),
+               i -> substring(md5(substring(text, i, {WINNOW_K})), 1, 8)
+           ) AS gh
+    FROM documents
+),
+win AS (
+    SELECT doc_id,
+           list_distinct(list_transform(
+               range(1, GREATEST(len(gh) - {WINNOW_W - 1}, 0) + 1),
+               j -> list_aggregate(gh[j:j+{WINNOW_W - 1}], 'min')
+           )) AS fps
+    FROM grams
+),
+fp AS (SELECT doc_id, unnest(fps) AS f FROM win)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(COUNT(*) AS INT) AS n_shared
+FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= {min_shared}
+ORDER BY doc_a, doc_b
+"""
+
+
+def run_substring_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.substring_dup_pairs(_docs(spark, sf_dir)).orderBy("doc_a", "doc_b")
 
 
 def run_emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1976,4 +2014,8 @@ def extension_entries():
         SuiteEntry("text_hash_embed", run_hash_embed, hash_embed_oracle(),
                    "hashing-trick document embedding (feature hashing, "
                    "L2-normalized) bridging text -> ANN/semdedup"),
+        SuiteEntry("dedup_substring_fps", run_substring_dups,
+                   substring_dup_oracle(),
+                   "verbatim-substring duplication across docs "
+                   "(winnowing-sampled shared spans, Lee et al. 2022)"),
     ]

@@ -252,6 +252,54 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id",
         F.size(fps).cast("int").alias("n_fingerprints"),
         F.md5(F.concat_ws(" ", fps)).alias("winnow_hash"),
+        fps.alias("fps"),
+    )
+
+
+def substring_dup_pairs(df: DataFrame, text_col: str = "text",
+                        min_shared: int = 20) -> DataFrame:
+    """Cross-document VERBATIM-substring duplication (the substring-level
+    dedup of Lee et al., "Deduplicating training data makes language
+    models better", ACL 2022 — their suffix array finds exact duplicated
+    spans; here the winnowing fingerprints sample those spans): a shared
+    fingerprint is an identical ``WINNOW_K``-char window both documents
+    contain, and winnowing guarantees every sufficiently long shared span
+    contributes at least one (Schleimer et al. 2003 coverage property).
+
+    Returns (doc_a, doc_b, n_shared) for pairs sharing at least
+    ``min_shared`` fingerprints — n_shared is the exact intersection size
+    of the two fingerprint sets. Tune ``min_shared`` to the corpus: short
+    repetitive vocabularies produce incidental single-window collisions,
+    so the default demands enough shared windows to evidence a real
+    duplicated span run.
+
+    Scale shape: identical to MinHash candidates — one narrow
+    (fingerprint, doc_id) shuffle, pairs expanded JVM-side per posting
+    list, never an all-pairs join; count-per-pair is one map-side
+    combinable aggregation.
+    """
+    fps = winnow_fingerprints(df, text_col).select(
+        "doc_id", F.explode("fps").alias("fp")
+    )
+    grouped = (
+        fps.groupBy("fp")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    return (
+        grouped.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .agg(F.count("*").cast("int").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
     )
 
 

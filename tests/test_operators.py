@@ -848,3 +848,22 @@ def test_quality_classifier_learns_rule_signal(spark, sf_dir):
         for r in classifier.score_quality(model, planted).collect()
     }
     assert probs[900001] > probs[900002]
+
+
+def test_substring_dup_pairs_find_planted_span(spark):
+    """A long verbatim span copied between two docs must surface with a
+    large shared-fingerprint count; unrelated docs with disjoint content
+    must not pair (alphabet chosen so no incidental window collides)."""
+    span = "x7q9z2m4k8w1r5t3y6u0p9o8i7u6y5t4r3e2w1q0a9s8d7f6g5h4j3k2l1"
+    rows = [
+        (1, "aaa bbb ccc " + span + " ddd eee", "en", "s", 80),
+        (2, "fff ggg " + span + " hhh iii jjj", "en", "s", 80),
+        (3, "nnnnn mmmmm ooooo ppppp qqqqq rrrrr sssss ttttt vvvvv zzzzz", "en", "s", 59),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    got = {
+        (r["doc_a"], r["doc_b"]): r["n_shared"]
+        for r in text.substring_dup_pairs(docs, min_shared=3).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] >= 3
+    assert (1, 3) not in got and (2, 3) not in got
