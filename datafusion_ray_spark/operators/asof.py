@@ -54,12 +54,18 @@ def asof_join(
     shape); numeric ts columns pass through untouched — ordering and
     differencing are already well-defined on them.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
     if dict(left.dtypes).get(ts_col) == "timestamp_ntz":
         left = ts_to_utc(left, ts_col)
     if dict(right.dtypes).get(ts_col) == "timestamp_ntz":
         right = ts_to_utc(right, ts_col)
+    if direction == "nearest":
+        return _asof_nearest(
+            left, right, by, ts_col, right_cols, prefix, tolerance_seconds
+        )
     # Side tags order rows at EQUAL timestamps so the window sees the
     # right row: backward scans [start, current] (right must sort first),
     # forward scans [current, end] (right must sort after the left row).
@@ -107,3 +113,70 @@ def asof_join(
             F.col(f"_m_{c}").alias(f"{prefix}{c}") for c in ("ts", *right_cols)
         ]
     return m.select(*out_cols, *picked)
+
+
+def _asof_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    ts_col: str,
+    right_cols: tuple[str, ...],
+    prefix: str,
+    tolerance_seconds: int | None,
+) -> DataFrame:
+    """Nearest-direction as-of: the closer of the backward and forward
+    candidates, ties to backward (pandas ``merge_asof(direction='nearest')``
+    semantics). With a tolerance, each direction's candidate is nulled
+    FIRST and the choice runs over the survivors — so a too-far backward
+    match still falls through to an in-range forward one.
+
+    Plan shape: the SAME single union + one shuffle as the directional
+    paths — both the backward pick (``last`` over the preceding frame) and
+    the forward pick (``first`` over the following frame) share one window
+    partitioning/ordering, so Spark sorts once and scans twice within the
+    partition. No extra shuffle versus a one-direction as-of.
+    """
+    # side=0: right rows sort BEFORE an equal-ts left row, so the backward
+    # frame sees equal-ts matches (distance 0, which also wins any tie) and
+    # the forward frame doesn't double-offer them.
+    r_tagged = right.select(
+        F.col(by),
+        F.col(ts_col),
+        F.lit(0).alias("_side"),
+        F.col(ts_col).alias(f"{prefix}ts"),
+        *[F.col(c).alias(f"{prefix}{c}") for c in right_cols],
+    )
+    l_tagged = left.withColumn("_side", F.lit(1))
+    unioned = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
+    base = Window.partitionBy(by).orderBy(ts_col, "_side")
+    wb = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wf = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    payload = ("ts", *right_cols)
+    matched = unioned.select(
+        "*",
+        *[F.last(f"{prefix}{c}", ignorenulls=True).over(wb).alias(f"_b_{c}") for c in payload],
+        *[F.first(f"{prefix}{c}", ignorenulls=True).over(wf).alias(f"_f_{c}") for c in payload],
+    ).where(F.col("_side") == 1)
+
+    if dict(matched.dtypes).get(ts_col, "").startswith("timestamp"):
+        lus = epoch_us(matched, ts_col)
+        bus, fus = F.unix_micros(F.col("_b_ts")), F.unix_micros(F.col("_f_ts"))
+        tol = None if tolerance_seconds is None else tolerance_seconds * 1_000_000
+    else:
+        lus = F.col(ts_col)
+        bus, fus = F.col("_b_ts"), F.col("_f_ts")
+        tol = tolerance_seconds
+    b_ok = F.col("_b_ts").isNotNull() & (
+        F.lit(True) if tol is None else ((lus - bus) <= tol)
+    )
+    f_ok = F.col("_f_ts").isNotNull() & (
+        F.lit(True) if tol is None else ((fus - lus) <= tol)
+    )
+    use_b = b_ok & (~f_ok | ((lus - bus) <= (fus - lus)))
+    picked = [
+        F.when(use_b, F.col(f"_b_{c}"))
+        .when(f_ok, F.col(f"_f_{c}"))
+        .alias(f"{prefix}{c}")
+        for c in payload
+    ]
+    return matched.select(*left.columns, *picked)

@@ -580,3 +580,95 @@ def ivfpq_ann_topk(
     cand = ivf_assign(df, centroids).where(F.col("cell").isin(probe))
     return pq_adc_topk(cand, query_vec, codebooks, k=k,
                        exclude_vec_id=exclude_vec_id)
+
+
+# ---------------------------------------------------------------------------
+# Scalar quantization (SQ8): per-dimension linear int8 codes.
+
+SQ_LEVELS = 255  # codes 0..255 per dimension
+
+
+def sq8_stats(df: DataFrame, emb_col: str = "embedding") -> list[tuple[int, int]]:
+    """Per-dimension (min, range) in integer micro-units over the corpus —
+    the SQ8 "codebook". One posexplode + group-by-dimension aggregate; the
+    driver receives DIM rows (64 ints), the same legitimately-driver-sized
+    result as the k-means centroid matrix.
+    """
+    us = F.expr("CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)")
+    rows = (
+        df.select(F.posexplode(emb_col).alias("pos", "x"))
+        .select("pos", us.alias("v"))
+        .groupBy("pos")
+        .agg(F.min("v").alias("mn"), (F.max("v") - F.min("v")).alias("rg"))
+        .collect()
+    )
+    stats = sorted((r["pos"], (r["mn"], r["rg"])) for r in rows)
+    return [mv for _, mv in stats]
+
+
+def sq8_encode_expr(stats: list[tuple[int, int]], emb_col: str = "embedding") -> Column:
+    """JVM-side SQ8 encoder: code_i = ((x_us - min_i) * 255) DIV range_i
+    (0 when the dimension is constant). All-integer — bit-stable under any
+    partitioning and engine."""
+    mins = ", ".join(f"{int(mn)}L" for mn, _ in stats)
+    rngs = ", ".join(f"{int(rg)}L" for _, rg in stats)
+    return F.expr(
+        f"zip_with("
+        f"  zip_with("
+        f"    transform({emb_col}, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)),"
+        f"    array({mins}), (x, mn) -> x - mn),"
+        f"  array({rngs}),"
+        f"  (d, rg) -> CASE WHEN rg = 0L THEN 0L ELSE (d * {SQ_LEVELS}) DIV rg END)"
+    )
+
+
+def sq8_encode_query(vec: list[float], stats: list[tuple[int, int]]) -> list[int]:
+    """Driver-side twin of :func:`sq8_encode_expr` for the query vector,
+    in exact Python integer arithmetic."""
+    import math
+
+    codes = []
+    for x, (mn, rg) in zip(vec, stats):
+        xus = math.floor(float(x) * 1_000_000)
+        codes.append(0 if rg == 0 else ((xus - mn) * SQ_LEVELS) // rg)
+    return codes
+
+
+def sq8_ann_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    exclude_vec_id: int | None = None,
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k by inner product on SQ8 codes (asymmetric in the
+    sense that the query is encoded once on the driver).
+
+    The scale story: SQ8 shrinks a float32 corpus 4× (one byte per
+    dimension) with far better recall than PQ at the same budget for
+    moderate DIM; the per-row query cost is a 64-element int
+    multiply-accumulate that never touches the raw floats. At cluster
+    scale the codes column is what you cache/bucket; raw vectors stay on
+    cold storage for the optional re-rank. All arithmetic is int64 —
+    hash-certifiable against the DuckDB oracle running the identical
+    integer recurrence.
+    """
+    stats = sq8_stats(df, emb_col)
+    qcodes = sq8_encode_query(query_vec, stats)
+    qarr = F.array(*[F.lit(int(c)) for c in qcodes])
+    encoded = df.withColumn("_code", sq8_encode_expr(stats, emb_col))
+    if exclude_vec_id is not None:
+        encoded = encoded.where(F.col("vec_id") != exclude_vec_id)
+    # squared-L2 in code space (NOT inner product: IP rewards large-norm
+    # vectors and would not even rank the query itself first); self-
+    # distance is 0 by construction, max 64*255^2 ~ 4.2e6 — int64-safe.
+    dist = F.aggregate(
+        F.zip_with(F.col("_code"), qarr, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        encoded.select("vec_id", dist.alias("dist_u"))
+        .orderBy(F.asc("dist_u"), "vec_id")
+        .limit(k)
+    )

@@ -2018,4 +2018,11 @@ def extension_entries():
                    substring_dup_oracle(),
                    "verbatim-substring duplication across docs "
                    "(winnowing-sampled shared spans, Lee et al. 2022)"),
+        *_round3_entries(),
     ]
+
+
+def _round3_entries():
+    from .suite2 import extension_entries2
+
+    return extension_entries2()
