@@ -641,8 +641,8 @@ def sq8_ann_topk(
     exclude_vec_id: int | None = None,
     emb_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k by inner product on SQ8 codes (asymmetric in the
-    sense that the query is encoded once on the driver).
+    """Approximate top-k by squared-L2 distance on SQ8 codes (the query is
+    encoded once on the driver with the corpus codebook).
 
     The scale story: SQ8 shrinks a float32 corpus 4× (one byte per
     dimension) with far better recall than PQ at the same budget for

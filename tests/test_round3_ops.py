@@ -248,3 +248,11 @@ def test_pagerank_mass_and_bounds(spark, sf_dir):
     assert (pr.rank_micro >= base).all()
     # floor-division only loses mass: total stays in (0.9, 1.0] units
     assert 0.9 * SCALE < pr.rank_micro.sum() <= SCALE
+    # the distributed loop (driver fast-path disabled) must be bit-equal
+    dist = (
+        pagerank_fixed_point(edges, nodes, iters=3, max_driver_edges=0)
+        .toPandas().sort_values("node").reset_index(drop=True)
+    )
+    fast = pr.sort_values("node").reset_index(drop=True)
+    assert (dist.rank_micro == fast.rank_micro).all()
+    assert (dist.node == fast.node).all()
