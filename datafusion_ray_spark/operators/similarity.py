@@ -672,3 +672,36 @@ def sq8_ann_topk(
         .orderBy(F.asc("dist_u"), "vec_id")
         .limit(k)
     )
+
+
+def sq8_rerank_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_candidates: int = 50,
+    exclude_vec_id: int | None = None,
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage ANN: SQ8 code-space prefilter to ``n_candidates``, then
+    EXACT cosine rerank of only those — the retrieve-then-rerank shape
+    every production vector system uses (FAISS refine, ScaNN reordering).
+
+    At 100 TB the first stage touches only the 4×-compressed code column
+    (cacheable), and the second stage re-reads raw vectors for just
+    ``n_candidates`` rows via an id semi-join — so exact math is paid on
+    a constant-size set, not the corpus. Here both stages compose in one
+    plan: TakeOrderedAndProject over codes, broadcast id-join back, exact
+    cosine, final top-k.
+    """
+    cand = sq8_ann_topk(
+        df, query_vec, k=n_candidates, exclude_vec_id=exclude_vec_id,
+        emb_col=emb_col,
+    ).select("vec_id")
+    reranked = with_cosine(
+        df.join(F.broadcast(cand), "vec_id"), query_vec, emb_col
+    )
+    return (
+        reranked.select("vec_id", "cosine")
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(k)
+    )

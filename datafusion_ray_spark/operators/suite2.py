@@ -418,4 +418,81 @@ def extension_entries2() -> list:
         SuiteEntry("graph_pagerank", run_pagerank, pagerank_oracle(),
                    "fixed-point integer PageRank over the derived "
                    "nation trade graph (10 checkpointed iterations)"),
+        SuiteEntry("sim_ann_sq8_rerank", run_ann_sq8_rerank,
+                   sq8_rerank_oracle(),
+                   "retrieve-then-rerank: SQ8 code prefilter to 50 "
+                   "candidates, exact cosine rerank (FAISS refine shape)"),
     ]
+
+
+# ---------------------------------------------------------------------------
+# SQ8 prefilter + exact rerank (retrieve-then-rerank)
+
+RERANK_CANDIDATES = 50
+
+
+def run_ann_sq8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import similarity
+    from .suite import _query_vec
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.sq8_rerank_topk(
+        emb, _query_vec(spark, sf_dir), k=10,
+        n_candidates=RERANK_CANDIDATES, exclude_vec_id=0,
+    )
+
+
+def sq8_rerank_oracle(k: int = 10) -> str:
+    from .similarity import DIM, SQ_LEVELS
+    from .suite import _DOT_DEC, _NORM_X
+
+    return f"""
+WITH x AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               v -> CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS xus
+    FROM embeddings
+),
+u AS (
+    SELECT vec_id, CAST(t.i AS INT) AS pos, xus[CAST(t.i AS INT)] AS v
+    FROM x, range(1, {DIM + 1}) t(i)
+),
+st AS (
+    SELECT pos, MIN(v) AS mn, MAX(v) - MIN(v) AS rg FROM u GROUP BY pos
+),
+codes AS (
+    SELECT u.vec_id, u.pos,
+           CASE WHEN st.rg = 0 THEN 0
+                ELSE ((u.v - st.mn) * {SQ_LEVELS}) // st.rg END AS c
+    FROM u JOIN st USING (pos)
+),
+qc AS (SELECT pos, c AS qcode FROM codes WHERE vec_id = 0),
+cand AS (
+    SELECT codes.vec_id
+    FROM codes JOIN qc USING (pos)
+    WHERE codes.vec_id != 0
+    GROUP BY codes.vec_id
+    ORDER BY SUM((c - qcode) * (c - qcode)) ASC, vec_id
+    LIMIT {RERANK_CANDIDATES}
+),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+prod AS (
+    SELECT e.vec_id,
+           CAST(unnest(e.embedding) AS DOUBLE) AS x,
+           CAST(unnest((SELECT qe FROM q)) AS DOUBLE) AS y
+    FROM embeddings e JOIN cand USING (vec_id)
+),
+agg AS (
+    SELECT vec_id, {_DOT_DEC} AS dot, {_NORM_X} AS norm2
+    FROM prod GROUP BY vec_id
+),
+qn AS (
+    SELECT SQRT(CAST(SUM(CAST(CAST(u AS DOUBLE) * CAST(u AS DOUBLE)
+        AS DECIMAL(28,14))) AS DOUBLE)) AS qnorm
+    FROM (SELECT unnest(qe) AS u FROM q) t
+)
+SELECT vec_id, ROUND(dot / (SQRT(norm2) * (SELECT qnorm FROM qn)), 6) AS cosine
+FROM agg
+ORDER BY cosine DESC, vec_id
+LIMIT {k}
+"""

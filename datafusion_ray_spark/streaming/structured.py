@@ -717,3 +717,51 @@ def semdedup_stream(vectors: DataFrame,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def ewma_stream(events: DataFrame, alpha_num: int = 1, alpha_den: int = 4) -> DataFrame:
+    """Streaming twin of the EWMA feature: the TRUE recursive form
+    ``e' = alpha*v + (1-alpha)*e`` per user, exact in integer micro-units
+    (``e' = (num*v_us + (den-num)*e_us) DIV den``) — streaming state makes
+    the unbounded recursion feasible where the batch operator
+    (``operators/eventops.py:ewma_feature``) must bound its frame to keep
+    relational integer weights from overflowing.
+
+    Rows are folded in (ts, event_id) order within each micro-batch; the
+    recursion is order-sensitive by definition, so correctness across
+    batches assumes source-ordered arrival (true for replay/backfill; a
+    production deployment would pair this with a watermark + sort buffer).
+    Emits one update row per user per micro-batch: (user_id, n_seen,
+    ewma) — state is two integers per key, horizontally partitioned.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        n, e_us = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for v in pdf["value"]:
+                v_us = int(v * 1_000_000)
+                if n == 0:
+                    e_us = v_us
+                else:
+                    e_us = (alpha_num * v_us + (alpha_den - alpha_num) * e_us) // alpha_den
+                n += 1
+        state.update((n, e_us))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_seen": [n],
+                "ewma": [e_us / 1_000_000.0],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_seen long, ewma double",
+        stateStructType="n long, e_us long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

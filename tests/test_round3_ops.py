@@ -256,3 +256,56 @@ def test_pagerank_mass_and_bounds(spark, sf_dir):
     fast = pr.sort_values("node").reset_index(drop=True)
     assert (dist.rank_micro == fast.rank_micro).all()
     assert (dist.node == fast.node).all()
+
+
+# ---------------------------------------------------------------------------
+# streaming EWMA twin
+
+
+def test_streaming_ewma_matches_reference_recursion(spark, sf_dir, events_dir):
+    from datafusion_ray_spark.sources.tables import load_table
+    from datafusion_ray_spark.streaming import structured
+
+    stream = structured.stream_events(spark, events_dir).where(
+        "event_type = 'purchase'"
+    )
+    structured.run_to_memory(
+        structured.ewma_stream(stream), "stream_ewma", output_mode="update"
+    )
+    got = {
+        r["user_id"]: (r["n_seen"], r["ewma"])
+        for r in spark.sql("SELECT * FROM stream_ewma").collect()
+    }
+    # reference: the same integer recursion folded per user in plain Python
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .where("event_type = 'purchase'")
+        .select("user_id", "ts", "event_id", "value")
+        .orderBy("user_id", "ts", "event_id")
+        .collect()
+    )
+    ref: dict[int, tuple[int, int]] = {}
+    for r in rows:
+        n, e = ref.get(r["user_id"], (0, 0))
+        v_us = int(r["value"] * 1_000_000)
+        e = v_us if n == 0 else (1 * v_us + 3 * e) // 4
+        ref[r["user_id"]] = (n + 1, e)
+    assert set(got) == set(ref)
+    for uid, (n, e_us) in ref.items():
+        assert got[uid] == (n, e_us / 1_000_000.0)
+
+
+def test_sq8_rerank_converges_to_exact_with_wide_candidates(spark, sf_dir):
+    from datafusion_ray_spark.operators import similarity
+    from datafusion_ray_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = list(emb.where(F.col("vec_id") == 0).first()["embedding"])
+    n = emb.count()
+    wide = similarity.sq8_rerank_topk(
+        emb, qv, k=5, n_candidates=n, exclude_vec_id=0
+    ).toPandas()
+    exact = similarity.cosine_topk(emb, qv, k=5, exclude_vec_id=0).toPandas()
+    assert list(wide.vec_id) == list(exact.vec_id)
+    assert list(wide.cosine) == list(exact.cosine)
