@@ -1,0 +1,552 @@
+"""Round-3 late-batch extension entries: rolling-median window features,
+character-entropy quality signal, corpus bigram LM, Z-order layout keys,
+one-pass table profiling, and MAD outlier detection.
+
+Same contract as ``suite.py``/``suite2.py``: every entry pairs a Spark
+callable with an independently-written DuckDB oracle recomputing identical
+semantics; value paths are integer-exact (fixed-point micro-units, Morton
+codes, floor-division ppm) or rounded at 6 dp so the driver's value-hash
+comparison certifies them.
+
+Scale notes are on each operator; none of them collects rows to the
+driver, none is quadratic, and each names its shuffle structure.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+# ---------------------------------------------------------------------------
+# Rolling median (exact, trailing-N frame) — time-series feature engineering.
+#
+# Spark has no native median window function; percentile_approx over a frame
+# is approximate. This computes the EXACT trailing-10-rows median per user as
+# sorted-frame arithmetic: collect_list over the frame (bounded: <= N values
+# per row), array_sort, pick the middle element(s). To stay hash-certifiable
+# the value is kept integer: micro-units, and the median is emitted as the
+# SUM of the two middle elements (x2), avoiding the /2 float.
+#
+# Scale: one hash shuffle on user_id (window partition); frame state is
+# O(N)=10 values per row regardless of data volume — linear and skew-safe
+# (user event counts are bounded per partition by the window spec, and AQE
+# handles partition skew like any other sort-based window).
+
+FRAME_N = 10
+
+
+def rolling_median_x2(
+    df: DataFrame,
+    part_col: str = "user_id",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+    value_col: str = "value",
+    frame_rows: int = FRAME_N,
+) -> DataFrame:
+    """All input columns plus ``med_x2_us``: twice the exact median (in
+    micro-units) of the trailing ``frame_rows`` values per partition."""
+    vus = F.floor(F.col(value_col) * 1_000_000).cast("long")
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(*order_cols)
+        .rowsBetween(-(frame_rows - 1), 0)
+    )
+    sorted_frame = F.array_sort(F.collect_list(vus).over(w))
+    n = F.size(sorted_frame)
+    lo = ((n + 1) / 2).cast("int")  # 1-based: middle (odd) / lower-mid (even)
+    hi = (n / 2).cast("int") + 1  # middle (odd) / upper-mid (even)
+    return df.withColumn(
+        "med_x2_us",
+        F.element_at(sorted_frame, lo) + F.element_at(sorted_frame, hi),
+    )
+
+
+def run_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        rolling_median_x2(ev)
+        .select("event_id", "user_id", "med_x2_us")
+        .orderBy("event_id")
+    )
+
+
+ROLLING_MEDIAN_ORACLE = f"""
+WITH b AS (
+    SELECT event_id, user_id,
+           list_sort(list(CAST(floor(value * 1000000) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN {FRAME_N - 1} PRECEDING AND CURRENT ROW)) AS s
+    FROM events
+)
+SELECT event_id, user_id,
+       s[CAST((len(s) + 1) // 2 AS INT)]
+           + s[CAST(len(s) // 2 + 1 AS INT)] AS med_x2_us
+FROM b
+ORDER BY event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Character-entropy quality signal — gibberish / binary-spill detector used
+# alongside the Gopher rules: natural language sits in a band of character
+# entropy; base64 blobs and repeated-char spam fall outside it.
+#
+# Integer-exact form: each per-character term round(c * log2(n/c) * 1e6) is
+# a BIGINT, summed exactly; entropy_bits = entropy_numer_us / (n * 1e6).
+# (Same fixed-point trick as the unigram-LM scorer, text.py:341.)
+#
+# Scale: explode(one row per character) -> two map-side-combinable groupBys
+# (doc_id,ch) then (doc_id). Shuffle volume is bounded by distinct
+# (doc, char) pairs — ~alphabet-size per doc, far below the exploded size.
+
+
+def char_entropy(df: DataFrame, text_col: str = "text") -> DataFrame:
+    chars = df.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"CASE WHEN length({text_col}) = 0 THEN array() "
+                f"ELSE transform(sequence(1, length({text_col})), "
+                f"i -> substring({text_col}, i, 1)) END"
+            )
+        ).alias("ch"),
+    )
+    counts = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("c"))
+    n = F.sum("c").over(Window.partitionBy("doc_id"))
+    terms = counts.withColumn("n", n).withColumn(
+        "term_us",
+        F.round(F.col("c") * F.log2(F.col("n") / F.col("c")) * 1_000_000)
+        .cast("long"),
+    )
+    return terms.groupBy("doc_id").agg(
+        F.max("n").cast("long").alias("n_chars_total"),
+        F.count("*").cast("long").alias("n_unique_chars"),
+        F.sum("term_us").cast("long").alias("entropy_numer_us"),
+    )
+
+
+def run_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return char_entropy(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+CHAR_ENTROPY_ORACLE = """
+WITH chars AS (
+    -- scalar range() list (lateral range table functions can't take
+    -- column arguments in this DuckDB build)
+    SELECT doc_id,
+           unnest(list_transform(range(1, length(text) + 1),
+               i -> substring(text, CAST(i AS INT), 1))) AS ch
+    FROM documents
+),
+counts AS (
+    SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY doc_id, ch
+),
+terms AS (
+    SELECT doc_id, c, SUM(c) OVER (PARTITION BY doc_id) AS n
+    FROM counts
+)
+SELECT doc_id,
+       CAST(MAX(n) AS BIGINT) AS n_chars_total,
+       CAST(COUNT(*) AS BIGINT) AS n_unique_chars,
+       CAST(SUM(CAST(ROUND(c * log2(CAST(n AS DOUBLE) / c) * 1000000)
+           AS BIGINT)) AS BIGINT) AS entropy_numer_us
+FROM terms
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Corpus bigram language model — the count-based n-gram LM build (the
+# MapReduce-era classic; still how web-scale LM count tables are made).
+# Emits the top-20 bigrams with raw count and integer-ppm conditional
+# probability P(w2|w1) = c(w1 w2) * 1e6 // c(w1 *).
+#
+# Scale: tokenize (projection) -> explode bigrams -> one groupBy(w1,w2)
+# with map-side combine; the per-w1 denominator is a window sum over the
+# ALREADY-aggregated bigram table (distinct-bigram-sized, not corpus-sized).
+
+TOP_BIGRAMS = 20
+
+
+def bigram_lm(df: DataFrame, text_col: str = "text") -> DataFrame:
+    toks = f"split(trim({text_col}), '\\\\s+')"
+    pairs = df.select(
+        F.explode(
+            F.expr(
+                f"CASE WHEN size({toks}) < 2 THEN array() "
+                f"ELSE transform(sequence(0, size({toks}) - 2), "
+                f"i -> struct({toks}[i] AS w1, {toks}[i + 1] AS w2)) END"
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    counts = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+    cw1 = F.sum("c").over(Window.partitionBy("w1"))
+    return (
+        counts.withColumn("cw1", cw1.cast("long"))
+        # integer-exact floor division (a double quotient could round across
+        # an integer boundary and break the hash certification)
+        .withColumn("p_ppm", F.expr("(c * 1000000L) div cw1").cast("long"))
+        .select(
+            "w1", "w2", F.col("c").cast("long").alias("c"), "p_ppm"
+        )
+        .orderBy(F.desc("c"), "w1", "w2")
+        .limit(TOP_BIGRAMS)
+    )
+
+
+def run_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bigram_lm(_docs(spark, sf_dir))
+
+
+BIGRAM_LM_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+    FROM documents
+),
+pairs AS (
+    SELECT unnest(list_transform(range(1, len(t)),
+               i -> struct_pack(w1 := t[CAST(i AS INT)],
+                                w2 := t[CAST(i AS INT) + 1]))) AS bg
+    FROM toks
+),
+flat AS (SELECT bg.w1 AS w1, bg.w2 AS w2 FROM pairs),
+counts AS (
+    SELECT w1, w2, COUNT(*) AS c FROM flat GROUP BY w1, w2
+)
+SELECT w1, w2, CAST(c AS BIGINT) AS c,
+       CAST(c * 1000000 // SUM(c) OVER (PARTITION BY w1) AS BIGINT) AS p_ppm
+FROM counts
+ORDER BY c DESC, w1, w2
+LIMIT {TOP_BIGRAMS}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) layout clustering — the data-layout optimizer behind
+# Delta OPTIMIZE ZORDER / Iceberg sort orders: interleave the bits of two
+# filter columns so files become hyper-rectangles in (x, y) space and
+# min/max file statistics prune scans on EITHER column at 100 TB.
+#
+# This computes the 32-bit Morton code with the standard magic-number bit
+# spreading (pure integer shifts/masks — whole-stage-codegen'd, no UDF) and
+# assigns each row to the quadtree cell given by the code's top CELL_BITS
+# bits — a PURE PROJECTION, no global sort anywhere — then reports each
+# cell's (x, y) bounding box: the proof the layout prunes is that every
+# cell is a small axis-aligned tile, so file min/max statistics cut scans
+# on EITHER column. (A production writer would follow with
+# ``repartitionByRange("z")`` — Spark's sampled range sort, scalable but
+# boundary-nondeterministic, so the certified output is the deterministic
+# cell stats instead.)
+#
+# Scale: projection + one map-side-combinable groupBy on cell id. Nothing
+# here depends on total row count.
+
+CELL_BITS = 5  # 2^5 = 32 quadtree cells from the top Morton bits
+_MASKS = (
+    (8, 0x00FF00FF),
+    (4, 0x0F0F0F0F),
+    (2, 0x33333333),
+    (1, 0x55555555),
+)
+
+
+def _spread16(col: Column) -> Column:
+    """Spread the low 16 bits of ``col`` to even bit positions (Morton)."""
+    v = col.bitwiseAND(F.lit(0xFFFF).cast("long"))
+    for sh, mask in _MASKS:
+        v = (v.bitwiseOR(F.shiftleft(v, sh))).bitwiseAND(
+            F.lit(mask).cast("long")
+        )
+    return v
+
+
+def morton_code(x: Column, y: Column) -> Column:
+    """32-bit Morton interleave of two 16-bit-masked BIGINT columns."""
+    return _spread16(x).bitwiseOR(F.shiftleft(_spread16(y), 1))
+
+
+def _duck_spread(expr: str) -> str:
+    v = f"({expr} & 65535)"
+    for sh, mask in _MASKS:
+        v = f"(({v} | ({v} << {sh})) & {mask})"
+    return v
+
+
+def zorder_cell_stats(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    cell_bits: int = CELL_BITS,
+) -> DataFrame:
+    """Per-quadtree-cell bounding boxes of the Z-order layout of
+    (``x_col``, ``y_col``).
+
+    Keys are first normalized to the full 16-bit grid against the global
+    min/max (a 1-row aggregate, broadcast; integer floor arithmetic so the
+    mapping is deterministic), so the top Morton bits are meaningful
+    whatever the key magnitudes.
+    """
+    bounds = df.agg(
+        F.min(x_col).cast("long").alias("_xlo"),
+        F.max(x_col).cast("long").alias("_xhi"),
+        F.min(y_col).cast("long").alias("_ylo"),
+        F.max(y_col).cast("long").alias("_yhi"),
+    )
+    g = df.select(
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+    ).crossJoin(F.broadcast(bounds))
+    xn = F.expr("((x - _xlo) * 65535L) div greatest(_xhi - _xlo, 1L)")
+    yn = F.expr("((y - _ylo) * 65535L) div greatest(_yhi - _ylo, 1L)")
+    z = morton_code(xn, yn)
+    cells = g.withColumn(
+        "cell_id", F.shiftrightunsigned(z, 32 - cell_bits).cast("long")
+    )
+    return (
+        cells.groupBy("cell_id")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.min("x").cast("long").alias("min_x"),
+            F.max("x").cast("long").alias("max_x"),
+            F.min("y").cast("long").alias("min_y"),
+            F.max("y").cast("long").alias("max_y"),
+        )
+        .orderBy("cell_id")
+    )
+
+
+def run_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return zorder_cell_stats(li, "l_partkey", "l_suppkey")
+
+
+ZORDER_ORACLE = f"""
+WITH b AS (
+    SELECT MIN(l_partkey) AS xlo, MAX(l_partkey) AS xhi,
+           MIN(l_suppkey) AS ylo, MAX(l_suppkey) AS yhi
+    FROM lineitem
+),
+norm AS (
+    SELECT l_partkey AS x, l_suppkey AS y,
+           ((l_partkey - xlo) * 65535) // GREATEST(xhi - xlo, 1) AS xn,
+           ((l_suppkey - ylo) * 65535) // GREATEST(yhi - ylo, 1) AS yn
+    FROM lineitem, b
+),
+coded AS (
+    SELECT x, y,
+           (({_duck_spread('xn')} | ({_duck_spread('yn')} << 1))
+               >> (32 - {CELL_BITS})) AS cell_id
+    FROM norm
+)
+SELECT cell_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(x) AS BIGINT) AS min_x, CAST(MAX(x) AS BIGINT) AS max_x,
+       CAST(MIN(y) AS BIGINT) AS min_y, CAST(MAX(y) AS BIGINT) AS max_y
+FROM coded
+GROUP BY cell_id
+ORDER BY cell_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# One-pass table profiler — the data-quality summary every ingest pipeline
+# runs first (null rates, cardinalities, ranges per column).
+#
+# All 11 lineitem columns are profiled in a SINGLE scan: one wide aggregate
+# row (count-distincts expand via Spark's Expand operator, still one pass
+# over the data), then stack() unpivots it to one row per column. At 100 TB
+# swap count(distinct) for approx_count_distinct — same single-scan plan
+# with no Expand; exact is kept here because the oracle certifies values.
+
+_NUM_COLS = (
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+    "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+)
+_STR_COLS = ("l_returnflag", "l_linestatus")
+_PROFILE_COLS = _NUM_COLS + _STR_COLS + ("l_shipdate",)
+
+
+def profile_table(df: DataFrame) -> DataFrame:
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"{c}__nn"))
+        aggs.append(F.countDistinct(c).alias(f"{c}__nd"))
+        if c in _NUM_COLS:
+            mn = F.round(F.min(c).cast("double"), 6)
+            mx = F.round(F.max(c).cast("double"), 6)
+        elif c == "l_shipdate":
+            mn = F.datediff(F.min(c).cast("date"), F.lit("1970-01-01")).cast(
+                "double"
+            )
+            mx = F.datediff(F.max(c).cast("date"), F.lit("1970-01-01")).cast(
+                "double"
+            )
+        else:
+            mn = F.lit(None).cast("double")
+            mx = F.lit(None).cast("double")
+        aggs.append(mn.alias(f"{c}__mn"))
+        aggs.append(mx.alias(f"{c}__mx"))
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nn, {c}__nd, {c}__mn, {c}__mx" for c in _PROFILE_COLS
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args}) "
+            "AS (col_name, n_null, n_distinct, min_d, max_d)"
+        )
+    ).select(
+        "col_name",
+        F.col("n_null").cast("long").alias("n_null"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        "min_d",
+        "max_d",
+    ).orderBy("col_name")
+
+
+def run_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return profile_table(load_table(spark, sf_dir, "lineitem"))
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c in _PROFILE_COLS:
+        if c in _NUM_COLS:
+            mn = f"ROUND(CAST(MIN({c}) AS DOUBLE), 6)"
+            mx = f"ROUND(CAST(MAX({c}) AS DOUBLE), 6)"
+        elif c == "l_shipdate":
+            mn = (
+                "CAST(date_diff('day', DATE '1970-01-01', "
+                f"CAST(MIN({c}) AS DATE)) AS DOUBLE)"
+            )
+            mx = (
+                "CAST(date_diff('day', DATE '1970-01-01', "
+                f"CAST(MAX({c}) AS DATE)) AS DOUBLE)"
+            )
+        else:
+            mn = "CAST(NULL AS DOUBLE)"
+            mx = "CAST(NULL AS DOUBLE)"
+        parts.append(
+            f"SELECT '{c}' AS col_name, "
+            f"CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null, "
+            f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct, "
+            f"{mn} AS min_d, {mx} AS max_d FROM lineitem"
+        )
+    return " UNION ALL ".join(parts) + " ORDER BY col_name"
+
+
+PROFILE_ORACLE = _profile_oracle()
+
+
+# ---------------------------------------------------------------------------
+# MAD outlier report — robust (median/MAD) anomaly detection per event
+# type: the z-score's breakdown-resistant cousin, standard for metric
+# streams where the mean itself is polluted by the outliers.
+#
+# Two grouped exact-percentile passes (median, then MAD of deviations) plus
+# broadcast joins of the per-type bounds back onto events — the small side
+# is |event_type| rows, so both joins broadcast; events are scanned twice
+# (the second pass needs the medians), each scan a map-side-combinable agg.
+
+MAD_K = 3.0
+
+
+def mad_outliers(df: DataFrame, by: str = "event_type", value_col: str = "value") -> DataFrame:
+    med = df.groupBy(by).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("_med"),
+        F.count("*").cast("long").alias("n"),
+    )
+    devs = df.join(F.broadcast(med), by).withColumn(
+        "_dev", F.abs(F.col(value_col) - F.col("_med"))
+    )
+    mad = devs.groupBy(by, "_med", "n").agg(
+        F.expr("percentile(_dev, 0.5)").alias("_mad")
+    )
+    out = devs.drop("_mad", "n", "_med").join(
+        F.broadcast(mad), by
+    )
+    return (
+        out.groupBy(by, "_med", "_mad", "n")
+        .agg(
+            F.count(F.when(F.col("_dev") > MAD_K * F.col("_mad"), 1))
+            .cast("long")
+            .alias("n_outliers")
+        )
+        .select(
+            by,
+            F.col("n"),
+            F.round("_med", 6).alias("median_v"),
+            F.round("_mad", 6).alias("mad_v"),
+            "n_outliers",
+        )
+        .orderBy(by)
+    )
+
+
+def run_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mad_outliers(_events(spark, sf_dir))
+
+
+MAD_ORACLE = f"""
+WITH med AS (
+    SELECT event_type, quantile_cont(value, 0.5) AS m,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+),
+devs AS (
+    SELECT e.event_type, ABS(e.value - med.m) AS dev, med.m, med.n
+    FROM events e JOIN med USING (event_type)
+),
+mad AS (
+    SELECT event_type, m, n, quantile_cont(dev, 0.5) AS md
+    FROM devs GROUP BY event_type, m, n
+)
+SELECT d.event_type, mad.n,
+       ROUND(mad.m, 6) AS median_v,
+       ROUND(mad.md, 6) AS mad_v,
+       CAST(SUM(CASE WHEN d.dev > {MAD_K} * mad.md THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_outliers
+FROM devs d JOIN mad USING (event_type)
+GROUP BY d.event_type, mad.n, mad.m, mad.md
+ORDER BY d.event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+
+
+def extension_entries3() -> list:
+    """Entries appended after :func:`suite2.extension_entries2`."""
+    from ..queries.registry import SuiteEntry
+
+    return [
+        SuiteEntry("win_rolling_median", run_rolling_median,
+                   ROLLING_MEDIAN_ORACLE,
+                   "exact trailing-10 rolling median per user "
+                   "(sorted-frame arithmetic, integer micro-units)"),
+        SuiteEntry("text_entropy", run_char_entropy, CHAR_ENTROPY_ORACLE,
+                   "character-entropy quality signal (integer fixed-point "
+                   "terms, gibberish/base64 detector)"),
+        SuiteEntry("text_bigram_lm", run_bigram_lm, BIGRAM_LM_ORACLE,
+                   "corpus bigram LM counts + integer-ppm conditional "
+                   "probabilities (top-20)"),
+        SuiteEntry("layout_zorder", run_zorder_layout, ZORDER_ORACLE,
+                   "Z-order (Morton) layout clustering with per-file "
+                   "bounding-box stats (Delta OPTIMIZE ZORDER shape)"),
+        SuiteEntry("profile_table", run_profile_table, PROFILE_ORACLE,
+                   "one-pass per-column table profile: null count, "
+                   "distinct count, min/max"),
+        SuiteEntry("ev_mad_outliers", run_mad_outliers, MAD_ORACLE,
+                   "median/MAD robust outlier report per event type "
+                   "(broadcast bounds joins)"),
+    ]
