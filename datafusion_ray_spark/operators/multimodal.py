@@ -360,3 +360,107 @@ def frame_sample(
             yield pd.DataFrame(out)
 
     return binary_df.mapInPandas(gen, FRAME_SCHEMA)
+
+
+# -- Perceptual hash (aHash) ------------------------------------------------
+
+PHASH_SAMPLES = 64  # 8x8 "pixel" grid
+PHASH_BANDS = 8  # 8 bands x 8 bits: hamming <= 7 is losslessly blocked
+
+
+def phash_bands(binary_df: DataFrame) -> DataFrame:
+    """64-bit average-hash (aHash) per payload, emitted as PHASH_BANDS
+    8-bit band values ``b0..b7`` — the banded form the LSH-style
+    near-duplicate join consumes directly (same pigeonhole argument as the
+    simhash band blocking: two hashes within hamming distance
+    PHASH_BANDS-1 share at least one identical band).
+
+    aHash over the codec's nearest-neighbor resize to an 8x8 grid: sample
+    j is payload byte ``(j * len) // 64``; bit j is 1 iff
+    ``sample_j * 64 > sum(samples)`` (integer compare — no float mean, so
+    the oracle is exactly reproducible). Vectorized like the decode
+    kernel: one concatenated uint8 buffer per Arrow batch, one gather, one
+    matrix compare — no per-row Python beyond the payload join.
+
+    Scale: pure projection (mapInPandas, partition-preserving); the join
+    that consumes the bands is candidate-only. At 100 TB this is the image
+    near-dup layout: hash once, band-join within buckets, verify exact
+    hamming on candidates only.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        j = np.arange(PHASH_SAMPLES, dtype=np.int64)
+        weights = (1 << np.arange(7, -1, -1, dtype=np.int64))[None, :]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            payloads = list(pdf["payload"])
+            lens = np.fromiter(
+                (len(b) for b in payloads), dtype=np.int64, count=len(payloads)
+            )
+            buf = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+            offsets = np.concatenate(([0], np.cumsum(lens)))[:-1]
+            # gather indices: (j * len) // 64 per row; empty payloads -> 0s
+            safe_lens = np.maximum(lens, 1)
+            idx = offsets[:, None] + (j[None, :] * safe_lens[:, None]) // PHASH_SAMPLES
+            samples = np.where(
+                lens[:, None] > 0, buf[np.minimum(idx, len(buf) - 1)] if len(buf) else 0, 0
+            ).astype(np.int64)
+            totals = samples.sum(axis=1)
+            bits = (samples * PHASH_SAMPLES) > totals[:, None]
+            out = {"doc_id": pdf["doc_id"].to_numpy()}
+            for k in range(PHASH_BANDS):
+                band = bits[:, k * 8 : (k + 1) * 8].astype(np.int64)
+                out[f"b{k}"] = (band * weights).sum(axis=1).astype(np.int32)
+            yield pd.DataFrame(out)
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType())]
+        + [T.StructField(f"b{k}", T.IntegerType()) for k in range(PHASH_BANDS)]
+    )
+    return binary_df.select("doc_id", "payload").mapInPandas(gen, schema)
+
+
+def phash_near_dup_pairs(binary_df: DataFrame, max_hamming: int = 7) -> DataFrame:
+    """Multimodal near-duplicate pairs: banded candidate generation over the
+    aHash, exact 64-bit hamming verify on candidates only.
+
+    Lossless for ``max_hamming <= PHASH_BANDS - 1`` (pigeonhole: fewer
+    differing bits than bands forces one identical band). Shuffle volume is
+    PHASH_BANDS rows per doc for the candidate join, plus two hash-table
+    joins to re-attach the full band vectors — all linear in corpus size.
+    """
+    from pyspark.sql import functions as F
+
+    hashes = phash_bands(binary_df).localCheckpoint(eager=False)
+    bands = hashes.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(k).alias("k"), F.col(f"b{k}").alias("v"))
+                for k in range(PHASH_BANDS)
+            ])
+        ).alias("band"),
+    ).select("doc_id", "band.k", "band.v")
+    cand = (
+        bands.alias("l")
+        .join(bands.alias("r"), ["k", "v"])
+        .where(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(
+            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    ham = sum(
+        F.bit_count(
+            F.col(f"ha.b{k}").bitwiseXOR(F.col(f"hb.b{k}")).cast("long")
+        )
+        for k in range(PHASH_BANDS)
+    )
+    return (
+        cand.join(hashes.alias("ha"), F.col("doc_a") == F.col("ha.doc_id"))
+        .join(hashes.alias("hb"), F.col("doc_b") == F.col("hb.doc_id"))
+        .withColumn("hamming", ham.cast("long"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

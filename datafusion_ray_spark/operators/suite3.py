@@ -550,3 +550,243 @@ def extension_entries3() -> list:
                    "median/MAD robust outlier report per event type "
                    "(broadcast bounds joins)"),
     ]
+
+
+# ---------------------------------------------------------------------------
+# Multimodal perceptual-hash near-dup — image-style dedup over the binary
+# payload column: aHash (64-bit average hash over the codec's 8x8 resize)
+# + banded candidate join + exact hamming verify. The multimodal twin of
+# dedup_simhash: candidates only, never all-pairs; the oracle IS all-pairs,
+# which is exactly what certifies the banding lossless at max_hamming <=
+# PHASH_BANDS - 1.
+
+
+def run_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import multimodal as mm
+
+    payload = mm.with_binary_payload(_docs(spark, sf_dir))
+    return mm.phash_near_dup_pairs(payload).orderBy("doc_a", "doc_b")
+
+
+def phash_oracle(max_hamming: int = 7) -> str:
+    # byte i (0-based) of encode(text) = hex chars 2i+1, 2i+2 (1-based)
+    byte_at = (
+        "(strpos('0123456789ABCDEF', substring(hx, 2*CAST((j*n)//64 AS INT)+1, 1))-1)*16"
+        " + strpos('0123456789ABCDEF', substring(hx, 2*CAST((j*n)//64 AS INT)+2, 1))-1"
+    )
+    return f"""
+WITH b AS (
+    SELECT doc_id, octet_length(encode(text)) AS n, hex(encode(text)) AS hx
+    FROM documents
+),
+samp AS (
+    SELECT doc_id,
+           list_transform(range(0, 64),
+               j -> CASE WHEN n = 0 THEN 0 ELSE {byte_at} END) AS s
+    FROM b
+),
+tot AS (SELECT doc_id, s, list_sum(s) AS t FROM samp),
+bands AS (
+    SELECT doc_id,
+           list_transform(range(0, 8), k ->
+               list_sum(list_transform(range(0, 8), m ->
+                   CASE WHEN s[CAST(k*8 + m AS INT) + 1] * 64 > t
+                        THEN 1 << (7 - CAST(m AS INT)) ELSE 0 END))) AS bv
+    FROM tot
+),
+pairs AS (
+    SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+           list_sum(list_transform(range(0, 8),
+               k -> bit_count(xor(a.bv[CAST(k AS INT) + 1],
+                                  c.bv[CAST(k AS INT) + 1])))) AS hamming
+    FROM bands a JOIN bands c ON a.doc_id < c.doc_id
+)
+SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
+FROM pairs
+WHERE hamming <= {max_hamming}
+ORDER BY doc_a, doc_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# Quality-aware dedup apply — same pairs -> transitive groups pipeline as
+# dedup_apply, but each duplicate cluster keeps its HIGHEST-QUALITY member
+# (longest text, doc_id tiebreak) instead of the min-label one: what a
+# production corpus dedup actually ships (drop the truncated mirror, keep
+# the full article). Representative choice is one window rank over the
+# group-label table (group-sized, not corpus-sized).
+
+
+def run_dedup_apply_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import dedup
+
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_dedup_pairs(docs).where("is_near_dup")
+    groups = dedup.duplicate_groups(pairs)
+    ranked = groups.join(docs.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("group_id").orderBy(F.desc("n_chars"), "doc_id")
+    dropped = (
+        ranked.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") > 1)
+        .select("doc_id")
+    )
+    return (
+        docs.join(dropped, "doc_id", "left_anti")
+        .select(
+            "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
+        )
+        .orderBy("doc_id")
+    )
+
+
+def dedup_apply_quality_oracle() -> str:
+    from .suite import minhash_pairs_oracle
+
+    return f"""
+WITH RECURSIVE mp AS (
+{minhash_pairs_oracle()}
+),
+edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM mp WHERE is_near_dup
+    UNION ALL
+    SELECT doc_b, doc_a FROM mp WHERE is_near_dup
+),
+nodes AS (SELECT DISTINCT a AS id FROM edges),
+reach(id, r) AS (
+    SELECT id, id FROM nodes
+    UNION
+    SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id
+),
+labels AS (SELECT id AS doc_id, MIN(r) AS group_id FROM reach GROUP BY id),
+ranked AS (
+    SELECT l.doc_id,
+           ROW_NUMBER() OVER (PARTITION BY l.group_id
+                              ORDER BY d.n_chars DESC, l.doc_id) AS rn
+    FROM labels l JOIN documents d USING (doc_id)
+),
+dropped AS (SELECT doc_id FROM ranked WHERE rn > 1)
+SELECT d.doc_id, d.source, CAST(d.n_chars AS BIGINT) AS n_chars
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
+ORDER BY d.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-source document cap — the URL/domain-level volume cap every
+# web-corpus pipeline applies (no domain may dominate the mix): keep the
+# top CAP_K docs per source by (n_chars DESC, doc_id). One window rank per
+# source partition — a single hash shuffle on source; skewed domains are
+# exactly the rows the cap discards, so the post-filter partitions are
+# bounded by CAP_K x |sources|.
+
+CAP_K = 10
+
+
+def run_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), "doc_id")
+    return (
+        docs.withColumn("rank_in_source", F.row_number().over(w))
+        .where(F.col("rank_in_source") <= CAP_K)
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.col("rank_in_source").cast("int").alias("rank_in_source"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SOURCE_CAP_ORACLE = f"""
+WITH ranked AS (
+    SELECT doc_id, source, n_chars,
+           ROW_NUMBER() OVER (PARTITION BY source
+                              ORDER BY n_chars DESC, doc_id) AS rn
+    FROM documents
+)
+SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(rn AS INT) AS rank_in_source
+FROM ranked
+WHERE rn <= {CAP_K}
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Value-band join — the scalar epsilon-join (|l.value - r.value| <= eps):
+# the third member of the banded-join family (as-of = time order, range =
+# time window, band = numeric proximity). Same Spark-first bucketization
+# as rangejoin.py: a raw |Δ| predicate plans as a nested-loop join; bucket
+# width eps turns it into a hash equi-join (right side exploded into its
+# 3 adjacent buckets), with the exact band predicate as a residual filter.
+# EPS is a power-of-two fraction so value/EPS is exact double scaling and
+# the bucket id is engine-deterministic.
+
+BAND_EPS = 0.5
+
+
+def run_value_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    err = ev.where(F.col("event_type") == "error").select("event_id", "value")
+    clk = ev.where(F.col("event_type") == "click").select(
+        F.col("value").alias("_rv")
+    )
+    l = err.withColumn("_b", F.floor(F.col("value") / BAND_EPS))
+    r = (
+        clk.withColumn("_b0", F.floor(F.col("_rv") / BAND_EPS))
+        .withColumn(
+            "_b",
+            F.explode(
+                F.array(
+                    F.col("_b0") - 1, F.col("_b0"), F.col("_b0") + 1
+                )
+            ),
+        )
+        .drop("_b0")
+    )
+    joined = l.join(
+        r,
+        (l["_b"] == r["_b"])
+        & (F.abs(l["value"] - r["_rv"]) <= BAND_EPS),
+        "left",
+    )
+    return (
+        joined.groupBy(l["event_id"])
+        .agg(F.count(r["_rv"]).cast("long").alias("n_close"))
+        .orderBy("event_id")
+    )
+
+
+VALUE_BAND_ORACLE = f"""
+SELECT e.event_id, CAST(COUNT(c.value) AS BIGINT) AS n_close
+FROM events e
+LEFT JOIN events c
+    ON c.event_type = 'click' AND ABS(e.value - c.value) <= {BAND_EPS}
+WHERE e.event_type = 'error'
+GROUP BY e.event_id
+ORDER BY e.event_id
+"""
+
+
+def extension_entries3b() -> list:
+    from ..queries.registry import SuiteEntry
+
+    return [
+        SuiteEntry("mm_phash_dedup", run_phash_dedup, phash_oracle(),
+                   "multimodal perceptual-hash (aHash) near-dup pairs: "
+                   "banded candidates + exact hamming verify; all-pairs "
+                   "oracle certifies the banding lossless"),
+        SuiteEntry("dedup_apply_quality", run_dedup_apply_quality,
+                   dedup_apply_quality_oracle(),
+                   "dedup apply keeping each cluster's highest-quality "
+                   "member (longest text), recursive-CTE certified"),
+        SuiteEntry("source_cap", run_source_cap, SOURCE_CAP_ORACLE,
+                   "per-source volume cap (top-K docs per domain by "
+                   "length) — web-corpus domain balancing"),
+        SuiteEntry("join_value_band", run_value_band_join,
+                   VALUE_BAND_ORACLE,
+                   "numeric epsilon band join via bucketized equi-join "
+                   "(|dv|<=eps residual), linear shuffle"),
+    ]

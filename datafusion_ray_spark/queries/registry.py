@@ -62,7 +62,8 @@ _PRIORITY_AFTER_TPCH = [
     # nearest with tolerance, interval×interval overlap)
     "join_asof", "join_range", "join_asof_nearest", "join_interval",
     # Event windows / derivations
-    "ev_session_window", "ev_scd2", "ev_ewma", "ev_winsorize", "ev_funnel",
+    # (ev_winsorize displaced to the local artifact by layout_zorder)
+    "ev_session_window", "ev_scd2", "ev_ewma", "ev_funnel",
     # Text analysis / quality / search
     "text_token_stats", "text_lang_id", "text_bm25",
     # Sketches
@@ -71,6 +72,8 @@ _PRIORITY_AFTER_TPCH = [
     "mm_decode_features",
     # LLM-pipeline data management + graph
     "seq_pack", "contamination_ngram", "dsir_weights", "graph_pagerank",
+    # Data layout (fills the 50th driver-certified slot)
+    "layout_zorder",
 ]
 
 
