@@ -2024,6 +2024,15 @@ def extension_entries():
 
 def _round3_entries():
     from .suite2 import extension_entries2
-    from .suite3 import extension_entries3, extension_entries3b
+    from .suite3 import (
+        extension_entries3,
+        extension_entries3b,
+        extension_entries3c,
+    )
 
-    return extension_entries2() + extension_entries3() + extension_entries3b()
+    return (
+        extension_entries2()
+        + extension_entries3()
+        + extension_entries3b()
+        + extension_entries3c()
+    )

@@ -790,3 +790,143 @@ def extension_entries3b() -> list:
                    "numeric epsilon band join via bucketized equi-join "
                    "(|dv|<=eps residual), linear shuffle"),
     ]
+
+
+# ---------------------------------------------------------------------------
+# Exact triangle census — the third classic graph kernel (after the
+# connected components inside dedup_groups and PageRank): triangle and
+# wedge counts give the global clustering coefficient, the standard
+# structure metric for entity/link graphs.
+#
+# Spark-first: node-ordered orientation (every undirected edge stored once
+# as a<b), wedges enumerated by joining the ordered edge list with itself
+# on the apex, triangles closed with a third join — the MapReduce
+# triangle-counting shape (Suri & Vassilvitskii 2011). At scale the
+# orientation would be by (degree, id) so high-degree hubs never fan out
+# quadratically; on the 25-node trade graph plain name order suffices and
+# keeps the oracle simple. The expensive part (edge extraction from the
+# fact tables) is the same broadcast-dim aggregation PageRank uses.
+
+
+def run_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .graph import trade_edges
+
+    t = {n: load_table(spark, sf_dir, n)
+         for n in ("lineitem", "orders", "customer", "supplier", "nation")}
+    de = trade_edges(t["lineitem"], t["orders"], t["customer"],
+                     t["supplier"], t["nation"])
+    und = (
+        de.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    counts = deg.agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        F.expr("CAST(sum((d * (d - 1)) div 2) AS BIGINT)").alias("n_wedges"),
+    )
+    e1 = und.select(F.col("a").alias("x"), F.col("b").alias("y1"))
+    e2 = und.select(F.col("a").alias("x"), F.col("b").alias("y2"))
+    wedges = e1.join(e2, "x").where(F.col("y1") < F.col("y2"))
+    tri = wedges.join(
+        und, (F.col("y1") == F.col("a")) & (F.col("y2") == F.col("b"))
+    ).agg(F.count("*").cast("long").alias("n_triangles"))
+    edges_n = und.agg(F.count("*").cast("long").alias("n_edges"))
+    return counts.crossJoin(edges_n).crossJoin(tri).select(
+        "n_nodes", "n_edges", "n_wedges", "n_triangles"
+    )
+
+
+TRIANGLES_ORACLE = """
+WITH e0 AS (
+    SELECT n1.n_name AS src, n2.n_name AS dst
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    GROUP BY n1.n_name, n2.n_name
+),
+und AS (
+    SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+    FROM e0 WHERE src <> dst
+),
+deg AS (
+    SELECT node, COUNT(*) AS d FROM (
+        SELECT a AS node FROM und UNION ALL SELECT b FROM und
+    ) GROUP BY node
+),
+tri AS (
+    SELECT COUNT(*) AS n FROM und e1
+    JOIN und e2 ON e1.a = e2.a AND e1.b < e2.b
+    JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b
+)
+SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+       CAST((SELECT COUNT(*) FROM und) AS BIGINT) AS n_edges,
+       CAST((SELECT SUM((d * (d - 1)) // 2) FROM deg) AS BIGINT) AS n_wedges,
+       CAST((SELECT n FROM tri) AS BIGINT) AS n_triangles
+"""
+
+
+# ---------------------------------------------------------------------------
+# Retention cohort matrix — the product-analytics staple: users grouped by
+# first-seen week, activity counted per week offset. One distinct
+# (user, week) projection, a per-user min (map-side combinable), and one
+# final grid-sized aggregate — three linear shuffles, no windows over the
+# raw event stream.
+
+
+def run_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    wk = F.date_trunc("week", F.col("ts")).cast("date")
+    user_weeks = ev.select("user_id", wk.alias("wk")).distinct()
+    cohort = user_weeks.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    return (
+        user_weeks.join(cohort, "user_id")
+        .select(
+            "cohort_week",
+            (F.datediff("wk", "cohort_week") / 7).cast("int").alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").cast("long").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+RETENTION_ORACLE = """
+WITH uw AS (
+    SELECT DISTINCT user_id,
+           CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS wk
+    FROM events
+),
+cohort AS (SELECT user_id, MIN(wk) AS cohort_week FROM uw GROUP BY user_id)
+SELECT c.cohort_week,
+       CAST(date_diff('day', c.cohort_week, uw.wk) // 7 AS INT) AS week_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM uw JOIN cohort c USING (user_id)
+GROUP BY c.cohort_week, week_offset
+ORDER BY c.cohort_week, week_offset
+"""
+
+
+def extension_entries3c() -> list:
+    from ..queries.registry import SuiteEntry
+
+    return [
+        SuiteEntry("graph_triangles", run_triangles, TRIANGLES_ORACLE,
+                   "exact triangle/wedge census over the trade graph "
+                   "(node-ordered orientation, MR triangle-count shape)"),
+        SuiteEntry("ev_retention_cohorts", run_retention_cohorts,
+                   RETENTION_ORACLE,
+                   "weekly retention cohort matrix (first-seen week x "
+                   "offset), three linear shuffles"),
+    ]
