@@ -765,3 +765,52 @@ def ewma_stream(events: DataFrame, alpha_num: int = 1, alpha_den: int = 4) -> Da
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def rolling_median_stream(events: DataFrame, frame_rows: int = 10) -> DataFrame:
+    """Streaming twin of ``suite3.rolling_median_x2``: exact trailing-frame
+    median per user, emitted per event in integer micro-units (same
+    ``med_x2_us`` = sum-of-middle-two encoding, so batch and stream are
+    bit-comparable).
+
+    State is the frame itself — at most ``frame_rows`` int64 values per
+    key, horizontally partitioned; each micro-batch folds rows in
+    (ts, event_id) order. Like the EWMA twin, cross-batch correctness
+    assumes source-ordered arrival (replay/backfill true; production pairs
+    this with a watermark + sort buffer).
+    """
+    import math
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        buf = list(state.get[0]) if state.exists else []
+        out_ids: list[int] = []
+        out_med: list[int] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for eid, v in zip(pdf["event_id"], pdf["value"]):
+                buf.append(math.floor(v * 1_000_000))
+                buf = buf[-frame_rows:]
+                s = sorted(buf)
+                n = len(s)
+                out_ids.append(int(eid))
+                out_med.append(s[(n + 1) // 2 - 1] + s[n // 2])
+        state.update((buf,))
+        yield pd.DataFrame(
+            {
+                "event_id": out_ids,
+                "user_id": [key[0]] * len(out_ids),
+                "med_x2_us": out_med,
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="event_id long, user_id long, med_x2_us long",
+        stateStructType="buf array<long>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -309,3 +309,32 @@ def test_sq8_rerank_converges_to_exact_with_wide_candidates(spark, sf_dir):
     exact = similarity.cosine_topk(emb, qv, k=5, exclude_vec_id=0).toPandas()
     assert list(wide.vec_id) == list(exact.vec_id)
     assert list(wide.cosine) == list(exact.cosine)
+
+
+# ---------------------------------------------------------------------------
+# streaming rolling-median twin
+
+
+def test_streaming_rolling_median_matches_batch(spark, sf_dir, events_dir):
+    from datafusion_ray_spark.operators.suite3 import rolling_median_x2
+    from datafusion_ray_spark.sources.tables import load_table
+    from datafusion_ray_spark.streaming import structured
+
+    stream = structured.stream_events(spark, events_dir).where(
+        "event_type = 'purchase'"
+    )
+    structured.run_to_memory(
+        structured.rolling_median_stream(stream), "stream_roll_med",
+        output_mode="append",
+    )
+    got = {
+        r["event_id"]: r["med_x2_us"]
+        for r in spark.sql("SELECT * FROM stream_roll_med").collect()
+    }
+    batch = {
+        r["event_id"]: r["med_x2_us"]
+        for r in rolling_median_x2(
+            load_table(spark, sf_dir, "events").where("event_type = 'purchase'")
+        ).select("event_id", "med_x2_us").collect()
+    }
+    assert got == batch
