@@ -2028,6 +2028,7 @@ def _round3_entries():
         extension_entries3,
         extension_entries3b,
         extension_entries3c,
+        extension_entries3d,
     )
 
     return (
@@ -2035,4 +2036,5 @@ def _round3_entries():
         + extension_entries3()
         + extension_entries3b()
         + extension_entries3c()
+        + extension_entries3d()
     )

@@ -930,3 +930,150 @@ def extension_entries3c() -> list:
                    "weekly retention cohort matrix (first-seen week x "
                    "offset), three linear shuffles"),
     ]
+
+
+# ---------------------------------------------------------------------------
+# Upsert merge (the MERGE INTO kernel) — the lakehouse CDC apply: a change
+# batch merged onto a snapshot with update/insert/delete semantics. Spark
+# has no writable-table MERGE without a lakehouse format, but the MERGE
+# *kernel* is exactly one latest-row window per side plus one full outer
+# join on the key — which is what Delta/Iceberg execute underneath.
+#
+# Here the events table is split at its integer-micros time midpoint:
+# rows <= cut form the base snapshot (latest row per user), rows > cut the
+# change batch; a change whose latest event_type is 'error' deletes the
+# user. Scale: two window passes (one shuffle each, map-side combinable
+# after AQE) + one key-partitioned outer join — all linear.
+
+
+def run_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import epoch_us
+
+    ev = _events(spark, sf_dir)
+    ev = ev.withColumn("_eus", epoch_us(ev, "ts"))
+    bounds = ev.agg(
+        F.min("_eus").alias("_lo"), F.max("_eus").alias("_hi")
+    )
+    ev = ev.crossJoin(F.broadcast(bounds)).withColumn(
+        "_cut", F.expr("(_lo + _hi) div 2")
+    )
+
+    def latest(df: DataFrame, prefix: str) -> DataFrame:
+        w = Window.partitionBy("user_id").orderBy(
+            F.desc("_eus"), F.desc("event_id")
+        )
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select(
+                "user_id",
+                F.col("value").alias(f"{prefix}_value"),
+                F.col("event_type").alias(f"{prefix}_type"),
+            )
+        )
+
+    base = latest(ev.where(F.col("_eus") <= F.col("_cut")), "base")
+    chg = latest(ev.where(F.col("_eus") > F.col("_cut")), "chg")
+    merged = base.join(chg, "user_id", "full_outer")
+    return (
+        merged.where(
+            F.col("chg_type").isNull() | (F.col("chg_type") != "error")
+        )
+        .select(
+            "user_id",
+            F.round(F.coalesce("chg_value", "base_value"), 6).alias("value"),
+            F.when(F.col("chg_type").isNull(), "kept")
+            .when(F.col("base_value").isNull(), "inserted")
+            .otherwise("updated")
+            .alias("op"),
+        )
+        .orderBy("user_id")
+    )
+
+
+UPSERT_MERGE_ORACLE = """
+WITH e AS (
+    SELECT user_id, event_id, event_type, value,
+           epoch_us(CAST(ts AS TIMESTAMP)) AS eus
+    FROM events
+),
+b AS (SELECT (MIN(eus) + MAX(eus)) // 2 AS cut FROM e),
+base AS (
+    SELECT user_id, value AS base_value, event_type AS base_type
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY eus DESC, event_id DESC) AS rn
+        FROM e WHERE eus <= (SELECT cut FROM b)
+    ) WHERE rn = 1
+),
+chg AS (
+    SELECT user_id, value AS chg_value, event_type AS chg_type
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY eus DESC, event_id DESC) AS rn
+        FROM e WHERE eus > (SELECT cut FROM b)
+    ) WHERE rn = 1
+)
+SELECT COALESCE(base.user_id, chg.user_id) AS user_id,
+       ROUND(COALESCE(chg_value, base_value), 6) AS value,
+       CASE WHEN chg_type IS NULL THEN 'kept'
+            WHEN base_value IS NULL THEN 'inserted'
+            ELSE 'updated' END AS op
+FROM base FULL OUTER JOIN chg USING (user_id)
+WHERE chg_type IS NULL OR chg_type <> 'error'
+ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity profile — the data-quality check every warehouse
+# load runs: orphan counts per declared foreign key. Each FK is one
+# aggregate + one left-anti join (broadcast when the parent key set is
+# dim-sized, shuffle otherwise — Catalyst chooses); results union into a
+# single profile table.
+
+_FK_EDGES = (
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+
+def run_fk_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for fk_name, child, ck, parent, pk in _FK_EDGES:
+        c = load_table(spark, sf_dir, child)
+        p = load_table(spark, sf_dir, parent).select(F.col(pk).alias("_pk"))
+        orphans = c.join(p, F.col(ck) == F.col("_pk"), "left_anti")
+        row = c.agg(F.count("*").cast("long").alias("n_rows")).crossJoin(
+            orphans.agg(F.count("*").cast("long").alias("n_orphans"))
+        ).select(F.lit(fk_name).alias("fk"), "n_rows", "n_orphans")
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("fk")
+
+
+FK_PROFILE_ORACLE = " UNION ALL ".join(
+    f"""SELECT '{fk}' AS fk,
+       CAST((SELECT COUNT(*) FROM {child}) AS BIGINT) AS n_rows,
+       CAST((SELECT COUNT(*) FROM {child} c
+             WHERE NOT EXISTS (SELECT 1 FROM {parent} p
+                               WHERE p.{pk} = c.{ck})) AS BIGINT) AS n_orphans"""
+    for fk, child, ck, parent, pk in _FK_EDGES
+) + " ORDER BY fk"
+
+
+def extension_entries3d() -> list:
+    from ..queries.registry import SuiteEntry
+
+    return [
+        SuiteEntry("ev_upsert_merge", run_upsert_merge, UPSERT_MERGE_ORACLE,
+                   "MERGE INTO kernel: latest-row snapshots + full outer "
+                   "join with update/insert/delete semantics (CDC apply)"),
+        SuiteEntry("profile_fk", run_fk_profile, FK_PROFILE_ORACLE,
+                   "referential-integrity profile: orphan counts per "
+                   "declared FK (anti-join per edge)"),
+    ]
