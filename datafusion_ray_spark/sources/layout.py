@@ -40,3 +40,35 @@ def read_events_partitioned(spark: SparkSession, path: str) -> DataFrame:
     """Read the partitioned layout back (partition discovery supplies
     ``event_date``; predicates on it prune directories at plan time)."""
     return spark.read.parquet(path)
+
+
+def compact_files(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_file_rows: int = 1_000_000,
+    mode: str = "overwrite",
+) -> int:
+    """Small-files compaction — the maintenance job every streaming/
+    micro-batch ingest needs at scale (a day of 1-minute micro-batches is
+    1440 files per partition; metadata and open() overheads dominate scans
+    long before data volume does).
+
+    Rewrites the parquet directory at ``path`` into
+    ``ceil(rows / target_file_rows)`` files. The rewrite is one
+    round-robin repartition (no sort, no skew sensitivity); row count is
+    computed from parquet footer statistics, not a data scan. Returns the
+    number of output files written.
+
+    At 100 TB this runs per partition directory (compact yesterday's
+    partition, not the table), which is how OPTIMIZE-style maintenance
+    bounds its work; pair with ``write_events_partitioned`` so each
+    partition compacts independently.
+    """
+    df = spark.read.parquet(path)
+    # Footer-only count: Spark answers count() over parquet from row-group
+    # metadata (no column data read) — cheap even on huge directories.
+    rows = df.count()
+    n_files = max(1, -(-rows // target_file_rows))
+    df.repartition(n_files).write.mode(mode).parquet(out_path)
+    return n_files
