@@ -1046,12 +1046,23 @@ _FK_EDGES = (
 def run_fk_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = None
     for fk_name, child, ck, parent, pk in _FK_EDGES:
-        c = load_table(spark, sf_dir, child)
-        p = load_table(spark, sf_dir, parent).select(F.col(pk).alias("_pk"))
-        orphans = c.join(p, F.col(ck) == F.col("_pk"), "left_anti")
-        row = c.agg(F.count("*").cast("long").alias("n_rows")).crossJoin(
-            orphans.agg(F.count("*").cast("long").alias("n_orphans"))
-        ).select(F.lit(fk_name).alias("fk"), "n_rows", "n_orphans")
+        c = load_table(spark, sf_dir, child).select(F.col(ck).alias("_ck"))
+        # distinct parent keys, then ONE pass over the child: left join +
+        # conditional count gives rows and orphans together (an anti-join
+        # variant would scan the child twice)
+        p = load_table(spark, sf_dir, parent).select(
+            F.col(pk).alias("_pk")
+        ).distinct()
+        row = (
+            c.join(p, F.col("_ck") == F.col("_pk"), "left")
+            .agg(
+                F.count("*").cast("long").alias("n_rows"),
+                F.count(F.when(F.col("_pk").isNull(), 1))
+                .cast("long")
+                .alias("n_orphans"),
+            )
+            .select(F.lit(fk_name).alias("fk"), "n_rows", "n_orphans")
+        )
         out = row if out is None else out.unionAll(row)
     return out.orderBy("fk")
 
