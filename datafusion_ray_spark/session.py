@@ -49,6 +49,13 @@ ENGINE_DEFAULTS: dict[str, str] = {
     # nanos and convert to micros timestamps in the table-registration layer
     # (sources/tables.py) so `events.ts` is a usable timestamp column.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # local[N] runs the driver AND all N executor threads in ONE JVM; the
+    # 1g default heap is sized for a cluster driver, not for 32 executor
+    # threads plus broadcast/codegen caches — a long suite run can kill the
+    # JVM mid-query (observed: Py4J ConnectionRefused after ~140 queries).
+    # Only applied when this process launches the JVM; on a cluster the
+    # submit-time --driver-memory/--executor-memory govern instead.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
 }
 
 
