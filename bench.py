@@ -126,7 +126,7 @@ def main() -> None:
                  "contamination_check", "sample_stratified", "dsir_weights",
                  "shuffle_shard", "contamination_ngram", "vocab_stats",
                  "sample_uniform", "ppl_bucket_sample", "sample_weighted",
-                 "lang_temperature_mix"}
+                 "lang_temperature_mix", "split_group_holdout"}
 
     def family(name: str) -> str:
         if name.startswith("q") and name[1:].isdigit():

@@ -2030,6 +2030,7 @@ def _round3_entries():
         extension_entries3c,
         extension_entries3d,
     )
+    from .suite4 import extension_entries4
 
     return (
         extension_entries2()
@@ -2037,4 +2038,5 @@ def _round3_entries():
         + extension_entries3b()
         + extension_entries3c()
         + extension_entries3d()
+        + extension_entries4()
     )

@@ -1,0 +1,347 @@
+"""Round-3 continuation batch 4: leakage-safe group-holdout split,
+LSH-vs-exact dedup evaluation, and set-containment (asymmetric Jaccard)
+duplicate detection.
+
+Same contract as ``suite.py``..``suite3.py``: every entry pairs a Spark
+callable with an independently-written DuckDB oracle recomputing identical
+semantics; values are integers (counts, floor-division ppm) or md5-derived
+strings so the driver's value-hash comparison certifies them exactly.
+
+All three operators ride the dedup machinery in ``operators/dedup.py``
+(banded MinHash LSH, AllPairs prefix filter), so their scale shape is the
+one already audited there: candidate generation is bucketed/inverted-index,
+verification touches candidates only, nothing collects rows to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from . import dedup
+from .suite import (
+    _SHINGLES,
+    _WORDS,
+    minhash_pairs_oracle,
+)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe train/eval split (group holdout) — the split a training-data
+# pipeline actually needs: `split_train_test` hashes each doc independently,
+# so two near-duplicate documents can land on opposite sides and leak eval
+# content into training. Here the unit of assignment is the TRANSITIVE
+# near-dup group (connected component over verified MinHash pairs, the same
+# components `dedup_groups` certifies); singleton docs form their own group.
+# Every member of a group hashes identically (md5 of the group id), so no
+# near-duplicate pair ever straddles the split — by construction, not by
+# luck.
+#
+# Scale: the expensive part is the LSH pipeline, already linear/bucketed;
+# the split itself adds one broadcast-sized left join (group labels are
+# only the docs that appear in any near-dup pair — sub-percent of the
+# corpus) and a hash projection. Deterministic under re-runs and reshards.
+
+
+def run_group_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_dedup_pairs(docs).where("is_near_dup")
+    groups = dedup.duplicate_groups(pairs)  # (doc_id, group_id) — members only
+    gid = F.coalesce(F.col("group_id"), F.col("doc_id"))
+    return (
+        docs.select("doc_id")
+        .join(F.broadcast(groups), "doc_id", "left")
+        .select(
+            "doc_id",
+            gid.cast("long").alias("group_id"),
+            F.when(
+                F.substring(F.md5(gid.cast("string")), 1, 1) < "d", "train"
+            )
+            .otherwise("eval")
+            .alias("split"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def group_holdout_oracle() -> str:
+    return f"""
+WITH RECURSIVE mp AS (
+{minhash_pairs_oracle()}
+),
+edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM mp WHERE is_near_dup
+    UNION ALL
+    SELECT doc_b, doc_a FROM mp WHERE is_near_dup
+),
+gnodes AS (SELECT DISTINCT a AS id FROM edges),
+reach(id, r) AS (
+    SELECT id, id FROM gnodes
+    UNION
+    SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id
+),
+g AS (SELECT id AS doc_id, CAST(MIN(r) AS BIGINT) AS group_id
+      FROM reach GROUP BY id)
+SELECT d.doc_id,
+       CAST(COALESCE(g.group_id, d.doc_id) AS BIGINT) AS group_id,
+       CASE WHEN SUBSTRING(MD5(CAST(COALESCE(g.group_id, d.doc_id) AS VARCHAR)), 1, 1) < 'd'
+            THEN 'train' ELSE 'eval' END AS split
+FROM documents d LEFT JOIN g ON g.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# LSH quality evaluation — recall/precision of the approximate dedup against
+# the exact one, measured in-engine. Production pipelines tune (bands, rows)
+# against exactly this readout; here it is a first-class certified query:
+#   - ground truth = exact AllPairs n-gram Jaccard pairs (same-source
+#     blocking, the `dedup_ngram_jaccard` result set),
+#   - LSH true pairs = MinHash candidates that verify >= threshold,
+#   - recall  = |LSH true ∩ truth| / |truth|   (candidate misses lose pairs),
+#   - precision = |candidates that verify| / |candidates| (wasted verify work).
+# Both ratios are emitted as floor-division ppm integers so the row is
+# hash-certifiable. Scale: two already-linear dedup pipelines plus
+# count-only aggregates; the metric row is one broadcast-joined record.
+
+
+def run_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    exact = dedup.ngram_jaccard_pairs(docs).select("doc_a", "doc_b")
+    lsh = dedup.minhash_dedup_pairs(docs).persist()
+    lsh_true = lsh.where("is_near_dup").select("doc_a", "doc_b")
+
+    n_exact = exact.agg(F.count("*").cast("long").alias("n_exact"))
+    n_matched = (
+        exact.join(lsh_true, ["doc_a", "doc_b"], "left_semi")
+        .agg(F.count("*").cast("long").alias("n_matched"))
+    )
+    cand_counts = lsh.agg(
+        F.count("*").cast("long").alias("n_candidates"),
+        F.sum(F.when(F.col("is_near_dup"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_lsh_true"),
+    )
+    return (
+        n_exact.crossJoin(n_matched)
+        .crossJoin(cand_counts)
+        .select(
+            "n_exact",
+            "n_matched",
+            "n_candidates",
+            "n_lsh_true",
+            F.expr("n_matched * 1000000 DIV n_exact").alias("recall_ppm"),
+            F.expr("n_lsh_true * 1000000 DIV n_candidates").alias(
+                "precision_ppm"
+            ),
+        )
+    )
+
+
+def lsh_eval_oracle(threshold: float) -> str:
+    return f"""
+WITH mp AS (
+{minhash_pairs_oracle()}
+),
+exd AS (
+    SELECT doc_id, source, {_WORDS} AS w FROM documents
+),
+exs AS (
+    SELECT doc_id, source, {_SHINGLES} AS sh FROM exd
+),
+exn AS (SELECT * FROM exs WHERE len(sh) > 0),
+expairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS inter,
+           len(a.sh) + len(b.sh)
+             - len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS uni
+    FROM exn a JOIN exn b ON a.source = b.source AND a.doc_id < b.doc_id
+),
+truth AS (
+    SELECT doc_a, doc_b FROM expairs
+    WHERE ROUND(inter / uni, 6) >= {threshold}
+),
+m AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_matched
+    FROM truth t
+    WHERE EXISTS (SELECT 1 FROM mp
+                  WHERE mp.is_near_dup
+                    AND mp.doc_a = t.doc_a AND mp.doc_b = t.doc_b)
+),
+c AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,
+           CAST(SUM(CASE WHEN is_near_dup THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_lsh_true
+    FROM mp
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_exact,
+       m.n_matched,
+       c.n_candidates,
+       c.n_lsh_true,
+       CAST(m.n_matched * 1000000
+            // (SELECT COUNT(*) FROM truth) AS BIGINT) AS recall_ppm,
+       CAST(c.n_lsh_true * 1000000 // c.n_candidates AS BIGINT)
+         AS precision_ppm
+FROM m, c
+"""
+
+
+# ---------------------------------------------------------------------------
+# Set-containment near-dup pairs — the asymmetric complement to Jaccard:
+# a short document wholly contained in a longer one scores low Jaccard
+# (size mismatch inflates the union) but containment
+# C = |small ∩ big| / |small| ~ 1. This is how sub-document duplication
+# (quoted articles, boilerplate-wrapped reposts) is caught.
+#
+# Spark-first, lossless, and scale-shaped: the candidate filter is the
+# AllPairs prefix filter in its containment form with DOCUMENT-FREQUENCY
+# token ordering — each document's shingles are globally ordered rarest-
+# first, the SMALLER side of any qualifying pair must share one of its
+# first |S| - ceil(t*|S|) + 1 shingles (pigeonhole on the required overlap
+# ceil(t*|S|)), and because prefixes hold the RAREST shingles the inverted-
+# index posting lists the join touches stay short even though the index
+# side must carry all tokens (the larger doc is only findable through the
+# smaller one's prefix). Verification recomputes exact intersections for
+# candidates only. Same-source blocking mirrors `dedup_ngram_jaccard`.
+
+CONTAINMENT_THRESHOLD_PPM = 800_000  # C >= 0.8
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    block_col: str = "source",
+    threshold_ppm: int = CONTAINMENT_THRESHOLD_PPM,
+) -> DataFrame:
+    """(doc_small, doc_big, containment_ppm) for same-block pairs whose
+    smaller shingle set is >= threshold contained in the larger (ties on
+    size broken by doc_id: the smaller id is 'small')."""
+    t = threshold_ppm / 1_000_000
+    sh = (
+        df.select(
+            F.col(block_col).alias("blk"),
+            "doc_id",
+            dedup.shingles(text_col).alias("sh"),
+        )
+        .where(F.size("sh") > 0)
+    )
+    tok = sh.select("blk", "doc_id", F.size("sh").alias("sz"),
+                    F.explode("sh").alias("tok"))
+    # global document frequency per shingle: one linear agg, joined back so
+    # each doc's shingles can be ordered rarest-first (ties lexicographic)
+    dfreq = tok.groupBy("tok").agg(F.count("*").cast("long").alias("tdf"))
+    ordered = (
+        tok.join(dfreq, "tok")
+        .groupBy("blk", "doc_id", "sz")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tdf", "tok"))),
+                lambda s: s["tok"],
+            ).alias("osh")
+        )
+    )
+    plen = F.col("sz") - F.ceil(F.lit(t) * F.col("sz")).cast("int") + 1
+    probe = ordered.select(
+        "blk", "doc_id", "sz", F.explode(F.slice("osh", 1, plen)).alias("tok")
+    )
+    index = ordered.select(
+        "blk",
+        F.col("doc_id").alias("doc_i"),
+        F.col("sz").alias("sz_i"),
+        F.explode("osh").alias("tok"),
+    )
+    cand = (
+        probe.join(index, ["blk", "tok"])
+        .where(
+            (F.col("sz") < F.col("sz_i"))
+            | ((F.col("sz") == F.col("sz_i")) & (F.col("doc_id") < F.col("doc_i")))
+        )
+        .select(
+            F.col("doc_id").alias("doc_a"), F.col("doc_i").alias("doc_b")
+        )
+        .distinct()
+        .persist()
+    )
+    cand.count()
+    joined, inter, _union = dedup._verify_jaccard(df, cand, text_col)
+    ppm = (inter.cast("long") * 1_000_000) / F.size("sh_a")
+    return (
+        joined.select(
+            F.col("doc_a").alias("doc_small"),
+            F.col("doc_b").alias("doc_big"),
+            F.floor(ppm).cast("long").alias("containment_ppm"),
+        )
+        .where(F.col("containment_ppm") >= threshold_ppm)
+    )
+
+
+def run_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return containment_pairs(_docs(spark, sf_dir)).orderBy(
+        "doc_small", "doc_big"
+    )
+
+
+def containment_oracle(threshold_ppm: int = CONTAINMENT_THRESHOLD_PPM) -> str:
+    # The oracle certifies the RESULT SET, not the candidate machinery: the
+    # prefix filter is lossless, so a direct blocked all-pairs containment
+    # computes the identical output.
+    return f"""
+WITH docs AS (
+    SELECT doc_id, source, {_WORDS} AS w FROM documents
+),
+shingled AS (
+    SELECT doc_id, source, {_SHINGLES} AS sh FROM docs
+),
+ne AS (SELECT * FROM shingled WHERE len(sh) > 0),
+pairs AS (
+    SELECT a.doc_id AS ida, b.doc_id AS idb,
+           len(a.sh) AS sza, len(b.sh) AS szb,
+           len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS inter
+    FROM ne a JOIN ne b ON a.source = b.source AND a.doc_id < b.doc_id
+),
+norm AS (
+    SELECT CASE WHEN sza < szb OR sza = szb THEN ida ELSE idb END AS doc_small,
+           CASE WHEN sza < szb OR sza = szb THEN idb ELSE ida END AS doc_big,
+           inter,
+           LEAST(sza, szb) AS szs
+    FROM pairs
+)
+SELECT doc_small, doc_big,
+       CAST(inter * 1000000 // szs AS BIGINT) AS containment_ppm
+FROM norm
+WHERE inter * 1000000 // szs >= {threshold_ppm}
+ORDER BY doc_small, doc_big
+"""
+
+
+def extension_entries4() -> list:
+    from ..queries.registry import SuiteEntry
+
+    return [
+        SuiteEntry(
+            "split_group_holdout",
+            run_group_holdout,
+            group_holdout_oracle(),
+            "leakage-safe train/eval split: whole near-dup groups assigned "
+            "by md5(group id), so no near-duplicate pair straddles sides",
+        ),
+        SuiteEntry(
+            "dedup_lsh_eval",
+            run_lsh_eval,
+            lsh_eval_oracle(dedup.JACCARD_THRESHOLD),
+            "in-engine LSH quality readout: recall vs exact AllPairs truth "
+            "+ candidate precision, as certified ppm integers",
+        ),
+        SuiteEntry(
+            "dedup_containment",
+            run_containment,
+            containment_oracle(),
+            "asymmetric set-containment near-dups (sub-document dup "
+            "detection), df-ordered prefix filter, lossless",
+        ),
+    ]

@@ -1,0 +1,108 @@
+"""Behavioral tests for the batch-4 additions: group-holdout split,
+LSH evaluation, and set-containment dedup.
+
+Value-level certification lives in the oracle gate
+(tests/test_suite_oracle.py); these pin the semantic INVARIANTS the oracle
+rows don't isolate: the leakage-safety guarantee, recall/precision bounds,
+and containment's asymmetry (high containment at low Jaccard).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_group_holdout_never_splits_near_dup_pairs(spark, sf_dir):
+    """The whole point of the operator: for EVERY verified near-dup pair,
+    both docs land on the same side of the split."""
+    from datafusion_ray_spark.operators import dedup
+    from datafusion_ray_spark.operators.suite4 import run_group_holdout
+    from datafusion_ray_spark.sources.tables import load_table
+
+    split = run_group_holdout(spark, sf_dir).select("doc_id", "split")
+    pairs = dedup.minhash_dedup_pairs(
+        load_table(spark, sf_dir, "documents")
+    ).where("is_near_dup")
+    straddlers = (
+        pairs.join(
+            split.select(F.col("doc_id").alias("doc_a"),
+                         F.col("split").alias("split_a")),
+            "doc_a",
+        )
+        .join(
+            split.select(F.col("doc_id").alias("doc_b"),
+                         F.col("split").alias("split_b")),
+            "doc_b",
+        )
+        .where(F.col("split_a") != F.col("split_b"))
+        .count()
+    )
+    assert straddlers == 0
+
+
+def test_group_holdout_covers_all_docs_once(spark, sf_dir):
+    from datafusion_ray_spark.operators.suite4 import run_group_holdout
+    from datafusion_ray_spark.sources.tables import load_table
+
+    out = run_group_holdout(spark, sf_dir)
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert out.count() == n_docs
+    assert out.select("doc_id").distinct().count() == n_docs
+    sides = {r["split"] for r in out.select("split").distinct().collect()}
+    assert sides <= {"train", "eval"} and "train" in sides
+
+
+def test_lsh_eval_bounds(spark, sf_dir):
+    """recall/precision are valid ppm ratios, and the intersection can't
+    exceed either of its parents."""
+    from datafusion_ray_spark.operators.suite4 import run_lsh_eval
+
+    row = run_lsh_eval(spark, sf_dir).collect()[0]
+    assert row["n_matched"] <= row["n_exact"]
+    assert row["n_lsh_true"] <= row["n_candidates"]
+    if row["n_exact"]:
+        assert 0 <= row["recall_ppm"] <= 1_000_000
+    if row["n_candidates"]:
+        assert 0 <= row["precision_ppm"] <= 1_000_000
+
+
+def test_containment_catches_subdocument_dup_jaccard_misses(spark):
+    """A short doc embedded verbatim in a much longer one: containment ~ 1
+    while Jaccard is far below the near-dup threshold."""
+    from datafusion_ray_spark.operators.dedup import JACCARD_THRESHOLD
+    from datafusion_ray_spark.operators.suite4 import containment_pairs
+
+    base = " ".join(f"w{i}" for i in range(30))
+    filler = " ".join(f"pad{i}" for i in range(300))
+    docs = spark.createDataFrame(
+        [
+            (1, base, "s"),
+            (2, base + " " + filler, "s"),
+            (3, " ".join(f"z{i}" for i in range(50)), "s"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = containment_pairs(docs).collect()
+    assert [(r["doc_small"], r["doc_big"]) for r in got] == [(1, 2)]
+    assert got[0]["containment_ppm"] >= 900_000
+    # sanity: that pair's Jaccard really is below the symmetric threshold
+    inter, union = 28.0, (28 + 328 - 28)  # 3-shingle counts
+    assert inter / union < JACCARD_THRESHOLD
+
+
+def test_containment_tie_break_and_threshold(spark):
+    """Equal-size sets: smaller doc_id is 'small'; pairs under the
+    threshold are dropped."""
+    from datafusion_ray_spark.operators.suite4 import containment_pairs
+
+    a = " ".join(f"t{i}" for i in range(20))
+    b = " ".join(f"t{i}" for i in range(18)) + " x0 x1"  # 16/18 shared 3-shingles
+    docs = spark.createDataFrame(
+        [(7, a, "s"), (4, a, "s"), (9, b, "s")],
+        "doc_id long, text string, source string",
+    )
+    got = {(r["doc_small"], r["doc_big"]): r["containment_ppm"]
+           for r in containment_pairs(docs).collect()}
+    assert got[(4, 7)] == 1_000_000  # identical sets, id tie-break
+    # b shares 16 of its 18 shingles with a: 16/18 = 0.888... -> kept
+    assert (4, 9) in got and (7, 9) in got
