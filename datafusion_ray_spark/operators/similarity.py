@@ -513,6 +513,18 @@ def pq_adc_topk(
     no vector arithmetic against the corpus at query time, which is the
     whole point of PQ at 100 TB. Returns (vec_id, approx_dist_u) ascending.
     """
+    # fsum inside _query_lut = exactly-rounded sum of the double products,
+    # matching the oracle's exact decimal summation of the same products
+    lut = _query_lut(query_vec, codebooks)
+
+    encoded = pq_encode(df, codebooks)
+    return _adc_rank(encoded, lut, k=k, exclude_vec_id=exclude_vec_id)
+
+
+def _query_lut(query_vec: list[float],
+               codebooks: list[list[list[float]]]) -> list[list[int]]:
+    """PQ_M × PQ_K table of the query's micro-unit L2 distance to every
+    centroid of every subspace (driver-sized by construction)."""
     import math
 
     lut: list[list[int]] = []
@@ -520,13 +532,15 @@ def pq_adc_topk(
         q_sub = [float(v) for v in query_vec[s * PQ_SUB:(s + 1) * PQ_SUB]]
         row = []
         for cvec in cb:
-            # fsum = exactly-rounded sum of the double products, matching
-            # the oracle's exact decimal summation of the same products
             d = math.fsum((x - y) * (x - y) for x, y in zip(q_sub, cvec))
             row.append(int(round(d * PQ_SCALE)))
         lut.append(row)
+    return lut
 
-    encoded = pq_encode(df, codebooks)
+
+def _adc_rank(encoded: DataFrame, lut: list[list[int]], k: int,
+              exclude_vec_id: int | None) -> DataFrame:
+    """Rank PQ-encoded rows by summed LUT lookups (the ADC inner loop)."""
     if exclude_vec_id is not None:
         encoded = encoded.where(F.col("vec_id") != exclude_vec_id)
     terms = [
@@ -577,9 +591,76 @@ def ivfpq_ann_topk(
         for cid, vec in centroids
     )
     probe = [cid for _, cid in scored[:nprobe]]
-    cand = ivf_assign(df, centroids).where(F.col("cell").isin(probe))
-    return pq_adc_topk(cand, query_vec, codebooks, k=k,
-                       exclude_vec_id=exclude_vec_id)
+    enc = ivfpq_encode(df, centroids, probe, codebooks)
+    return _adc_rank(enc, _query_lut(query_vec, codebooks), k=k,
+                     exclude_vec_id=exclude_vec_id)
+
+
+def ivfpq_encode(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    probe: list[int],
+    codebooks: list[list[list[float]]],
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Fused IVF-assign → probe-cell prune → PQ-encode in ONE Arrow pass.
+
+    Running :func:`ivf_assign` and :func:`pq_encode` as separate
+    ``mapInPandas`` stages ships the full raw-vector column through the
+    Arrow channel twice (Python → JVM → Python) with a filter in between;
+    fused, each embedding crosses once, pruned rows never cross back, and
+    only (narrow columns, cell, code) leave the kernel. Math is bit-for-bit
+    the two standalone kernels' (same rounding, same argmin/argmax tie
+    rules), so the composed result is unchanged — the standalone operators
+    remain the certified per-stage surfaces.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    order = sorted(range(len(centroids)), key=lambda i: centroids[i][0])
+    C = np.asarray([centroids[i][1] for i in order], dtype=np.float64)
+    cid_arr = np.asarray([centroids[i][0] for i in order], dtype=np.int64)
+    cn = np.sqrt((C * C).sum(axis=1))
+    probe_arr = np.asarray(sorted(probe), dtype=np.int64)
+    CB = np.asarray(codebooks, dtype=np.float64)  # (PQ_M, PQ_K, PQ_SUB)
+    m, sub = CB.shape[0], CB.shape[2]
+    keep_fields = [f for f in df.schema.fields if f.name != emb_col]
+    out_schema = T.StructType(
+        keep_fields
+        + [
+            T.StructField("cell", T.IntegerType()),
+            T.StructField("code", T.ArrayType(T.IntegerType())),
+        ]
+    )
+    keep_cols = [f.name for f in keep_fields]
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[emb_col]]
+            )
+            en = np.sqrt((X * X).sum(axis=1))
+            en[en == 0.0] = 1.0
+            scores = np.round(X @ C.T / (en[:, None] * cn[None, :]), 6)
+            cells = cid_arr[scores.argmax(axis=1)]
+            mask = np.isin(cells, probe_arr)
+            if not mask.any():
+                continue
+            Xk = X[mask]
+            codes = np.empty((len(Xk), m), dtype=np.int32)
+            for s in range(m):
+                Xs = Xk[:, s * sub:(s + 1) * sub]
+                d = ((Xs[:, None, :] - CB[s][None, :, :]) ** 2).sum(axis=2)
+                du = np.rint(d * PQ_SCALE).astype(np.int64)
+                codes[:, s] = du.argmin(axis=1)
+            out = pdf.loc[mask, keep_cols].copy()
+            out["cell"] = cells[mask].astype("int32")
+            out["code"] = list(codes)
+            yield out
+
+    return df.mapInPandas(gen, out_schema)
 
 
 # ---------------------------------------------------------------------------
