@@ -319,6 +319,215 @@ ORDER BY doc_small, doc_big
 """
 
 
+# ---------------------------------------------------------------------------
+# Event-sequence pattern matching (CEP / MATCH_RECOGNIZE shape) — the
+# complex-event-processing operator relational engines bolt on as
+# MATCH_RECOGNIZE (Flink CEP, Oracle/Trino MR). Spark has no native
+# MATCH_RECOGNIZE; the Spark-first form: per user, order events by
+# (ts, event_id), project each event_type to its (distinct) first letter,
+# fold the journey into one symbol string per user, and count
+# NON-OVERLAPPING regex matches — `vc*p` (view → clicks → purchase
+# conversions) and `ee+` (error bursts). Left-to-right non-overlapping
+# greedy scanning is identical in Java regex (Spark) and RE2 (DuckDB) for
+# these star/plus patterns, so counts are engine-exact.
+#
+# Scale: one hash shuffle on user_id; per-user state is the journey string
+# (bounded by events-per-user, the same bound any sessionization carries).
+# A 100 TB run would window the journey by day/session first — the
+# composition is the same fold.
+
+CONVERSION_PATTERN = "vc*p"
+ERROR_BURST_PATTERN = "ee+"
+
+
+def run_seq_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import epoch_us
+
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.select(
+        "user_id",
+        "event_id",
+        epoch_us(ev, "ts").alias("eus"),
+        F.substring("event_type", 1, 1).alias("sym"),
+    )
+    journey = F.concat_ws(
+        "",
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("eus", "event_id", "sym"))),
+            lambda s: s["sym"],
+        ),
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            journey.alias("j"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            F.regexp_count("j", F.lit(CONVERSION_PATTERN))
+            .cast("long")
+            .alias("n_conversions"),
+            F.regexp_count("j", F.lit(ERROR_BURST_PATTERN))
+            .cast("long")
+            .alias("n_error_bursts"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SEQ_MATCH_ORACLE = f"""
+WITH e AS (
+    SELECT user_id, event_id,
+           epoch_us(CAST(ts AS TIMESTAMP)) AS eus,
+           substring(event_type, 1, 1) AS sym
+    FROM events
+),
+j AS (
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           string_agg(sym, '' ORDER BY eus, event_id) AS j
+    FROM e GROUP BY user_id
+)
+SELECT user_id, n_events,
+       CAST(len(regexp_extract_all(j, '{CONVERSION_PATTERN}')) AS BIGINT)
+         AS n_conversions,
+       CAST(len(regexp_extract_all(j, '{ERROR_BURST_PATTERN}')) AS BIGINT)
+         AS n_error_bursts
+FROM j
+ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Markov transition matrix over event types — the behavioral-model staple:
+# P(next event type | current) from each user's ordered event stream.
+# One LAG window (hash shuffle on user_id) + one combinable groupBy;
+# probabilities emitted as floor-division ppm against the per-source-state
+# total via a window sum, so every value is an exact integer.
+
+
+def run_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..sources.tables import epoch_us
+
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        epoch_us(ev, "ts").alias("eus"),
+    )
+    w = Window.partitionBy("user_id").orderBy("eus", "event_id")
+    pairs = (
+        ev.withColumn("from_type", F.lag("event_type").over(w))
+        .where(F.col("from_type").isNotNull())
+        .groupBy("from_type", F.col("event_type").alias("to_type"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    tot = Window.partitionBy("from_type")
+    return (
+        pairs.select(
+            "from_type",
+            "to_type",
+            "n",
+            F.expr("n * 1000000").cast("long").alias("_num"),
+            F.sum("n").over(tot).cast("long").alias("_den"),
+        )
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.expr("_num DIV _den").alias("p_ppm"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+MARKOV_ORACLE = """
+WITH e AS (
+    SELECT user_id, event_id, event_type,
+           epoch_us(CAST(ts AS TIMESTAMP)) AS eus
+    FROM events
+),
+p AS (
+    SELECT LAG(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY eus, event_id) AS from_type,
+           event_type AS to_type
+    FROM e
+),
+c AS (
+    SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM p WHERE from_type IS NOT NULL
+    GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n,
+       CAST(n * 1000000 // SUM(n) OVER (PARTITION BY from_type) AS BIGINT)
+         AS p_ppm
+FROM c
+ORDER BY from_type, to_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deterministic mode + exact median per group — the two order-statistics
+# aggregates the coverage suite hadn't pinned. Spark 4 ships native
+# `mode()`/`median()`, but `mode()` documents ties as non-deterministic, so
+# the engine form makes the tie rule explicit (max count, then SMALLEST
+# value) via one count aggregate + max_by over an orderable (count, -value)
+# struct — two combinable shuffles, deterministic on any engine. Median is
+# native `median()` (exact; avg of middle two on even counts), certified
+# against DuckDB's identical interpolation.
+
+
+def run_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = (
+        li.groupBy("l_returnflag", F.col("l_linenumber").alias("v"))
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    mode = counts.groupBy("l_returnflag").agg(
+        F.expr("max_by(v, struct(c, -v))").cast("int").alias("mode_linenumber")
+    )
+    med = li.groupBy("l_returnflag").agg(
+        F.round(F.median(F.col("l_quantity").cast("double")), 6)
+        .alias("median_qty"),
+        F.count("*").cast("long").alias("n_rows"),
+    )
+    return (
+        mode.join(med, "l_returnflag")
+        .select("l_returnflag", "mode_linenumber", "median_qty", "n_rows")
+        .orderBy("l_returnflag")
+    )
+
+
+MODE_MEDIAN_ORACLE = """
+WITH c AS (
+    SELECT l_returnflag, l_linenumber AS v, COUNT(*) AS c
+    FROM lineitem GROUP BY l_returnflag, l_linenumber
+),
+m AS (
+    SELECT l_returnflag, CAST(v AS INT) AS mode_linenumber
+    FROM (SELECT l_returnflag, v,
+                 ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                    ORDER BY c DESC, v) AS rn
+          FROM c)
+    WHERE rn = 1
+),
+md AS (
+    SELECT l_returnflag,
+           ROUND(MEDIAN(CAST(l_quantity AS DOUBLE)), 6) AS median_qty,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+)
+SELECT m.l_returnflag, m.mode_linenumber, md.median_qty, md.n_rows
+FROM m JOIN md ON m.l_returnflag = md.l_returnflag
+ORDER BY m.l_returnflag
+"""
+
+
 def extension_entries4() -> list:
     from ..queries.registry import SuiteEntry
 
@@ -343,5 +552,26 @@ def extension_entries4() -> list:
             containment_oracle(),
             "asymmetric set-containment near-dups (sub-document dup "
             "detection), df-ordered prefix filter, lossless",
+        ),
+        SuiteEntry(
+            "ev_seq_match",
+            run_seq_match,
+            SEQ_MATCH_ORACLE,
+            "CEP / MATCH_RECOGNIZE-shape sequence pattern counts per user "
+            "(conversion + error-burst regexes over the ordered journey)",
+        ),
+        SuiteEntry(
+            "ev_markov_transitions",
+            run_markov_transitions,
+            MARKOV_ORACLE,
+            "event-type Markov transition matrix (LAG pairs, ppm "
+            "probabilities per source state)",
+        ),
+        SuiteEntry(
+            "agg_mode_median",
+            run_mode_median,
+            MODE_MEDIAN_ORACLE,
+            "deterministic grouped mode (explicit tie rule) + exact native "
+            "median, certified cross-engine",
         ),
     ]

@@ -90,6 +90,63 @@ def test_containment_catches_subdocument_dup_jaccard_misses(spark):
     assert inter / union < JACCARD_THRESHOLD
 
 
+def test_seq_match_nonoverlapping_counts(spark, monkeypatch, tmp_path):
+    """vc*p matches scan left-to-right non-overlapping: 'vcpvpp' has two
+    conversions (vcp, vp) and the trailing p alone matches nothing; 'eee'
+    is ONE burst (greedy e+), not two."""
+    import datetime as dt
+
+    import datafusion_ray_spark.operators.suite4 as s4
+
+    sym2type = {"v": "view", "c": "click", "p": "purchase", "e": "error"}
+    rows = []
+    for uid, journey in ((1, "vcpvpp"), (2, "eee"), (3, "pvc")):
+        for i, ch in enumerate(journey):
+            rows.append((uid * 100 + i, dt.datetime(2024, 1, 1, 0, i),
+                         uid, sym2type[ch], 1.0, "{}"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    monkeypatch.setattr(s4, "load_table", lambda _s, _d, _n: df)
+    got = {r["user_id"]: (r["n_conversions"], r["n_error_bursts"])
+           for r in s4.run_seq_match(spark, "ignored").collect()}
+    assert got == {1: (2, 0), 2: (0, 1), 3: (0, 0)}
+
+
+def test_markov_probabilities_sum_per_state(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from datafusion_ray_spark.operators.suite4 import run_markov_transitions
+
+    out = run_markov_transitions(spark, sf_dir)
+    sums = (
+        out.groupBy("from_type")
+        .agg(F.sum("p_ppm").alias("s"), F.count("*").alias("k"))
+        .collect()
+    )
+    for r in sums:
+        # floor-division ppm: each of the k terms loses < 1 ppm
+        assert 1_000_000 - r["k"] < r["s"] <= 1_000_000
+
+
+def test_mode_tie_breaks_to_smallest_value(spark, monkeypatch):
+    import datafusion_ray_spark.operators.suite4 as s4
+
+    # flag 'A': values 3 and 1 both occur twice -> mode must be 1
+    rows = [("A", 3, 10.0), ("A", 3, 20.0), ("A", 1, 30.0), ("A", 1, 40.0),
+            ("B", 2, 5.0)]
+    df = spark.createDataFrame(
+        rows, "l_returnflag string, l_linenumber int, l_quantity double"
+    )
+    monkeypatch.setattr(s4, "load_table", lambda _s, _d, _n: df)
+    got = {r["l_returnflag"]: (r["mode_linenumber"], r["median_qty"])
+           for r in s4.run_mode_median(spark, "ignored").collect()}
+    assert got["A"] == (1, 25.0)
+    assert got["B"] == (2, 5.0)
+
+
 def test_containment_tie_break_and_threshold(spark):
     """Equal-size sets: smaller doc_id is 'small'; pairs under the
     threshold are dropped."""
