@@ -362,6 +362,118 @@ def frame_sample(
     return binary_df.mapInPandas(gen, FRAME_SCHEMA)
 
 
+# -- Scene-cut detection ----------------------------------------------------
+
+FRAME_LUMA_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_id", T.IntegerType()),
+        T.StructField("luma", T.LongType()),
+        T.StructField("flen", T.IntegerType()),
+    ]
+)
+
+
+def frame_lumas(binary_df: DataFrame, frame_bytes: int = 256) -> DataFrame:
+    """Per-frame 'luma' (byte sum) for every fixed-size frame of every
+    payload — the feature a scene-cut / shot-boundary detector thresholds.
+
+    Vectorized like the decode kernel: one concatenated uint8 buffer per
+    Arrow batch, ONE cumulative sum, and every frame's luma is a
+    difference of two prefix-sum gathers — no per-byte (or even per-frame)
+    Python. A real video codec would emit per-frame histograms here via
+    ``register_codec``; the downstream cut logic is codec-agnostic.
+
+    Scale: pure projection (mapInPandas, partition-preserving); output is
+    ~len/frame_bytes rows per payload, narrow (3 ints).
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            payloads = list(pdf["payload"])
+            lens = np.fromiter(
+                (len(b) for b in payloads), dtype=np.int64, count=len(payloads)
+            )
+            nf = -(-lens // frame_bytes)  # ceil; 0 frames for empty payloads
+            total = int(nf.sum())
+            if not total:
+                continue
+            buf = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+            cs = np.concatenate(([0], np.cumsum(buf, dtype=np.int64)))
+            offsets = np.concatenate(([0], np.cumsum(lens)))[:-1]
+            doc_idx = np.repeat(np.arange(len(pdf)), nf)
+            frame_id = np.arange(total) - np.repeat(
+                np.concatenate(([0], np.cumsum(nf)))[:-1], nf
+            )
+            starts = offsets[doc_idx] + frame_id * frame_bytes
+            ends = np.minimum(
+                starts + frame_bytes, offsets[doc_idx] + lens[doc_idx]
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy()[doc_idx],
+                    "frame_id": frame_id.astype("int32"),
+                    "luma": cs[ends] - cs[starts],
+                    "flen": (ends - starts).astype("int32"),
+                }
+            )
+
+    return binary_df.select("doc_id", "payload").mapInPandas(
+        gen, FRAME_LUMA_SCHEMA
+    )
+
+
+def scene_cuts(binary_df: DataFrame, frame_bytes: int = 256,
+               num: int = 20) -> DataFrame:
+    """Shot-boundary detection per payload: a CUT at frame i>0 iff the
+    MEAN byte value moved by more than 1/``num`` relative to the previous
+    frame. Means are compared cross-multiplied so everything stays integer
+    (``|luma_i*flen_{i-1} - luma_{i-1}*flen_i| * num >
+    luma_{i-1}*flen_i``) and the short tail frame never false-triggers on
+    length alone; the verdict is engine-exact.
+
+    The Spark-first split: the Python kernel (:func:`frame_lumas`) does
+    ONLY the byte crunching; windowing, thresholding and per-doc
+    aggregation stay JVM-side (one hash shuffle on doc_id for the LAG
+    window, map-side-combinable final aggregate).
+
+    Output per doc: n_frames, n_cuts, first_cut (-1 when uncut).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("frame_id")
+    lagged = (
+        frame_lumas(binary_df, frame_bytes)
+        .withColumn("prev", F.lag("luma").over(w))
+        .withColumn("plen", F.lag("flen").over(w))
+    )
+    cut = F.col("prev").isNotNull() & (
+        F.abs(
+            F.col("luma") * F.col("plen") - F.col("prev") * F.col("flen")
+        )
+        * num
+        > F.col("prev") * F.col("flen")
+    )
+    return (
+        lagged.withColumn("cut", cut)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_frames"),
+            F.sum(F.when(F.col("cut"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_cuts"),
+            F.coalesce(
+                F.min(F.when(F.col("cut"), F.col("frame_id"))), F.lit(-1)
+            )
+            .cast("int")
+            .alias("first_cut"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # -- Perceptual hash (aHash) ------------------------------------------------
 
 PHASH_SAMPLES = 64  # 8x8 "pixel" grid

@@ -472,6 +472,57 @@ ORDER BY from_type, to_type
 
 
 # ---------------------------------------------------------------------------
+# Multimodal scene-cut detection — shot-boundary analysis over framed
+# payloads: the byte-crunching (per-frame luma via one prefix-sum gather)
+# is an Arrow kernel; the detector itself (LAG window + integer relative-
+# change threshold + per-doc aggregate) is pure JVM SQL. The oracle
+# recomputes the identical frames from hex(encode(text)) nibbles, so the
+# whole kernel→window→aggregate pipeline is value-certified.
+
+
+def run_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import multimodal as mm
+
+    return mm.scene_cuts(mm.with_binary_payload(_docs(spark, sf_dir)))
+
+
+SCENE_CUTS_ORACLE = """
+WITH b AS (
+    SELECT doc_id, strlen(text) AS n, hex(encode(text)) AS hx FROM documents
+),
+bytes AS (
+    SELECT doc_id, CAST((i - 1) // 256 AS INT) AS frame_id,
+           (strpos('0123456789ABCDEF', substring(hx, 2*i-1, 1)) - 1) * 16
+           + strpos('0123456789ABCDEF', substring(hx, 2*i, 1)) - 1 AS v
+    FROM b, unnest(range(1, n + 1)) AS t(i)
+),
+fr AS (
+    SELECT doc_id, frame_id, CAST(SUM(v) AS BIGINT) AS luma,
+           CAST(COUNT(*) AS BIGINT) AS flen
+    FROM bytes GROUP BY doc_id, frame_id
+),
+l AS (
+    SELECT doc_id, frame_id, luma, flen,
+           LAG(luma) OVER (PARTITION BY doc_id ORDER BY frame_id) AS prev,
+           LAG(flen) OVER (PARTITION BY doc_id ORDER BY frame_id) AS plen
+    FROM fr
+),
+c AS (
+    SELECT doc_id, frame_id,
+           prev IS NOT NULL
+           AND ABS(luma * plen - prev * flen) * 20 > prev * flen AS cut
+    FROM l
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_frames,
+       CAST(SUM(CASE WHEN cut THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+       CAST(COALESCE(MIN(CASE WHEN cut THEN frame_id END), -1) AS INT)
+         AS first_cut
+FROM c GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Deterministic mode + exact median per group — the two order-statistics
 # aggregates the coverage suite hadn't pinned. Spark 4 ships native
 # `mode()`/`median()`, but `mode()` documents ties as non-deterministic, so
@@ -573,5 +624,12 @@ def extension_entries4() -> list:
             MODE_MEDIAN_ORACLE,
             "deterministic grouped mode (explicit tie rule) + exact native "
             "median, certified cross-engine",
+        ),
+        SuiteEntry(
+            "mm_scene_cuts",
+            run_scene_cuts,
+            SCENE_CUTS_ORACLE,
+            "shot-boundary detection: prefix-sum frame lumas (Arrow "
+            "kernel) + JVM lag-window relative-change threshold",
         ),
     ]

@@ -147,6 +147,30 @@ def test_mode_tie_breaks_to_smallest_value(spark, monkeypatch):
     assert got["B"] == (2, 5.0)
 
 
+def test_scene_cuts_finds_known_boundary(spark):
+    """Payload = 4 quiet frames then 4 loud frames: exactly one cut, at the
+    first loud frame; tail frame may be short."""
+    from datafusion_ray_spark.operators.multimodal import frame_lumas, scene_cuts
+
+    quiet, loud = bytes([10] * 256), bytes([200] * 256)
+    p1 = quiet * 4 + loud * 4            # cut at frame 4
+    p2 = quiet * 3 + bytes([10] * 100)   # flat, short tail, no cut
+    df = spark.createDataFrame(
+        [(1, bytearray(p1)), (2, bytearray(p2))], "doc_id long, payload binary"
+    )
+    lumas = {(r["doc_id"], r["frame_id"]): (r["luma"], r["flen"])
+             for r in frame_lumas(df).collect()}
+    assert lumas[(1, 0)] == (10 * 256, 256)
+    assert lumas[(1, 4)] == (200 * 256, 256)
+    # short tail frame sums its real bytes and reports its real length, so
+    # the mean-based cut rule does NOT false-trigger on it
+    assert lumas[(2, 3)] == (10 * 100, 100)
+    got = {r["doc_id"]: (r["n_frames"], r["n_cuts"], r["first_cut"])
+           for r in scene_cuts(df).collect()}
+    assert got[1] == (8, 1, 4)
+    assert got[2] == (4, 0, -1)
+
+
 def test_containment_tie_break_and_threshold(spark):
     """Equal-size sets: smaller doc_id is 'small'; pairs under the
     threshold are dropped."""
