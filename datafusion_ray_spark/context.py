@@ -181,6 +181,44 @@ class DFRayDataFrame:
         }[which]()
         return node.toString()
 
+    def execution_metrics(self) -> dict[str, dict[str, int]]:
+        """Per-operator runtime metrics from the EXECUTED plan — the
+        observability surface an ``EXPLAIN ANALYZE`` would print (rows
+        produced per operator, shuffle records/bytes, scan output), keyed
+        ``NodeName#planId`` -> {metric: value}.
+
+        Call after an action (``collect``/``count``); before execution the
+        SQLMetrics exist but hold initial values. AQE wrapper stages
+        (AdaptiveSparkPlanExec, Shuffle/BroadcastQueryStageExec) are
+        descended through so the FINAL runtime plan's metrics are reported.
+        """
+        out: dict[str, dict[str, int]] = {}
+
+        def walk(node) -> None:
+            # AQE / query-stage wrappers expose the materialized subtree
+            # behind accessor methods rather than children().
+            for accessor in ("executedPlan", "plan"):
+                try:
+                    walk(getattr(node, accessor)())
+                except Exception:  # noqa: BLE001 - absent on plain nodes
+                    pass
+            vals: dict[str, int] = {}
+            try:
+                it = node.metrics().iterator()
+                while it.hasNext():
+                    kv = it.next()
+                    vals[kv._1()] = int(kv._2().value())
+            except Exception:  # noqa: BLE001 - metric-less node
+                pass
+            if vals:
+                out[f"{node.nodeName()}#{node.id()}"] = vals
+            ch = node.children().iterator()
+            while ch.hasNext():
+                walk(ch.next())
+
+        walk(self.df._jdf.queryExecution().executedPlan())
+        return out
+
 
 class DFRayContext:
     """Session facade: catalog registration + SQL + config.

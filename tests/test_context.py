@@ -197,3 +197,29 @@ def test_register_text_lines_and_wholetext(spark, tmp_path):
     ctx.register_text("corpus_docs", str(d), wholetext=True)
     docs = ctx.sql("SELECT value FROM corpus_docs").to_pandas()
     assert len(docs) == 2 and any("alpha" in v and "beta" in v for v in docs["value"])
+
+
+def test_execution_metrics_expose_runtime_counters(spark, sf_dir):
+    """execution_metrics() reads the executed plan's SQLMetrics — the
+    EXPLAIN ANALYZE surface: per-operator output rows, shuffle record
+    counts, scan file stats. The partial/final aggregate split must be
+    visible: the shuffle ships only the combined per-group rows."""
+    ctx = _ctx(spark, sf_dir)
+    df = ctx.sql(
+        "SELECT l_returnflag, COUNT(*) AS n FROM lineitem GROUP BY l_returnflag"
+    )
+    df.collect()
+    m = df.execution_metrics()
+    assert m, "no metrics collected"
+    scan = next(v for k, v in m.items() if k.startswith("Scan parquet"))
+    assert scan["numFiles"] >= 1 and scan["filesSize"] > 0
+    final_rows = next(
+        v["numOutputRows"] for k, v in m.items() if k.startswith("HashAggregate")
+    )
+    assert final_rows == 3  # one row per returnflag
+    shuffled = next(
+        v["shuffleRecordsWritten"] for k, v in m.items() if k.startswith("Exchange")
+    )
+    # map-side combine: the exchange carries per-partition groups, not rows
+    assert shuffled <= 3 * 32
+    assert shuffled < df.df.sparkSession.table("lineitem").count()
