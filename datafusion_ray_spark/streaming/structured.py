@@ -814,3 +814,52 @@ def rolling_median_stream(events: DataFrame, frame_rows: int = 10) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def markov_pairs_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of the Markov transition matrix
+    (``operators/suite4.py:run_markov_transitions``): per user, state is
+    ONLY the last event's (eus, event_id, type); each arriving event emits
+    one (from_type, to_type) pair row. Aggregating the emitted pairs
+    (count per pair, ppm per source state) reproduces the batch matrix
+    exactly — the test certifies it.
+
+    State is O(1) per key (three scalars), horizontally partitioned — the
+    minimal-state form of sequence analytics at ingest time. Rows fold in
+    (ts, event_id) order within each micro-batch; as with the EWMA twin,
+    cross-batch order assumes replay/backfill arrival.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        if state.exists:
+            _eus, _eid, last = state.get
+        else:
+            _eus, _eid, last = (0, 0, None)
+        frm: list[str] = []
+        to: list[str] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for eid, ts, et in zip(pdf["event_id"], pdf["ts"], pdf["event_type"]):
+                if last is not None:
+                    frm.append(last)
+                    to.append(et)
+                _eus, _eid, last = int(ts.value // 1000), int(eid), et
+        state.update((_eus, _eid, last))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(frm),
+                "from_type": frm,
+                "to_type": to,
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, from_type string, to_type string",
+        stateStructType="eus long, eid long, last string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -454,3 +454,26 @@ def test_streaming_heavy_hitters_state_survives_restart(spark, sf_dir, tmp_path)
         f"recovered state counted {sum(final_n.values())} of {tbl.num_rows} "
         "events: Misra-Gries state did not survive the restart"
     )
+
+
+def test_streaming_markov_pairs_match_batch(spark, sf_dir, events_dir):
+    """Aggregated streamed transition pairs == the batch Markov matrix."""
+    from datafusion_ray_spark.operators.suite4 import run_markov_transitions
+
+    stream = structured.stream_events(spark, events_dir)
+    structured.run_to_memory(
+        structured.markov_pairs_stream(stream), "stream_markov",
+        output_mode="append",
+    )
+    streamed = {
+        (r["from_type"], r["to_type"]): r["n"]
+        for r in spark.sql(
+            "SELECT from_type, to_type, COUNT(*) AS n FROM stream_markov "
+            "GROUP BY from_type, to_type"
+        ).collect()
+    }
+    batch = {
+        (r["from_type"], r["to_type"]): r["n"]
+        for r in run_markov_transitions(spark, sf_dir).collect()
+    }
+    assert streamed == batch
