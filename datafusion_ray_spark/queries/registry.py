@@ -50,20 +50,23 @@ def _sql_entry(qdef: QueryDef) -> SuiteEntry:
 # operators) ahead of scalar/coverage filler.  Everything stays green in the
 # local oracle gate (tests/test_suite_oracle.py) regardless of order.
 _PRIORITY_AFTER_TPCH = [
-    # Dedup family (displaced entries stay certified in
-    # CORRECTNESS_LOCAL.json; the round-3 late additions below push the
-    # simpler family members out of the 50-row driver window)
+    # Dedup family (displaced entries — dedup_fuzzy_prefix, sim_ann_sq8,
+    # ev_ewma this round — stay certified in CORRECTNESS_LOCAL.json; each
+    # batch's flagship additions push simpler family members out of the
+    # 50-row driver window)
     "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-    "dedup_groups", "dedup_fuzzy_prefix",
-    # Similarity / ANN (brute baseline + the three scale paths)
-    "sim_knn_brute", "sim_ann_lsh", "sim_ann_ivf", "sim_ann_sq8",
+    "dedup_groups", "dedup_containment",
+    # Similarity / ANN (brute baseline + the scale paths)
+    "sim_knn_brute", "sim_ann_lsh", "sim_ann_ivf",
     "sim_semdedup",
+    # Leakage-safe corpus split over near-dup components
+    "split_group_holdout",
     # Temporal joins (full family: backward as-of, point-in-window range,
     # nearest with tolerance, interval×interval overlap)
     "join_asof", "join_range", "join_asof_nearest", "join_interval",
-    # Event windows / derivations
+    # Event windows / derivations / CEP sequence matching
     # (ev_winsorize displaced to the local artifact by layout_zorder)
-    "ev_session_window", "ev_scd2", "ev_ewma", "ev_funnel",
+    "ev_session_window", "ev_scd2", "ev_seq_match", "ev_funnel",
     # Text analysis / quality / search
     "text_token_stats", "text_lang_id", "text_bm25",
     # Sketches
