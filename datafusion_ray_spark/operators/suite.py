@@ -1136,7 +1136,7 @@ def run_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def substring_dup_oracle(min_shared: int = 20) -> str:
-    from .text import WINNOW_K, WINNOW_W
+    from .text import WINNOW_HUB_CAP, WINNOW_K, WINNOW_W
 
     return f"""
 WITH grams AS (
@@ -1155,10 +1155,18 @@ win AS (
            )) AS fps
     FROM grams
 ),
-fp AS (SELECT doc_id, unnest(fps) AS f FROM win)
+fp AS (SELECT doc_id, unnest(fps) AS f FROM win),
+-- boilerplate exclusion: fingerprints in > {WINNOW_HUB_CAP} docs carry no
+-- pairwise-copying evidence (mirrors text.WINNOW_HUB_CAP)
+keep AS (
+    SELECT f FROM fp GROUP BY f
+    HAVING COUNT(*) BETWEEN 2 AND {WINNOW_HUB_CAP}
+)
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(COUNT(*) AS INT) AS n_shared
-FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+FROM fp a
+JOIN keep k ON a.f = k.f
+JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
 GROUP BY 1, 2
 HAVING COUNT(*) >= {min_shared}
 ORDER BY doc_a, doc_b

@@ -218,6 +218,10 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
 #: of length >= K + W - 1 yields a shared fingerprint).
 WINNOW_K = 8
 WINNOW_W = 4
+#: A fingerprint present in more than this many documents is corpus
+#: boilerplate, excluded from substring-duplication evidence (and from the
+#: quadratic posting-list pair expansion — the scale guard).
+WINNOW_HUB_CAP = 50
 
 
 def winnow_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -267,24 +271,38 @@ def substring_dup_pairs(df: DataFrame, text_col: str = "text",
     contributes at least one (Schleimer et al. 2003 coverage property).
 
     Returns (doc_a, doc_b, n_shared) for pairs sharing at least
-    ``min_shared`` fingerprints — n_shared is the exact intersection size
-    of the two fingerprint sets. Tune ``min_shared`` to the corpus: short
-    repetitive vocabularies produce incidental single-window collisions,
-    so the default demands enough shared windows to evidence a real
-    duplicated span run.
+    ``min_shared`` NON-BOILERPLATE fingerprints — n_shared is the exact
+    intersection size of the two fingerprint sets after dropping
+    fingerprints found in more than ``WINNOW_HUB_CAP`` documents
+    (MOSS's own rule: fingerprints common across the corpus are
+    boilerplate, not evidence of pairwise copying). Tune ``min_shared``
+    to the corpus: short repetitive vocabularies produce incidental
+    single-window collisions, so the default demands enough shared
+    windows to evidence a real duplicated span run.
 
     Scale shape: identical to MinHash candidates — one narrow
     (fingerprint, doc_id) shuffle, pairs expanded JVM-side per posting
     list, never an all-pairs join; count-per-pair is one map-side
-    combinable aggregation.
+    combinable aggregation. The hub cap is also the SCALE guard: pair
+    expansion is quadratic in posting-list length, so without it one
+    corpus-wide fingerprint costs O(n_docs²) (benched: 897 s at sf0.1's
+    5k small-vocabulary docs; 4 s with the cap) — at 100 TB a df-capped
+    inverted index is the only viable shape, and the cap is where the
+    skew lives.
     """
-    fps = winnow_fingerprints(df, text_col).select(
-        "doc_id", F.explode("fps").alias("fp")
-    )
+    # Materialize the fingerprint arrays BEFORE exploding: a Generate
+    # (explode) planned directly over the winnowing expression pipeline
+    # re-evaluates the nested higher-order-function subtree per EMITTED
+    # row, not per input row — benched 82 s vs 0.7 s at sf0.01 (500 docs),
+    # and the round-3 driver bench caught it at 897 s for sf0.1. The
+    # checkpoint pins (doc_id, fps) — narrow, fingerprint-sized — exactly
+    # like dedup_groups pins its per-round labels.
+    wf = winnow_fingerprints(df, text_col).select("doc_id", "fps").localCheckpoint()
+    fps = wf.select("doc_id", F.explode("fps").alias("fp"))
     grouped = (
         fps.groupBy("fp")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
-        .where(F.size("ids") > 1)
+        .where((F.size("ids") > 1) & (F.size("ids") <= WINNOW_HUB_CAP))
     )
     pairs = F.flatten(
         F.transform(

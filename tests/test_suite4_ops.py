@@ -187,3 +187,36 @@ def test_containment_tie_break_and_threshold(spark):
     assert got[(4, 7)] == 1_000_000  # identical sets, id tie-break
     # b shares 16 of its 18 shingles with a: 16/18 = 0.888... -> kept
     assert (4, 9) in got and (7, 9) in got
+
+
+def test_substring_dup_hub_cap_excludes_boilerplate(spark):
+    """A span shared by MORE than WINNOW_HUB_CAP docs is boilerplate: it
+    must induce no pairs; the same span across a few docs does."""
+    from datafusion_ray_spark.operators.text import (
+        WINNOW_HUB_CAP,
+        substring_dup_pairs,
+    )
+
+    import hashlib
+
+    def uniq(tag):  # 32 hex chars: no 8-gram shared across docs
+        return hashlib.md5(tag.encode()).hexdigest()
+
+    span = "SHARED-RUN-OF-TEXT-LONG-ENOUGH-TO-FINGERPRINT"
+    many = [(i, f"{uniq(f'a{i}')} {span} {uniq(f'b{i}')}", "s")
+            for i in range(WINNOW_HUB_CAP + 10)]
+    few = [(1000 + i,
+            f"{uniq(f'c{i}')} OTHER-DISTINCT-DUPLICATED-SPAN-HERE {uniq(f'd{i}')}",
+            "s")
+           for i in range(3)]
+    df = spark.createDataFrame(
+        many + few, "doc_id long, text string, source string"
+    )
+    # Boundary windows can let single boilerplate-derived fingerprints slip
+    # under the df cap (their window minima are picked doc-dependently —
+    # inherent to winnowing), but never a SPAN of them: the shared-span run
+    # survives with many shared fps, hub-shared docs retain at most one.
+    rows = substring_dup_pairs(df, min_shared=2).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in rows}
+    assert got == {(1000, 1001), (1000, 1002), (1001, 1002)}
+    assert all(r["n_shared"] >= 10 for r in rows)
