@@ -579,6 +579,193 @@ ORDER BY m.l_returnflag
 """
 
 
+# ---------------------------------------------------------------------------
+# Mean-shift change-point detection — per-user single change point by the
+# binary-segmentation objective: choose split k maximizing
+# |mean(left) - mean(right)| · k·(n-k), which equals |n·S_k - k·S_n| in
+# integer micro-units (the CUSUM-statistic numerator) — so the argmax is
+# EXACT integer arithmetic, deterministic with ties to the smallest k.
+#
+# Spark-first: one hash shuffle on user_id for the running-sum window, one
+# map-side-combinable argmax aggregate (`max_by` over an orderable
+# (score, -k) struct). No iteration, no UDF; at 100 TB this is two linear
+# passes — the relational form of the first level of binary segmentation.
+
+
+def run_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..sources.tables import epoch_us
+
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.select(
+        "user_id",
+        "event_id",
+        epoch_us(ev, "ts").alias("eus"),
+        F.floor(F.col("value") * 1_000_000).cast("long").alias("vus"),
+    )
+    w = Window.partitionBy("user_id").orderBy("eus", "event_id")
+    pref = ev.select(
+        "user_id",
+        F.row_number().over(w).alias("k"),
+        F.sum("vus").over(w).alias("sk"),
+    )
+    tot = Window.partitionBy("user_id")
+    scored = pref.select(
+        "user_id",
+        "k",
+        F.max("k").over(tot).alias("n"),
+        F.last("sk").over(
+            tot.orderBy("k").rowsBetween(Window.unboundedPreceding,
+                                         Window.unboundedFollowing)
+        ).alias("sn"),
+        "sk",
+    ).where(F.col("k") < F.col("n"))
+    d = F.abs(F.col("n") * F.col("sk") - F.col("k") * F.col("sn"))
+    return (
+        scored.groupBy("user_id")
+        .agg(
+            (F.max("n")).cast("long").alias("n_events"),
+            F.expr(
+                "max_by(k, struct(abs(n * sk - k * sn), -k))"
+            ).cast("long").alias("best_k"),
+            F.max(d).cast("long").alias("d_max"),
+        )
+        .orderBy("user_id")
+    )
+
+
+CHANGEPOINT_ORACLE = """
+WITH e AS (
+    SELECT user_id, event_id,
+           epoch_us(CAST(ts AS TIMESTAMP)) AS eus,
+           CAST(FLOOR(value * 1000000) AS BIGINT) AS vus
+    FROM events
+),
+p AS (
+    SELECT user_id,
+           ROW_NUMBER() OVER w AS k,
+           SUM(vus) OVER w AS sk
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY eus, event_id)
+),
+s AS (
+    SELECT user_id, k, sk,
+           MAX(k) OVER (PARTITION BY user_id) AS n,
+           LAST_VALUE(sk) OVER (PARTITION BY user_id ORDER BY k
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND UNBOUNDED FOLLOWING) AS sn
+    FROM p
+),
+d AS (
+    SELECT user_id, k, n, ABS(n * sk - k * sn) AS score
+    FROM s WHERE k < n
+)
+SELECT user_id,
+       CAST(MAX(n) AS BIGINT) AS n_events,
+       CAST(MIN(k) FILTER (WHERE score = ms) AS BIGINT) AS best_k,
+       CAST(MAX(score) AS BIGINT) AS d_max
+FROM (SELECT *, MAX(score) OVER (PARTITION BY user_id) AS ms FROM d)
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-node local clustering coefficient — the node-level refinement of the
+# global triangle census: lcc(v) = 2·t_v / (deg_v·(deg_v-1)), emitted as a
+# floor-division ppm integer. Each closed wedge from the census join
+# contributes its THREE member nodes via one posexplode — still the
+# Suri-Vassilvitskii shape, one extra combinable aggregate.
+
+
+def run_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .graph import trade_edges
+
+    t = {n: load_table(spark, sf_dir, n)
+         for n in ("lineitem", "orders", "customer", "supplier", "nation")}
+    de = trade_edges(t["lineitem"], t["orders"], t["customer"],
+                     t["supplier"], t["nation"])
+    und = (
+        de.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("degree"))
+    )
+    e1 = und.select(F.col("a").alias("x"), F.col("b").alias("y1"))
+    e2 = und.select(F.col("a").alias("x"), F.col("b").alias("y2"))
+    tri_nodes = (
+        e1.join(e2, "x")
+        .where(F.col("y1") < F.col("y2"))
+        .join(und, (F.col("y1") == F.col("a")) & (F.col("y2") == F.col("b")))
+        .select(F.explode(F.array("x", "y1", "y2")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("n_tri"))
+    )
+    return (
+        deg.join(tri_nodes, "node", "left")
+        .na.fill({"n_tri": 0})
+        .select(
+            "node",
+            "degree",
+            "n_tri",
+            F.when(
+                F.col("degree") >= 2,
+                F.expr("n_tri * 2000000 DIV (degree * (degree - 1))"),
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("lcc_ppm"),
+        )
+        .orderBy("node")
+    )
+
+
+LOCAL_CLUSTERING_ORACLE = """
+WITH e0 AS (
+    SELECT n1.n_name AS src, n2.n_name AS dst
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    GROUP BY n1.n_name, n2.n_name
+),
+und AS (
+    SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+    FROM e0 WHERE src <> dst
+),
+deg AS (
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+        SELECT a AS node FROM und UNION ALL SELECT b FROM und
+    ) GROUP BY node
+),
+tn AS (
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+        SELECT unnest([e1.a, e1.b, e2.b]) AS node
+        FROM und e1
+        JOIN und e2 ON e1.a = e2.a AND e1.b < e2.b
+        JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b
+    ) GROUP BY node
+)
+SELECT d.node, d.degree, COALESCE(tn.n_tri, 0) AS n_tri,
+       CAST(CASE WHEN d.degree >= 2
+                 THEN COALESCE(tn.n_tri, 0) * 2000000 // (d.degree * (d.degree - 1))
+                 ELSE 0 END AS BIGINT) AS lcc_ppm
+FROM deg d LEFT JOIN tn ON tn.node = d.node
+ORDER BY d.node
+"""
+
+
 def extension_entries4() -> list:
     from ..queries.registry import SuiteEntry
 
@@ -631,5 +818,19 @@ def extension_entries4() -> list:
             SCENE_CUTS_ORACLE,
             "shot-boundary detection: prefix-sum frame lumas (Arrow "
             "kernel) + JVM lag-window relative-change threshold",
+        ),
+        SuiteEntry(
+            "ev_changepoint",
+            run_changepoint,
+            CHANGEPOINT_ORACLE,
+            "per-user mean-shift change point (binary-segmentation "
+            "objective as exact integer CUSUM numerator, two linear passes)",
+        ),
+        SuiteEntry(
+            "graph_local_clustering",
+            run_local_clustering,
+            LOCAL_CLUSTERING_ORACLE,
+            "per-node local clustering coefficient (triangle membership "
+            "via posexploded closed wedges, ppm integers)",
         ),
     ]

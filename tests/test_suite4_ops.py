@@ -220,3 +220,51 @@ def test_substring_dup_hub_cap_excludes_boilerplate(spark):
     got = {(r["doc_a"], r["doc_b"]) for r in rows}
     assert got == {(1000, 1001), (1000, 1002), (1001, 1002)}
     assert all(r["n_shared"] >= 10 for r in rows)
+
+
+def test_changepoint_finds_known_mean_shift(spark, monkeypatch):
+    """10 events at value 1.0 then 5 at 100.0: best split must be k=10."""
+    import datetime as dt
+
+    import datafusion_ray_spark.operators.suite4 as s4
+
+    rows = [(i, dt.datetime(2024, 1, 1, 0, i), 7,
+             "view", 1.0 if i < 10 else 100.0, "{}") for i in range(15)]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    monkeypatch.setattr(s4, "load_table", lambda _s, _d, _n: df)
+    got = s4.run_changepoint(spark, "ignored").collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["n_events"], r["best_k"]) == (15, 10)
+    # D_10 = |15*S_10 - 10*S_15| in micro-units: S_10=10e6, S_15=510e6
+    assert r["d_max"] == abs(15 * 10_000_000 - 10 * 510_000_000)
+
+
+def test_local_clustering_complete_and_path_graphs(spark, monkeypatch):
+    """K4 nodes have lcc=1; a path's middle node has lcc=0."""
+    import datafusion_ray_spark.operators.suite4 as s4
+    from datafusion_ray_spark.operators import suite4
+
+    k4 = [(a, b) for i, a in enumerate("ABCD") for b in "ABCD"[i + 1:]]
+    path = [("X", "Y"), ("Y", "Z")]
+    edges = spark.createDataFrame(
+        [(a, b, 1) for a, b in k4 + path], "src string, dst string, w int"
+    )
+    monkeypatch.setattr(
+        suite4, "load_table", lambda _s, _d, _n: None
+    )
+    import datafusion_ray_spark.operators.graph as graph_mod
+
+    monkeypatch.setattr(
+        graph_mod, "trade_edges", lambda *a, **k: edges
+    )
+    got = {r["node"]: (r["degree"], r["n_tri"], r["lcc_ppm"])
+           for r in s4.run_local_clustering(spark, "ignored").collect()}
+    for n in "ABCD":
+        assert got[n] == (3, 3, 1_000_000)
+    assert got["Y"] == (2, 0, 0)
+    assert got["X"][2] == 0 and got["Z"][2] == 0
