@@ -766,6 +766,79 @@ ORDER BY d.node
 """
 
 
+# ---------------------------------------------------------------------------
+# Embedding centroid-distance outliers — corpus QC for the vector family:
+# the top-k vectors farthest (squared L2) from the corpus centroid, the
+# standard first-pass screen for corrupt/degenerate embeddings before they
+# poison ANN indexes or SemDeDup clustering.
+#
+# Exactness: values are micro-unit integers (vus = floor(x·1e6)); the
+# centered term is computed as vus·n - Σvus (no division), squared into
+# DECIMAL(38,0) (the square can exceed int64), summed exactly, and ONE
+# final positive floor-division by n² brings the score back to bigint
+# micro-units² — bit-identical across engines and partitionings.
+#
+# Scale: one posexplode shuffle for the 64-row per-dimension stats table
+# (broadcast back), one combinable per-vector aggregate, TakeOrdered top-k.
+
+
+def run_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "x")
+    ).select(
+        "vec_id",
+        "pos",
+        F.expr("CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)").alias(
+            "vus"
+        ),
+    )
+    stats = v.groupBy("pos").agg(
+        F.sum("vus").alias("s"), F.count("*").cast("long").alias("n")
+    )
+    centered = v.join(F.broadcast(stats), "pos").select(
+        "vec_id",
+        "n",
+        (F.col("vus") * F.col("n") - F.col("s")).alias("cn"),
+    )
+    c2 = (F.col("cn").cast("decimal(38,0)") * F.col("cn")).alias("c2")
+    return (
+        centered.select("vec_id", "n", c2)
+        .groupBy("vec_id")
+        .agg(
+            F.expr("CAST(sum(c2) DIV (max(n) * max(n)) AS BIGINT)").alias(
+                "dist2_us"
+            )
+        )
+        .orderBy(F.desc("dist2_us"), "vec_id")
+        .limit(20)
+    )
+
+
+CENTROID_OUTLIERS_ORACLE = """
+WITH v AS (
+    SELECT vec_id, pos,
+           CAST(FLOOR(CAST(embedding[pos] AS DOUBLE) * 1000000) AS BIGINT)
+             AS vus
+    FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(pos)
+),
+st AS (
+    SELECT pos, SUM(vus) AS s, CAST(COUNT(*) AS BIGINT) AS n
+    FROM v GROUP BY pos
+),
+c AS (
+    SELECT v.vec_id, st.n,
+           CAST(v.vus * st.n - st.s AS HUGEINT) AS cn
+    FROM v JOIN st ON v.pos = st.pos
+)
+SELECT vec_id,
+       CAST(SUM(cn * cn) // (MAX(n) * MAX(n)) AS BIGINT) AS dist2_us
+FROM c GROUP BY vec_id
+ORDER BY dist2_us DESC, vec_id
+LIMIT 20
+"""
+
+
 def extension_entries4() -> list:
     from ..queries.registry import SuiteEntry
 
@@ -832,5 +905,12 @@ def extension_entries4() -> list:
             LOCAL_CLUSTERING_ORACLE,
             "per-node local clustering coefficient (triangle membership "
             "via posexploded closed wedges, ppm integers)",
+        ),
+        SuiteEntry(
+            "emb_centroid_outliers",
+            run_centroid_outliers,
+            CENTROID_OUTLIERS_ORACLE,
+            "top-k centroid-distance embedding outliers (exact decimal "
+            "arithmetic, broadcast per-dim stats, TakeOrdered)",
         ),
     ]

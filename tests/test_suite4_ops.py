@@ -268,3 +268,22 @@ def test_local_clustering_complete_and_path_graphs(spark, monkeypatch):
         assert got[n] == (3, 3, 1_000_000)
     assert got["Y"] == (2, 0, 0)
     assert got["X"][2] == 0 and got["Z"][2] == 0
+
+
+def test_centroid_outliers_flags_planted_outlier(spark, monkeypatch):
+    """A vector far from a tight cluster must rank first with a much
+    larger distance."""
+    import datafusion_ray_spark.operators.suite4 as s4
+
+    base = [0.5] * 8
+    rows = [(i, [v + (0.001 * i) for v in base], 0) for i in range(9)]
+    rows.append((99, [5.0] * 8, 0))  # the planted outlier
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    monkeypatch.setattr(s4, "load_table", lambda _s, _d, _n: df)
+    got = s4.run_centroid_outliers(spark, "ignored").collect()
+    assert got[0]["vec_id"] == 99
+    # with n=10 the outlier drags the centroid toward itself: expected
+    # ratio ~ ((9/10)*4.5 / (1/10)*4.5)^2 = 81
+    assert got[0]["dist2_us"] > 50 * got[1]["dist2_us"]
