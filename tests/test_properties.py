@@ -279,3 +279,80 @@ def test_fuzzy_join_matches_bruteforce(spark, keys):
             if d <= 2:
                 want[(i, j)] = d
     assert got == want, (got, want)
+
+
+# ---------------------------------------------------------------------------
+# Containment-dedup prefix filter: LOSSLESS against a naive all-pairs
+# reference on arbitrary small corpora (random word sequences force shared
+# and disjoint shingle sets, size ties, and sub-threshold pairs).
+
+_doc_words = st.lists(st.integers(0, 7), min_size=3, max_size=12)
+_corpus = st.lists(_doc_words, min_size=2, max_size=6)
+
+
+def _shingle_set(words):
+    toks = [f"w{w}" for w in words]
+    return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+
+
+@given(corpus=_corpus)
+@_settings
+def test_containment_pairs_match_naive(spark, corpus):
+    from datafusion_ray_spark.operators.suite4 import (
+        CONTAINMENT_THRESHOLD_PPM,
+        containment_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{w}" for w in words), "s")
+         for i, words in enumerate(corpus)],
+        "doc_id long, text string, source string",
+    )
+    got = {(r["doc_small"], r["doc_big"]): r["containment_ppm"]
+           for r in containment_pairs(docs).collect()}
+
+    expect = {}
+    sets = [(_i, _shingle_set(w)) for _i, w in enumerate(corpus)]
+    for i, sa in sets:
+        for j, sb in sets:
+            if i >= j or not sa or not sb:
+                continue
+            # 'small' side: fewer shingles, ties to the lower doc_id
+            if (len(sa), i) <= (len(sb), j):
+                small, big, ss = i, j, sa
+            else:
+                small, big, ss = j, i, sb
+            ppm = (len(sa & sb) * 1_000_000) // len(ss)
+            if ppm >= CONTAINMENT_THRESHOLD_PPM:
+                expect[(small, big)] = ppm
+    assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# Scene-cut frame kernel: the batched prefix-sum gather must agree with a
+# naive per-payload loop for arbitrary payload lengths (empty, shorter than
+# one frame, exact multiples, long).
+
+_payloads = st.lists(
+    st.binary(min_size=0, max_size=40), min_size=1, max_size=6
+)
+
+
+@given(payloads=_payloads)
+@_settings
+def test_frame_lumas_match_naive(spark, payloads):
+    from datafusion_ray_spark.operators.multimodal import frame_lumas
+
+    fb = 16
+    df = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in enumerate(payloads)],
+        "doc_id long, payload binary",
+    )
+    got = {(r["doc_id"], r["frame_id"]): (r["luma"], r["flen"])
+           for r in frame_lumas(df, frame_bytes=fb).collect()}
+    expect = {}
+    for i, p in enumerate(payloads):
+        for k in range(0, (len(p) + fb - 1) // fb):
+            frame = p[k * fb:(k + 1) * fb]
+            expect[(i, k)] = (sum(frame), len(frame))
+    assert got == expect
