@@ -334,4 +334,60 @@ ORDER BY lang
 """,
 )
 
+# RFM (recency/frequency/monetary) segmentation — the customer-analytics
+# staple: per-user metrics then deterministic NTILE(4) quartiles (ties
+# broken by user_id so the assignment is engine-exact; quartile 1 = most
+# recent / most frequent / highest spend). Monetary is summed in integer
+# micro-units.
+_q(
+    "ev_user_rfm",
+    """
+WITH m AS (
+    SELECT user_id,
+           MAX(unix_micros(ts)) AS last_us,
+           CAST(COUNT(*) AS BIGINT) AS freq,
+           CAST(SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS BIGINT) AS mon_us
+    FROM events GROUP BY user_id
+),
+g AS (SELECT MAX(last_us) AS now_us FROM m),
+q AS (
+    SELECT user_id,
+           CAST(NTILE(4) OVER (ORDER BY now_us - last_us, user_id) AS INT) AS r_q,
+           CAST(NTILE(4) OVER (ORDER BY freq DESC, user_id) AS INT) AS f_q,
+           CAST(NTILE(4) OVER (ORDER BY mon_us DESC, user_id) AS INT) AS m_q,
+           freq, mon_us
+    FROM m CROSS JOIN g
+)
+SELECT user_id, r_q, f_q, m_q,
+       CAST(r_q * 100 + f_q * 10 + m_q AS INT) AS rfm_code,
+       freq, mon_us
+FROM q
+ORDER BY user_id
+""",
+    "RFM segmentation: per-user quartiles with deterministic tie-break",
+    oracle="""
+WITH m AS (
+    SELECT user_id,
+           MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS last_us,
+           CAST(COUNT(*) AS BIGINT) AS freq,
+           CAST(SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS BIGINT) AS mon_us
+    FROM events GROUP BY user_id
+),
+g AS (SELECT MAX(last_us) AS now_us FROM m),
+q AS (
+    SELECT user_id,
+           CAST(NTILE(4) OVER (ORDER BY now_us - last_us, user_id) AS INT) AS r_q,
+           CAST(NTILE(4) OVER (ORDER BY freq DESC, user_id) AS INT) AS f_q,
+           CAST(NTILE(4) OVER (ORDER BY mon_us DESC, user_id) AS INT) AS m_q,
+           freq, mon_us
+    FROM m CROSS JOIN g
+)
+SELECT user_id, r_q, f_q, m_q,
+       CAST(r_q * 100 + f_q * 10 + m_q AS INT) AS rfm_code,
+       freq, mon_us
+FROM q
+ORDER BY user_id
+""",
+)
+
 COVERAGE4_QUERIES: dict[str, QueryDef] = dict(_Q)
