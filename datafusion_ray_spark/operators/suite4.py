@@ -839,6 +839,122 @@ LIMIT 20
 """
 
 
+# ---------------------------------------------------------------------------
+# Row-level sessionization — the assignment form of session windows: every
+# event gets a (user_id, session_idx) label (new session when the gap from
+# the previous event exceeds the threshold), which is what downstream
+# pipelines JOIN against; `ev_session_window` only emits the aggregate.
+# One LAG window + one running SUM over the same partition — a single hash
+# shuffle on user_id, both passes window-fused by Spark.
+
+SESSION_GAP_MIN = 30
+
+
+def run_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..sources.tables import epoch_us
+
+    gap_us = SESSION_GAP_MIN * 60 * 1_000_000
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.select(
+        "user_id", "event_id", epoch_us(ev, "ts").alias("eus")
+    )
+    w = Window.partitionBy("user_id").orderBy("eus", "event_id")
+    brk = (
+        F.lag("eus").over(w).isNull()
+        | (F.col("eus") - F.lag("eus").over(w) >= gap_us)
+    ).cast("int")
+    return (
+        ev.withColumn("_brk", brk)
+        .withColumn(
+            "session_idx",
+            F.sum("_brk").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ).cast("int"),
+        )
+        .select("user_id", "event_id", "eus", "session_idx")
+        .orderBy("user_id", "eus", "event_id")
+    )
+
+
+SESSIONIZE_ORACLE = f"""
+WITH e AS (
+    SELECT user_id, event_id,
+           epoch_us(CAST(ts AS TIMESTAMP)) AS eus
+    FROM events
+),
+b AS (
+    SELECT user_id, event_id, eus,
+           CASE WHEN LAG(eus) OVER w IS NULL
+                  OR eus - LAG(eus) OVER w >= {SESSION_GAP_MIN} * 60 * 1000000
+                THEN 1 ELSE 0 END AS brk
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY eus, event_id)
+)
+SELECT user_id, event_id, eus,
+       CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY eus, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS INT) AS session_idx
+FROM b
+ORDER BY user_id, eus, event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# N-gram novelty scoring — dataset-curation signal: for each document (in
+# doc_id order, the ingest order), the fraction of its distinct shingles
+# never seen in ANY earlier document. Duplicate-heavy or boilerplate docs
+# score near zero; genuinely new content scores high — the ranking signal
+# novelty-aware samplers use. First-occurrence per shingle is one min
+# aggregate over the exploded (shingle, doc_id) pairs — linear, combinable;
+# the per-doc fraction is a ppm integer.
+
+
+def run_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    sh = docs.select(
+        "doc_id", F.explode(dedup.shingles("text")).alias("s")
+    )
+    first = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(first, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1)
+                  .otherwise(0)).cast("long").alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.expr("n_novel * 1000000 DIV n_shingles").alias("novelty_ppm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+NGRAM_NOVELTY_ORACLE = f"""
+WITH docs AS (
+    SELECT doc_id, {_WORDS} AS w FROM documents
+),
+sh AS (
+    SELECT doc_id, unnest({_SHINGLES}) AS s FROM docs
+),
+f AS (SELECT s, MIN(doc_id) AS first_doc FROM sh GROUP BY s)
+SELECT sh.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       CAST(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+            * 1000000 // COUNT(*) AS BIGINT) AS novelty_ppm
+FROM sh JOIN f ON f.s = sh.s
+GROUP BY sh.doc_id
+ORDER BY sh.doc_id
+"""
+
+
 def extension_entries4() -> list:
     from ..queries.registry import SuiteEntry
 
@@ -912,5 +1028,19 @@ def extension_entries4() -> list:
             CENTROID_OUTLIERS_ORACLE,
             "top-k centroid-distance embedding outliers (exact decimal "
             "arithmetic, broadcast per-dim stats, TakeOrdered)",
+        ),
+        SuiteEntry(
+            "ev_sessionize",
+            run_sessionize,
+            SESSIONIZE_ORACLE,
+            "row-level sessionization: per-event (user, session_idx) "
+            "labels via LAG + running sum, one shuffle",
+        ),
+        SuiteEntry(
+            "text_ngram_novelty",
+            run_ngram_novelty,
+            NGRAM_NOVELTY_ORACLE,
+            "per-doc n-gram novelty fraction vs all earlier docs "
+            "(first-occurrence min aggregate, ppm integers)",
         ),
     ]

@@ -287,3 +287,53 @@ def test_centroid_outliers_flags_planted_outlier(spark, monkeypatch):
     # with n=10 the outlier drags the centroid toward itself: expected
     # ratio ~ ((9/10)*4.5 / (1/10)*4.5)^2 = 81
     assert got[0]["dist2_us"] > 50 * got[1]["dist2_us"]
+
+
+def test_sessionize_agrees_with_session_window_counts(spark, sf_dir):
+    """Per user: number of distinct session labels == number of session
+    windows the aggregate operator emits."""
+    from datafusion_ray_spark.operators.suite4 import run_sessionize
+    from datafusion_ray_spark.sources.tables import load_table
+    from datafusion_ray_spark.streaming.windows import session_agg
+
+    labels = (
+        run_sessionize(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.max("session_idx").alias("n_sessions"))
+    )
+    windows = (
+        session_agg(load_table(spark, sf_dir, "events"))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_windows"))
+    )
+    diff = (
+        labels.join(windows, "user_id", "full_outer")
+        .where(
+            F.col("n_sessions").isNull()
+            | F.col("n_windows").isNull()
+            | (F.col("n_sessions") != F.col("n_windows"))
+        )
+        .count()
+    )
+    assert diff == 0
+
+
+def test_ngram_novelty_duplicate_scores_zero(spark, monkeypatch):
+    import datafusion_ray_spark.operators.suite4 as s4
+
+    a = " ".join(f"w{i}" for i in range(20))
+    b = " ".join(f"x{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [(1, a, "s"), (2, a, "s"), (3, b, "s"),
+         (4, a + " " + b, "s")],  # doc 4: all shingles seen except joins
+        "doc_id long, text string, source string",
+    )
+    monkeypatch.setattr(s4, "_docs", lambda _s, _d: docs)
+    got = {r["doc_id"]: (r["n_novel"], r["novelty_ppm"])
+           for r in s4.run_ngram_novelty(spark, "ignored").collect()}
+    assert got[1][1] == 1_000_000   # first occurrence: fully novel
+    assert got[2] == (0, 0)         # exact duplicate: zero novelty
+    assert got[3][1] == 1_000_000
+    # doc 4 reuses every shingle of a and b; only the 2 stitch shingles
+    # spanning the "a b" boundary are novel
+    assert got[4][0] == 2 and got[4][1] < 100_000
