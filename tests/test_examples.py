@@ -18,6 +18,7 @@ SCRIPTS = [
     "dedup_pipeline.py",
     "streaming_ingest.py",
     "llm_pipeline.py",
+    "behavior_analytics.py",
 ]
 
 
