@@ -955,6 +955,145 @@ ORDER BY sh.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Event-type co-occurrence / lift matrix — the market-basket complement to
+# the sequential Markov matrix: for each unordered pair of event types,
+# how many users performed both, with support and lift as ppm integers
+# (lift > 1e6 means the types co-occur more than independence predicts).
+# Two combinable aggregates + one self-join on user_id over the distinct
+# (user, type) projection — every stage is linear and map-side combinable;
+# the type-pair output is |types|² rows regardless of event volume.
+
+
+def run_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    nu = ut.agg(
+        F.countDistinct("user_id").cast("long").alias("n_users")
+    )
+    per_type = ut.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    both = (
+        a.join(b, "user_id")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").cast("long").alias("n_both"))
+    )
+    pa = per_type.select(F.col("event_type").alias("type_a"),
+                         F.col("n").alias("n_a"))
+    pb = per_type.select(F.col("event_type").alias("type_b"),
+                         F.col("n").alias("n_b"))
+    return (
+        both.join(F.broadcast(pa), "type_a")
+        .join(F.broadcast(pb), "type_b")
+        .crossJoin(F.broadcast(nu))
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            F.expr("n_both * 1000000 DIV n_users").alias("support_ppm"),
+            # lift = P(a,b) / (P(a)P(b)) = n_both * n_users / (n_a * n_b)
+            F.expr("n_both * n_users * 1000000 DIV (n_a * n_b)")
+            .alias("lift_ppm"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+COOCCURRENCE_ORACLE = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+nu AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM ut),
+pt AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM ut GROUP BY event_type),
+bo AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(COUNT(*) AS BIGINT) AS n_both
+    FROM ut a JOIN ut b ON a.user_id = b.user_id
+    WHERE a.event_type < b.event_type
+    GROUP BY 1, 2
+)
+SELECT bo.type_a, bo.type_b, bo.n_both,
+       CAST(bo.n_both * 1000000 // nu.n_users AS BIGINT) AS support_ppm,
+       CAST(bo.n_both * nu.n_users * 1000000 // (pa.n * pb.n) AS BIGINT)
+         AS lift_ppm
+FROM bo
+JOIN pt pa ON pa.event_type = bo.type_a
+JOIN pt pb ON pb.event_type = bo.type_b
+CROSS JOIN nu
+ORDER BY bo.type_a, bo.type_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# Inter-event gap histogram — the latency/activity profile: distribution of
+# per-user gaps between consecutive events in log2-second buckets. The
+# bucket is computed from the INTEGER gap's binary-representation length
+# (Spark `bin()`, DuckDB `printf('%b')`) — exact on both engines, immune
+# to libm log2 ulp differences at power-of-two boundaries. One LAG window
+# shuffle + one combinable histogram aggregate.
+
+
+def run_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..sources.tables import epoch_us
+
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.select(
+        "user_id", "event_id", epoch_us(ev, "ts").alias("eus")
+    )
+    w = Window.partitionBy("user_id").orderBy("eus", "event_id")
+    gaps = (
+        ev.withColumn("_prev", F.lag("eus").over(w))
+        .select(
+            "user_id",
+            F.expr("(eus - _prev) DIV 1000000").alias("gap_s"),
+        )
+        .where(F.col("gap_s").isNotNull())
+    )
+    bucket = (
+        F.when(F.col("gap_s") <= 0, F.lit(-1))
+        .otherwise(F.length(F.expr("bin(gap_s)")) - 1)
+        .cast("int")
+    )
+    return (
+        gaps.groupBy(bucket.alias("log2_bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n_gaps"),
+            F.min("gap_s").cast("long").alias("min_gap_s"),
+            F.max("gap_s").cast("long").alias("max_gap_s"),
+        )
+        .orderBy("log2_bucket")
+    )
+
+
+GAP_HISTOGRAM_ORACLE = """
+WITH e AS (
+    SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS eus
+    FROM events
+),
+g AS (
+    SELECT (eus - LAG(eus) OVER (PARTITION BY user_id
+                                 ORDER BY eus, event_id)) // 1000000 AS gap_s
+    FROM e
+),
+b AS (
+    SELECT gap_s,
+           CASE WHEN gap_s <= 0 THEN -1
+                ELSE CAST(length(printf('%b', gap_s)) - 1 AS INT)
+           END AS log2_bucket
+    FROM g WHERE gap_s IS NOT NULL
+)
+SELECT log2_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       CAST(MIN(gap_s) AS BIGINT) AS min_gap_s,
+       CAST(MAX(gap_s) AS BIGINT) AS max_gap_s
+FROM b GROUP BY log2_bucket ORDER BY log2_bucket
+"""
+
+
 def extension_entries4() -> list:
     from ..queries.registry import SuiteEntry
 
@@ -1042,5 +1181,19 @@ def extension_entries4() -> list:
             NGRAM_NOVELTY_ORACLE,
             "per-doc n-gram novelty fraction vs all earlier docs "
             "(first-occurrence min aggregate, ppm integers)",
+        ),
+        SuiteEntry(
+            "ev_cooccurrence",
+            run_cooccurrence,
+            COOCCURRENCE_ORACLE,
+            "event-type co-occurrence/lift matrix (market-basket form, "
+            "distinct-pair self-join, ppm support and lift)",
+        ),
+        SuiteEntry(
+            "ev_gap_histogram",
+            run_gap_histogram,
+            GAP_HISTOGRAM_ORACLE,
+            "inter-event gap histogram in exact log2 buckets "
+            "(binary-length bucketing, no libm drift)",
         ),
     ]
