@@ -863,3 +863,57 @@ def markov_pairs_stream(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def sessionize_stream(events: DataFrame,
+                      gap_minutes: int = 30) -> DataFrame:
+    """Streaming twin of row-level sessionization
+    (``operators/suite4.py:run_sessionize``): every arriving event is
+    labeled with its (user_id, session_idx) AT INGEST. State per key is
+    two integers (last event's epoch-us, current session index) — the
+    labels a real-time personalization/abandonment pipeline joins on,
+    without waiting for the batch pass.
+
+    Rows fold in (ts, event_id) order within each micro-batch; as with
+    the EWMA/Markov twins, cross-batch order assumes replay/backfill
+    arrival. Emits one append row per event, bit-equal to the batch
+    operator under those conditions (the test certifies it).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        last_eus, idx = state.get if state.exists else (None, 0)
+        out_eid: list[int] = []
+        out_eus: list[int] = []
+        out_idx: list[int] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for eid, ts in zip(pdf["event_id"], pdf["ts"]):
+                eus = int(ts.value // 1000)
+                if last_eus is None or eus - last_eus >= gap_us:
+                    idx += 1
+                last_eus = eus
+                out_eid.append(int(eid))
+                out_eus.append(eus)
+                out_idx.append(idx)
+        state.update((last_eus if last_eus is not None else 0, idx))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(out_eid),
+                "event_id": out_eid,
+                "eus": out_eus,
+                "session_idx": out_idx,
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, event_id long, eus long, session_idx int",
+        stateStructType="last_eus long, idx int",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -477,3 +477,23 @@ def test_streaming_markov_pairs_match_batch(spark, sf_dir, events_dir):
         for r in run_markov_transitions(spark, sf_dir).collect()
     }
     assert streamed == batch
+
+
+def test_streaming_sessionize_matches_batch(spark, sf_dir, events_dir):
+    """Per-event streamed session labels == the batch sessionize labels."""
+    from datafusion_ray_spark.operators.suite4 import run_sessionize
+
+    stream = structured.stream_events(spark, events_dir)
+    structured.run_to_memory(
+        structured.sessionize_stream(stream), "stream_sessionize",
+        output_mode="append",
+    )
+    streamed = {
+        r["event_id"]: (r["user_id"], r["eus"], r["session_idx"])
+        for r in spark.sql("SELECT * FROM stream_sessionize").collect()
+    }
+    batch = {
+        r["event_id"]: (r["user_id"], r["eus"], r["session_idx"])
+        for r in run_sessionize(spark, sf_dir).collect()
+    }
+    assert streamed == batch
