@@ -1094,6 +1094,86 @@ FROM b GROUP BY log2_bucket ORDER BY log2_bucket
 """
 
 
+# ---------------------------------------------------------------------------
+# Two-slice drift profile — the data-quality monitor a scheduled pipeline
+# runs between loads: split the stream at its time midpoint and report,
+# per event_type, how volume and value distribution moved (count ratio and
+# integer micro-unit mean shift). A full outer join keeps types that
+# appear in only one half visible. All-integer (floor-division means), one
+# scan + two combinable aggregates.
+
+
+def run_drift_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import epoch_us
+
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.select(
+        "event_type",
+        epoch_us(ev, "ts").alias("eus"),
+        F.floor(F.col("value") * 1_000_000).cast("long").alias("vus"),
+    )
+    bounds = ev.agg(
+        F.expr("(min(eus) + max(eus)) div 2").alias("cut")
+    )
+    ev = ev.crossJoin(F.broadcast(bounds))
+
+    def half(cond, tag):
+        return (
+            ev.where(cond)
+            .groupBy("event_type")
+            .agg(
+                F.count("*").cast("long").alias(f"n_{tag}"),
+                F.expr("sum(vus) DIV count(*)").alias(f"mean_{tag}_us"),
+            )
+        )
+
+    a = half(F.col("eus") <= F.col("cut"), "a")
+    b = half(F.col("eus") > F.col("cut"), "b")
+    return (
+        a.join(b, "event_type", "full_outer")
+        .select(
+            "event_type",
+            "n_a",
+            "n_b",
+            F.expr("coalesce(n_b, 0) * 1000000 DIV coalesce(n_a, 0)")
+            .alias("count_ratio_ppm"),
+            "mean_a_us",
+            "mean_b_us",
+            (F.col("mean_b_us") - F.col("mean_a_us")).alias("mean_shift_us"),
+        )
+        .orderBy("event_type")
+    )
+
+
+DRIFT_PROFILE_ORACLE = """
+WITH e AS (
+    SELECT event_type,
+           epoch_us(CAST(ts AS TIMESTAMP)) AS eus,
+           CAST(FLOOR(value * 1000000) AS BIGINT) AS vus
+    FROM events
+),
+c AS (SELECT (MIN(eus) + MAX(eus)) // 2 AS cut FROM e),
+a AS (
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_a,
+           CAST(SUM(vus) // COUNT(*) AS BIGINT) AS mean_a_us
+    FROM e WHERE eus <= (SELECT cut FROM c) GROUP BY event_type
+),
+b AS (
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_b,
+           CAST(SUM(vus) // COUNT(*) AS BIGINT) AS mean_b_us
+    FROM e WHERE eus > (SELECT cut FROM c) GROUP BY event_type
+)
+SELECT COALESCE(a.event_type, b.event_type) AS event_type,
+       a.n_a, b.n_b,
+       CAST(COALESCE(b.n_b, 0) * 1000000 // COALESCE(a.n_a, 0) AS BIGINT)
+         AS count_ratio_ppm,
+       a.mean_a_us, b.mean_b_us,
+       CAST(b.mean_b_us - a.mean_a_us AS BIGINT) AS mean_shift_us
+FROM a FULL OUTER JOIN b ON a.event_type = b.event_type
+ORDER BY 1
+"""
+
+
 def extension_entries4() -> list:
     from ..queries.registry import SuiteEntry
 
@@ -1195,5 +1275,12 @@ def extension_entries4() -> list:
             GAP_HISTOGRAM_ORACLE,
             "inter-event gap histogram in exact log2 buckets "
             "(binary-length bucketing, no libm drift)",
+        ),
+        SuiteEntry(
+            "profile_drift",
+            run_drift_profile,
+            DRIFT_PROFILE_ORACLE,
+            "two-slice drift profile: per-type count ratio + integer "
+            "mean shift across the time midpoint",
         ),
     ]
