@@ -35,7 +35,7 @@ sf = "/root/testdata/sf0.001"
 con = duckdb.connect()
 duckdb_register(con, sf)
 reg = build_registry()
-for name in ["q1", "ev_session_window", "ev_daily_pivot", "join_range"]:
+for name in ["q1", "ev_session_window", "ev_daily_pivot", "join_range", "ev_sessionize", "ev_gap_histogram", "ev_seq_match"]:
     assert_frames_match(
         reg[name].run(spark, sf).toPandas(), con.sql(reg[name].oracle).df(), name=name
     )
@@ -53,5 +53,6 @@ def test_queries_green_under_truly_vanilla_session():
         cwd=REPO,
     )
     assert proc.returncode == 0, f"stdout:\n{proc.stdout[-2000:]}\nstderr:\n{proc.stderr[-2000:]}"
-    for name in ("q1", "ev_session_window", "ev_daily_pivot", "join_range"):
+    for name in ("q1", "ev_session_window", "ev_daily_pivot", "join_range",
+                 "ev_sessionize", "ev_gap_histogram", "ev_seq_match"):
         assert f"OK {name}" in proc.stdout
