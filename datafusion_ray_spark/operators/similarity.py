@@ -663,6 +663,76 @@ def ivfpq_encode(
     return df.mapInPandas(gen, out_schema)
 
 
+def knn_graph(df: DataFrame, k: int = 3,
+              emb_col: str = "embedding") -> DataFrame:
+    """Batch ANN: the k-nearest-neighbor GRAPH over the whole corpus —
+    top-``k`` same-bucket neighbors by cosine for EVERY vector (the
+    workload shape behind SemDeDup clustering, kNN-graph label
+    propagation, and retrieval index bootstrap; single-query top-k is
+    :func:`lsh_ann_topk`).
+
+    Spark-first at scale: vectors are grouped by their LSH bucket
+    (``groupBy(bucket).applyInPandas``) and each bucket's neighbor lists
+    come from ONE (n_b × n_b) float64 matmul — the per-cluster dense
+    kernel every published SemDeDup implementation uses, vectorized and
+    partition-parallel, never an all-pairs corpus join. At 100 TB the
+    bucketed table is the materialized ANN index, so the groupBy reads
+    co-partitioned data. Candidate scope = own bucket (multi-probe =
+    union over band tables, same plan).
+
+    Determinism: cosines are rounded to 6 dp; ranking ties break by
+    neighbor id. float64 matmul vs the oracle's exact-decimal sums agree
+    to ~1e-13, far below the rounding grain.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([
+        T.StructField("src", T.LongType()),
+        T.StructField("rank", T.IntegerType()),
+        T.StructField("nbr", T.LongType()),
+        T.StructField("cosine", T.DoubleType()),
+    ])
+
+    def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {"src": [], "rank": [], "nbr": [], "cosine": []}
+            ).astype({"src": "int64", "rank": "int32",
+                      "nbr": "int64", "cosine": "float64"})
+        ids = pdf["vec_id"].to_numpy()
+        X = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in pdf[emb_col]])
+        nrm = np.sqrt((X * X).sum(axis=1))
+        nrm[nrm == 0.0] = 1.0
+        C = np.round((X @ X.T) / (nrm[:, None] * nrm[None, :]), 6)
+        kk = min(k, n - 1)
+        srcs, ranks, nbrs, coss = [], [], [], []
+        for i in range(n):
+            row = C[i]
+            # order: cosine desc, neighbor id asc, self excluded
+            order = np.lexsort((ids, -row))
+            order = order[ids[order] != ids[i]][:kk]
+            srcs.extend([ids[i]] * len(order))
+            ranks.extend(range(1, len(order) + 1))
+            nbrs.extend(ids[order])
+            coss.extend(row[order])
+        return pd.DataFrame(
+            {"src": np.asarray(srcs, dtype="int64"),
+             "rank": np.asarray(ranks, dtype="int32"),
+             "nbr": np.asarray(nbrs, dtype="int64"),
+             "cosine": np.asarray(coss, dtype="float64")}
+        )
+
+    return (
+        with_bucket(df, emb_col)
+        .select("bucket", "vec_id", emb_col)
+        .groupBy("bucket")
+        .applyInPandas(per_bucket, out_schema)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Scalar quantization (SQ8): per-dimension linear int8 codes.
 

@@ -1174,6 +1174,83 @@ ORDER BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# kNN-graph construction (batch ANN) — see similarity.knn_graph. The
+# oracle recomputes the same LSH buckets from the shared hyperplane
+# literals and ranks per-bucket pair cosines with exact decimal sums.
+
+KNN_GRAPH_K = 3
+
+
+def run_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.knn_graph(emb, k=KNN_GRAPH_K).orderBy("src", "rank")
+
+
+def knn_graph_oracle(k: int = KNN_GRAPH_K) -> str:
+    from .suite import _DOT_DEC, _hyperplane_values_sql
+
+    return f"""
+WITH hp(j, v) AS (
+    VALUES {_hyperplane_values_sql()}
+),
+pr AS (
+    SELECT e.vec_id, hp.j,
+           CAST(unnest(e.embedding) AS DOUBLE) AS x,
+           unnest(hp.v) AS y
+    FROM embeddings e CROSS JOIN hp
+),
+hdots AS (
+    SELECT vec_id, j, {_DOT_DEC} AS d FROM pr GROUP BY vec_id, j
+),
+buckets AS (
+    SELECT vec_id,
+           CAST(SUM(CASE WHEN d > 0 THEN CAST(POW(2, j) AS BIGINT)
+                    ELSE 0 END) AS INT) AS bucket
+    FROM hdots GROUP BY vec_id
+),
+nrm AS (
+    SELECT vec_id,
+           SQRT(CAST(SUM(CAST(CAST(u AS DOUBLE) * CAST(u AS DOUBLE)
+                AS DECIMAL(28,14))) AS DOUBLE)) AS nm
+    FROM (SELECT vec_id, unnest(embedding) AS u FROM embeddings) t
+    GROUP BY vec_id
+),
+pairs AS (
+    SELECT a.vec_id AS src, b.vec_id AS nbr,
+           CAST(unnest(a.embedding) AS DOUBLE) AS x,
+           CAST(unnest(b.embedding) AS DOUBLE) AS y
+    FROM embeddings a
+    JOIN buckets ba ON ba.vec_id = a.vec_id
+    JOIN buckets bb ON bb.bucket = ba.bucket
+    JOIN embeddings b ON b.vec_id = bb.vec_id AND b.vec_id <> a.vec_id
+),
+pdots AS (
+    SELECT src, nbr, {_DOT_DEC} AS dot FROM pairs GROUP BY src, nbr
+),
+sc AS (
+    SELECT d.src, d.nbr,
+           ROUND(d.dot / (CASE WHEN na.nm = 0 THEN 1 ELSE na.nm END
+                          * CASE WHEN nb.nm = 0 THEN 1 ELSE nb.nm END), 6)
+             AS cosine
+    FROM pdots d
+    JOIN nrm na ON na.vec_id = d.src
+    JOIN nrm nb ON nb.vec_id = d.nbr
+),
+r AS (
+    SELECT src, nbr, cosine,
+           ROW_NUMBER() OVER (PARTITION BY src
+                              ORDER BY cosine DESC, nbr) AS rk
+    FROM sc
+)
+SELECT src, CAST(rk AS INT) AS rank, nbr, cosine
+FROM r WHERE rk <= {k}
+ORDER BY src, rank
+"""
+
+
 def extension_entries4() -> list:
     from ..queries.registry import SuiteEntry
 
@@ -1282,5 +1359,12 @@ def extension_entries4() -> list:
             DRIFT_PROFILE_ORACLE,
             "two-slice drift profile: per-type count ratio + integer "
             "mean shift across the time midpoint",
+        ),
+        SuiteEntry(
+            "sim_knn_graph",
+            run_knn_graph,
+            knn_graph_oracle(),
+            "batch ANN: corpus-wide kNN graph via per-LSH-bucket dense "
+            "matmul kernels (the SemDeDup workload shape)",
         ),
     ]

@@ -337,3 +337,31 @@ def test_ngram_novelty_duplicate_scores_zero(spark, monkeypatch):
     # doc 4 reuses every shingle of a and b; only the 2 stitch shingles
     # spanning the "a b" boundary are novel
     assert got[4][0] == 2 and got[4][1] < 100_000
+
+
+def test_knn_graph_ranks_planted_neighbors(spark):
+    """Two tight clusters: every vector's rank-1 neighbor comes from its
+    own cluster, and ranking ties break by neighbor id."""
+    from datafusion_ray_spark.operators.similarity import knn_graph
+
+    a = [1.0] * 8 + [0.0] * 56
+    b = [0.0] * 56 + [1.0] * 8
+    rows = []
+    for i in range(4):
+        rows.append((i, [v + 0.001 * i for v in a], 0))
+        rows.append((100 + i, [v + 0.001 * i for v in b], 1))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = knn_graph(df, k=2).collect()
+    nb1 = {r["src"]: r["nbr"] for r in out if r["rank"] == 1}
+    for src, nbr in nb1.items():
+        assert (src < 100) == (nbr < 100), f"{src} crossed clusters to {nbr}"
+    # ranks are 1..k and cosines non-increasing per src
+    per_src = {}
+    for r in out:
+        per_src.setdefault(r["src"], []).append((r["rank"], r["cosine"]))
+    for src, lst in per_src.items():
+        lst.sort()
+        assert [rk for rk, _ in lst] == list(range(1, len(lst) + 1))
+        assert all(lst[i][1] >= lst[i + 1][1] for i in range(len(lst) - 1))
