@@ -356,3 +356,92 @@ def test_frame_lumas_match_naive(spark, payloads):
             frame = p[k * fb:(k + 1) * fb]
             expect[(i, k)] = (sum(frame), len(frame))
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# Change-point detection: the integer CUSUM-numerator argmax must agree
+# with a naive Python scan for arbitrary per-user series (ties to the
+# smallest k, singleton users dropped).
+
+_series = st.lists(st.integers(-3, 3), min_size=1, max_size=12)
+_users = st.lists(_series, min_size=1, max_size=4)
+
+
+@given(users=_users)
+@_settings
+def test_changepoint_matches_naive(spark, users):
+    import datetime as dt
+    from unittest import mock
+
+    import datafusion_ray_spark.operators.suite4 as s4
+
+    rows = []
+    for u, vals in enumerate(users):
+        for i, v in enumerate(vals):
+            rows.append((u * 1000 + i, dt.datetime(2024, 1, 1, 0, 0, i),
+                         u, "view", float(v), "{}"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    with mock.patch.object(s4, "load_table", lambda _s, _d, _n: df):
+        got = {r["user_id"]: (r["n_events"], r["best_k"], r["d_max"])
+               for r in s4.run_changepoint(spark, "ignored").collect()}
+
+    expect = {}
+    for u, vals in enumerate(users):
+        n = len(vals)
+        if n < 2:
+            continue  # no split exists; user dropped
+        vus = [int(__import__("math").floor(v * 1_000_000)) for v in vals]
+        sn = sum(vus)
+        best = None
+        for k in range(1, n):
+            sk = sum(vus[:k])
+            d = abs(n * sk - k * sn)
+            if best is None or d > best[1]:
+                best = (k, d)
+        expect[u] = (n, best[0], best[1])
+    assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# CEP sequence matching: journey regex counts must agree with Python's re
+# (same non-overlapping leftmost-greedy scan) on arbitrary journeys.
+
+_journey = st.text(alphabet="vcpes", min_size=0, max_size=15)
+
+
+@given(j1=_journey, j2=_journey)
+@_settings
+def test_seq_match_matches_re(spark, j1, j2):
+    import datetime as dt
+    import re
+    from unittest import mock
+
+    import datafusion_ray_spark.operators.suite4 as s4
+
+    sym2type = {"v": "view", "c": "click", "p": "purchase",
+                "e": "error", "s": "signup"}
+    rows = []
+    for u, journey in enumerate((j1, j2)):
+        for i, ch in enumerate(journey):
+            rows.append((u * 1000 + i, dt.datetime(2024, 1, 1, 0, 0, i),
+                         u, sym2type[ch], 1.0, "{}"))
+    if not rows:
+        return
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    with mock.patch.object(s4, "load_table", lambda _s, _d, _n: df):
+        got = {r["user_id"]: (r["n_conversions"], r["n_error_bursts"])
+               for r in s4.run_seq_match(spark, "ignored").collect()}
+    for u, journey in enumerate((j1, j2)):
+        if not journey:
+            continue
+        expect = (len(re.findall(s4.CONVERSION_PATTERN, journey)),
+                  len(re.findall(s4.ERROR_BURST_PATTERN, journey)))
+        assert got[u] == expect, (u, journey)
