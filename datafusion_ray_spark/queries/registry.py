@@ -56,8 +56,10 @@ _PRIORITY_AFTER_TPCH = [
     # 50-row driver window)
     "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
     "dedup_groups", "dedup_containment",
-    # Similarity / ANN (brute baseline + the scale paths)
-    "sim_knn_brute", "sim_ann_lsh", "sim_ann_ivf",
+    # Similarity / ANN (single-query scale paths + the batch kNN-graph
+    # workload; the brute single-query baseline stays certified in
+    # CORRECTNESS_LOCAL.json)
+    "sim_knn_graph", "sim_ann_lsh", "sim_ann_ivf",
     "sim_semdedup",
     # Leakage-safe corpus split over near-dup components
     "split_group_holdout",
