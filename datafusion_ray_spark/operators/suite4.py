@@ -523,6 +523,94 @@ FROM c GROUP BY doc_id ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# Silence trimming — the audio-VAD preprocessing shape on framed payloads:
+# a frame is "quiet" iff its mean byte value is below the CORPUS mean
+# (cross-multiplied integers: luma·Σflen < Σluma·flen — no division, no
+# arbitrary constant, guaranteed variation on any data); each payload
+# reports its active span (first/last non-quiet frame) and how many
+# frames a leading/trailing trim would drop. Same scale shape as
+# scene_cuts: the Arrow prefix-sum kernel feeds one broadcast global
+# aggregate and one combinable per-doc aggregate.
+
+
+def run_silence_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import multimodal as mm
+
+    fl = mm.frame_lumas(mm.with_binary_payload(_docs(spark, sf_dir)))
+    tot = fl.agg(
+        F.sum("luma").alias("tl"), F.sum("flen").alias("tf")
+    )
+    flagged = fl.crossJoin(F.broadcast(tot)).withColumn(
+        "active", F.col("luma") * F.col("tf") >= F.col("tl") * F.col("flen")
+    )
+    act = F.when(F.col("active"), F.col("frame_id"))
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_frames"),
+            F.sum(F.when(F.col("active"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_active"),
+            F.coalesce(F.min(act), F.lit(-1)).cast("int").alias("first_active"),
+            F.coalesce(F.max(act), F.lit(-1)).cast("int").alias("last_active"),
+        )
+        .select(
+            "doc_id",
+            "n_frames",
+            "n_active",
+            "first_active",
+            "last_active",
+            # frames a leading+trailing trim keeps (0 when fully quiet)
+            F.when(F.col("first_active") < 0, F.lit(0))
+            .otherwise(F.col("last_active") - F.col("first_active") + 1)
+            .cast("long")
+            .alias("kept_span"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SILENCE_TRIM_ORACLE = """
+WITH b AS (
+    SELECT doc_id, strlen(text) AS n, hex(encode(text)) AS hx FROM documents
+),
+bytes AS (
+    SELECT doc_id, CAST((i - 1) // 256 AS INT) AS frame_id,
+           (strpos('0123456789ABCDEF', substring(hx, 2*i-1, 1)) - 1) * 16
+           + strpos('0123456789ABCDEF', substring(hx, 2*i, 1)) - 1 AS v
+    FROM b, unnest(range(1, n + 1)) AS t(i)
+),
+fr AS (
+    SELECT doc_id, frame_id, CAST(SUM(v) AS BIGINT) AS luma,
+           CAST(COUNT(*) AS BIGINT) AS flen
+    FROM bytes GROUP BY doc_id, frame_id
+),
+tot AS (SELECT SUM(luma) AS tl, SUM(flen) AS tf FROM fr),
+fl AS (
+    SELECT doc_id, frame_id, luma, flen,
+           luma * (SELECT tf FROM tot) >= (SELECT tl FROM tot) * flen
+             AS active
+    FROM fr
+),
+agg AS (
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(SUM(CASE WHEN active THEN 1 ELSE 0 END) AS BIGINT) AS n_active,
+           CAST(COALESCE(MIN(CASE WHEN active THEN frame_id END), -1) AS INT)
+             AS first_active,
+           CAST(COALESCE(MAX(CASE WHEN active THEN frame_id END), -1) AS INT)
+             AS last_active
+    FROM fl GROUP BY doc_id
+)
+SELECT doc_id, n_frames, n_active, first_active, last_active,
+       CAST(CASE WHEN first_active < 0 THEN 0
+                 ELSE last_active - first_active + 1 END AS BIGINT)
+         AS kept_span
+FROM agg ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Deterministic mode + exact median per group — the two order-statistics
 # aggregates the coverage suite hadn't pinned. Spark 4 ships native
 # `mode()`/`median()`, but `mode()` documents ties as non-deterministic, so
@@ -1366,5 +1454,12 @@ def extension_entries4() -> list:
             knn_graph_oracle(),
             "batch ANN: corpus-wide kNN graph via per-LSH-bucket dense "
             "matmul kernels (the SemDeDup workload shape)",
+        ),
+        SuiteEntry(
+            "mm_silence_trim",
+            run_silence_trim,
+            SILENCE_TRIM_ORACLE,
+            "audio-VAD-shape silence trim: active frame spans vs the "
+            "corpus-mean threshold, cross-multiplied integers",
         ),
     ]

@@ -365,3 +365,28 @@ def test_knn_graph_ranks_planted_neighbors(spark):
         lst.sort()
         assert [rk for rk, _ in lst] == list(range(1, len(lst) + 1))
         assert all(lst[i][1] >= lst[i + 1][1] for i in range(len(lst) - 1))
+
+
+def test_silence_trim_finds_active_span(spark, monkeypatch):
+    """Quiet-loud-quiet payload: active span covers exactly the loud
+    frames; an all-quiet payload reports no active span."""
+    import datafusion_ray_spark.operators.suite4 as s4
+    from datafusion_ray_spark.operators import multimodal as mm
+
+    quiet, loud = bytes([10] * 256), bytes([200] * 256)
+    p1 = quiet * 2 + loud * 3 + quiet * 2   # active frames 2..4
+    p2 = quiet * 3                           # fully quiet
+    docs = spark.createDataFrame(
+        [(1, "a", "s", 1), (2, "b", "s", 1)],
+        "doc_id long, text string, source string, n_chars long",
+    )
+    payloads = spark.createDataFrame(
+        [(1, bytearray(p1)), (2, bytearray(p2))], "doc_id long, payload binary"
+    )
+    monkeypatch.setattr(s4, "_docs", lambda _s, _d: docs)
+    monkeypatch.setattr(mm, "with_binary_payload", lambda _d: payloads)
+    got = {r["doc_id"]: (r["n_frames"], r["n_active"], r["first_active"],
+                         r["last_active"], r["kept_span"])
+           for r in s4.run_silence_trim(spark, "ignored").collect()}
+    assert got[1] == (7, 3, 2, 4, 3)
+    assert got[2] == (3, 0, -1, -1, 0)
