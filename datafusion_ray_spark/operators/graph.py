@@ -39,8 +39,13 @@ def trade_edges(
     nation, weighted by lineitem count (who buys from whom, TPC-H q7's
     join shape reduced to the graph).
 
-    Plan: lineitem⋈orders is the one big shuffle; customer/supplier/nation
-    are broadcast dims. Output is at most 25×25 rows.
+    Plan: lineitem⋈orders is the one big shuffle. Only ``nation`` (25
+    rows, CONSTANT in SF) carries a broadcast hint; customer/supplier are
+    linear in SF (15M rows at sf100, unbroadcastable at the 100 TB north
+    star), so their joins are left to AQE /
+    ``autoBroadcastJoinThreshold`` — Spark still broadcasts them at test
+    scale, and correctly falls back to shuffle joins at scale. Output is
+    at most 25×25 rows.
     """
     n1 = nation.select(
         F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("src")
@@ -52,9 +57,9 @@ def trade_edges(
         lineitem.select("l_orderkey", "l_suppkey")
         .join(orders.select("o_orderkey", "o_custkey"),
               F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(customer.select("c_custkey", "c_nationkey")),
+        .join(customer.select("c_custkey", "c_nationkey"),
               F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+        .join(supplier.select("s_suppkey", "s_nationkey"),
               F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nk"))
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))

@@ -362,11 +362,18 @@ ORDER BY cell_id
 # One-pass table profiler — the data-quality summary every ingest pipeline
 # runs first (null rates, cardinalities, ranges per column).
 #
-# All 11 lineitem columns are profiled in a SINGLE scan: one wide aggregate
-# row (count-distincts expand via Spark's Expand operator, still one pass
-# over the data), then stack() unpivots it to one row per column. At 100 TB
-# swap count(distinct) for approx_count_distinct — same single-scan plan
-# with no Expand; exact is kept here because the oracle certifies values.
+# Two modes, both Expand-free:
+#   - DEFAULT (approx): all 11 lineitem columns in ONE scan — null counts,
+#     min/max, and approx_count_distinct (HLL, mergeable, no Expand). This
+#     is the 100 TB plan. A multi-column exact countDistinct aggregate
+#     would lower to an Expand that multiplies the shuffle input ×11
+#     (~1.1 PB at 100 TB) — the plan snapshot test pins its absence.
+#   - EXACT (oracle mode): adds one column-pruned per-column pass per
+#     exact distinct count (each a two-phase partial-distinct aggregate,
+#     map-side combinable, shuffling distinct values only — never ×11
+#     rows). The certified query runs this mode so values hash-match the
+#     DuckDB oracle AND certifies the approx path via oracle-enforced
+#     error-bound booleans (the agg_approx_distinct pattern).
 
 _NUM_COLS = (
     "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
@@ -374,13 +381,19 @@ _NUM_COLS = (
 )
 _STR_COLS = ("l_returnflag", "l_linestatus")
 _PROFILE_COLS = _NUM_COLS + _STR_COLS + ("l_shipdate",)
+#: approx estimate must land within this relative error of exact (rsd 0.05
+#: ⇒ 2σ bound 10%, same budget agg_approx_distinct certifies).
+_APPROX_RSD = 0.05
+_APPROX_REL_BOUND = 0.10
 
 
-def profile_table(df: DataFrame) -> DataFrame:
+def profile_table(df: DataFrame, exact: bool = False) -> DataFrame:
     aggs = []
     for c in _PROFILE_COLS:
         aggs.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"{c}__nn"))
-        aggs.append(F.countDistinct(c).alias(f"{c}__nd"))
+        aggs.append(
+            F.approx_count_distinct(c, _APPROX_RSD).alias(f"{c}__nda")
+        )
         if c in _NUM_COLS:
             mn = F.round(F.min(c).cast("double"), 6)
             mx = F.round(F.max(c).cast("double"), 6)
@@ -396,26 +409,57 @@ def profile_table(df: DataFrame) -> DataFrame:
             mx = F.lit(None).cast("double")
         aggs.append(mn.alias(f"{c}__mn"))
         aggs.append(mx.alias(f"{c}__mx"))
-    wide = df.agg(*aggs)
-    stack_args = ", ".join(
-        f"'{c}', {c}__nn, {c}__nd, {c}__mn, {c}__mx" for c in _PROFILE_COLS
-    )
-    return wide.select(
-        F.expr(
-            f"stack({len(_PROFILE_COLS)}, {stack_args}) "
-            "AS (col_name, n_null, n_distinct, min_d, max_d)"
+    wide = df.agg(*aggs)  # ONE scan, no Expand
+    if exact:
+        # One pruned single-column pass per exact distinct; each is its own
+        # 1-row aggregate subtree so Catalyst never merges them back into a
+        # multi-distinct Expand. Cross-joining 1-row frames is free.
+        for c in _PROFILE_COLS:
+            wide = wide.crossJoin(
+                df.select(c).agg(F.countDistinct(c).alias(f"{c}__nd"))
+            )
+        nd_cols = ", ".join(
+            f"'{c}', {c}__nn, {c}__nd, "
+            f"CAST(ABS(CAST({c}__nda AS DOUBLE) - {c}__nd) "
+            f"<= {_APPROX_REL_BOUND} * {c}__nd AS BOOLEAN), "
+            f"{c}__mn, {c}__mx"
+            for c in _PROFILE_COLS
         )
-    ).select(
-        "col_name",
-        F.col("n_null").cast("long").alias("n_null"),
-        F.col("n_distinct").cast("long").alias("n_distinct"),
-        "min_d",
-        "max_d",
-    ).orderBy("col_name")
+        fields = "col_name, n_null, n_distinct, nd_approx_ok, min_d, max_d"
+        out_cols = [
+            "col_name",
+            F.col("n_null").cast("long").alias("n_null"),
+            F.col("n_distinct").cast("long").alias("n_distinct"),
+            "nd_approx_ok",
+            "min_d",
+            "max_d",
+        ]
+    else:
+        nd_cols = ", ".join(
+            f"'{c}', {c}__nn, {c}__nda, {c}__mn, {c}__mx"
+            for c in _PROFILE_COLS
+        )
+        fields = "col_name, n_null, n_distinct, min_d, max_d"
+        out_cols = [
+            "col_name",
+            F.col("n_null").cast("long").alias("n_null"),
+            F.col("n_distinct").cast("long").alias("n_distinct"),
+            "min_d",
+            "max_d",
+        ]
+    return (
+        wide.select(
+            F.expr(
+                f"stack({len(_PROFILE_COLS)}, {nd_cols}) AS ({fields})"
+            )
+        )
+        .select(*out_cols)
+        .orderBy("col_name")
+    )
 
 
 def run_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return profile_table(load_table(spark, sf_dir, "lineitem"))
+    return profile_table(load_table(spark, sf_dir, "lineitem"), exact=True)
 
 
 def _profile_oracle() -> str:
@@ -440,6 +484,9 @@ def _profile_oracle() -> str:
             f"SELECT '{c}' AS col_name, "
             f"CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null, "
             f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct, "
+            # TRUE literal makes the hash gate enforce the HLL error bound
+            # computed Spark-side (agg_approx_distinct pattern).
+            f"TRUE AS nd_approx_ok, "
             f"{mn} AS min_d, {mx} AS max_d FROM lineitem"
         )
     return " UNION ALL ".join(parts) + " ORDER BY col_name"

@@ -43,9 +43,11 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # luck.
 #
 # Scale: the expensive part is the LSH pipeline, already linear/bucketed;
-# the split itself adds one broadcast-sized left join (group labels are
-# only the docs that appear in any near-dup pair — sub-percent of the
-# corpus) and a hash projection. Deterministic under re-runs and reshards.
+# the split itself adds one equi-join on doc_id plus a hash projection.
+# The dup-group label table is deliberately NOT hint-broadcast: on real web
+# corpora near-dup members are routinely 30–80% of documents (corpus-scale),
+# so a forced broadcast would OOM executors at 100 TB. AQE still broadcasts
+# it when it genuinely fits. Deterministic under re-runs and reshards.
 
 
 def run_group_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -55,7 +57,7 @@ def run_group_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
     gid = F.coalesce(F.col("group_id"), F.col("doc_id"))
     return (
         docs.select("doc_id")
-        .join(F.broadcast(groups), "doc_id", "left")
+        .join(groups, "doc_id", "left")
         .select(
             "doc_id",
             gid.cast("long").alias("group_id"),
@@ -113,7 +115,10 @@ ORDER BY d.doc_id
 def run_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     exact = dedup.ngram_jaccard_pairs(docs).select("doc_a", "doc_b")
-    lsh = dedup.minhash_dedup_pairs(docs).persist()
+    # localCheckpoint (not persist): reused by three aggregates below;
+    # blocks are released by the ContextCleaner once unreachable instead of
+    # pinning executor memory across the suite (see containment_pairs).
+    lsh = dedup.minhash_dedup_pairs(docs).localCheckpoint(eager=True)
     lsh_true = lsh.where("is_near_dup").select("doc_a", "doc_b")
 
     n_exact = exact.agg(F.count("*").cast("long").alias("n_exact"))
@@ -265,9 +270,12 @@ def containment_pairs(
             F.col("doc_id").alias("doc_a"), F.col("doc_i").alias("doc_b")
         )
         .distinct()
-        .persist()
+        # localCheckpoint (not persist): materializes once for the verify
+        # fan-out below AND lets the ContextCleaner drop the blocks when
+        # this frame is unreachable — a bare persist() pins executor memory
+        # across the whole 170-query suite until LRU eviction.
+        .localCheckpoint(eager=True)
     )
-    cand.count()
     joined, inter, _union = dedup._verify_jaccard(df, cand, text_col)
     ppm = (inter.cast("long") * 1_000_000) / F.size("sh_a")
     return (
@@ -335,21 +343,72 @@ ORDER BY doc_small, doc_big
 # (bounded by events-per-user, the same bound any sessionization carries).
 # A 100 TB run would window the journey by day/session first — the
 # composition is the same fold.
+#
+# The operator is PARAMETERIZED: callers pass an explicit event_type→symbol
+# dictionary plus named regex patterns. The symbol map is validated up
+# front (single-char symbols, no collisions) and unknown event types fail
+# the job loudly (raise_error / DuckDB error()) instead of being silently
+# conflated — mapping via substring(event_type,1,1) would merge e.g. a
+# future 'signup'/'search' into one symbol and corrupt every count while
+# both engines happily agree.
 
-CONVERSION_PATTERN = "vc*p"
-ERROR_BURST_PATTERN = "ee+"
+#: Explicit symbol alphabet for the testdata's event types. Adding an
+#: event type to the data REQUIRES adding it here (job fails otherwise).
+EVENT_SYMBOLS = {
+    "view": "v",
+    "click": "c",
+    "purchase": "p",
+    "error": "e",
+    "signup": "s",
+}
+
+#: Two certified pattern sets: the original conversion/error-burst pair and
+#: a second set (repeat-viewer streaks + signup→browse→purchase journeys)
+#: proving the operator generalizes beyond its first compile-time shape.
+SEQ_PATTERNS = {
+    "n_conversions": "vc*p",
+    "n_error_bursts": "ee+",
+}
+SEQ_PATTERNS_2 = {
+    "n_view_streaks": "v{3,}",
+    "n_signup_journeys": "s[vc]*p",
+}
 
 
-def run_seq_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..sources.tables import epoch_us
+def _validated_symbols(symbol_map: dict[str, str]) -> dict[str, str]:
+    syms = list(symbol_map.values())
+    if len(set(syms)) != len(syms):
+        raise ValueError(f"colliding symbols in map: {symbol_map}")
+    if any(len(s) != 1 for s in syms):
+        raise ValueError(f"symbols must be single chars: {symbol_map}")
+    return symbol_map
 
-    ev = load_table(spark, sf_dir, "events")
-    ev = ev.select(
-        "user_id",
-        "event_id",
-        epoch_us(ev, "ts").alias("eus"),
-        F.substring("event_type", 1, 1).alias("sym"),
+
+def cep_match(
+    events: DataFrame,
+    patterns: dict[str, str],
+    symbol_map: dict[str, str] = EVENT_SYMBOLS,
+) -> DataFrame:
+    """Count non-overlapping matches of each named regex over every user's
+    symbol journey (events ordered by (ts, event_id), typed via the
+    explicit ``symbol_map``). Left-to-right non-overlapping greedy
+    scanning is identical in Java regex (Spark) and RE2 (DuckDB) for the
+    star/plus/bounded-repeat patterns used here, so counts are
+    engine-exact. ``events`` must already carry an ``eus`` epoch-micros
+    column (see ``run_seq_match``)."""
+    from ..sources.tables import epoch_us  # noqa: F401  (doc pointer)
+
+    symbol_map = _validated_symbols(symbol_map)
+    sym = F.lit(None).cast("string")
+    for etype, s in sorted(symbol_map.items()):
+        sym = F.when(F.col("event_type") == etype, F.lit(s)).otherwise(sym)
+    sym = F.coalesce(
+        sym,
+        F.raise_error(
+            F.concat(F.lit("cep_match: unmapped event_type "), F.col("event_type"))
+        ),
     )
+    ev = events.select("user_id", "event_id", "eus", sym.alias("sym"))
     journey = F.concat_ws(
         "",
         F.transform(
@@ -357,31 +416,52 @@ def run_seq_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda s: s["sym"],
         ),
     )
+    counts = [
+        F.regexp_count("j", F.lit(rx)).cast("long").alias(name)
+        for name, rx in patterns.items()
+    ]
     return (
         ev.groupBy("user_id")
-        .agg(
-            F.count("*").cast("long").alias("n_events"),
-            journey.alias("j"),
-        )
-        .select(
-            "user_id",
-            "n_events",
-            F.regexp_count("j", F.lit(CONVERSION_PATTERN))
-            .cast("long")
-            .alias("n_conversions"),
-            F.regexp_count("j", F.lit(ERROR_BURST_PATTERN))
-            .cast("long")
-            .alias("n_error_bursts"),
-        )
+        .agg(F.count("*").cast("long").alias("n_events"), journey.alias("j"))
+        .select("user_id", "n_events", *counts)
         .orderBy("user_id")
     )
 
 
-SEQ_MATCH_ORACLE = f"""
+def _seq_match_runner(patterns: dict[str, str]):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..sources.tables import epoch_us
+
+        ev = load_table(spark, sf_dir, "events")
+        ev = ev.select(
+            "user_id", "event_id", "event_type", epoch_us(ev, "ts").alias("eus")
+        )
+        return cep_match(ev, patterns)
+
+    return run
+
+
+run_seq_match = _seq_match_runner(SEQ_PATTERNS)
+run_seq_match2 = _seq_match_runner(SEQ_PATTERNS_2)
+
+
+def seq_match_oracle(
+    patterns: dict[str, str], symbol_map: dict[str, str] = EVENT_SYMBOLS
+) -> str:
+    sym_case = " ".join(
+        f"WHEN '{etype}' THEN '{s}'"
+        for etype, s in sorted(_validated_symbols(symbol_map).items())
+    )
+    count_cols = ",\n".join(
+        f"       CAST(len(regexp_extract_all(j, '{rx}')) AS BIGINT) AS {name}"
+        for name, rx in patterns.items()
+    )
+    return f"""
 WITH e AS (
     SELECT user_id, event_id,
            epoch_us(CAST(ts AS TIMESTAMP)) AS eus,
-           substring(event_type, 1, 1) AS sym
+           CASE event_type {sym_case}
+                ELSE error('cep_match: unmapped event_type') END AS sym
     FROM events
 ),
 j AS (
@@ -391,13 +471,14 @@ j AS (
     FROM e GROUP BY user_id
 )
 SELECT user_id, n_events,
-       CAST(len(regexp_extract_all(j, '{CONVERSION_PATTERN}')) AS BIGINT)
-         AS n_conversions,
-       CAST(len(regexp_extract_all(j, '{ERROR_BURST_PATTERN}')) AS BIGINT)
-         AS n_error_bursts
+{count_cols}
 FROM j
 ORDER BY user_id
 """
+
+
+SEQ_MATCH_ORACLE = seq_match_oracle(SEQ_PATTERNS)
+SEQ_MATCH2_ORACLE = seq_match_oracle(SEQ_PATTERNS_2)
 
 
 # ---------------------------------------------------------------------------
@@ -1211,7 +1292,14 @@ def run_drift_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("event_type")
             .agg(
                 F.count("*").cast("long").alias(f"n_{tag}"),
-                F.expr("sum(vus) DIV count(*)").alias(f"mean_{tag}_us"),
+                # FLOOR division (matches DuckDB //): Spark's DIV truncates
+                # toward zero, which diverges by 1 on negative sums — the
+                # correction term makes the result exact-floored for any
+                # sign of sum(vus) without a lossy double round-trip.
+                F.expr(
+                    "sum(vus) DIV count(*) - (CASE WHEN sum(vus) % count(*)"
+                    " != 0 AND sum(vus) < 0 THEN 1 ELSE 0 END)"
+                ).alias(f"mean_{tag}_us"),
             )
         )
 
@@ -1370,6 +1458,14 @@ def extension_entries4() -> list:
             SEQ_MATCH_ORACLE,
             "CEP / MATCH_RECOGNIZE-shape sequence pattern counts per user "
             "(conversion + error-burst regexes over the ordered journey)",
+        ),
+        SuiteEntry(
+            "ev_seq_match2",
+            run_seq_match2,
+            SEQ_MATCH2_ORACLE,
+            "parameterized CEP: second pattern set (view streaks v{3,} + "
+            "signup journeys s[vc]*p) through the same cep_match operator, "
+            "explicit collision-checked symbol map",
         ),
         SuiteEntry(
             "ev_markov_transitions",

@@ -23,6 +23,25 @@ from pyspark.sql import types as T
 from ..sources.tables import ts_to_utc
 
 
+def _ordered_batch(pdfs):
+    """Concatenate one key's micro-batch chunk iterator and sort it by
+    (ts, event_id).
+
+    ``applyInPandasWithState`` hands each key's micro-batch as an ITERATOR
+    of Arrow-sized chunks; sorting each chunk independently would fold
+    events out of global (ts, event_id) order whenever a key's batch spans
+    chunk boundaries, silently breaking the bit-equality the
+    order-sensitive twins (EWMA, rolling median, Markov, sessionize) claim
+    against their batch operators. Returns None for an empty batch.
+    """
+    import pandas as pd
+
+    chunks = [p for p in pdfs if len(p)]
+    if not chunks:
+        return None
+    return pd.concat(chunks).sort_values(["ts", "event_id"])
+
+
 def _events_ts_type(path_dir: str) -> T.DataType:
     """Read one parquet footer to learn how ``ts`` is physically stored.
 
@@ -680,8 +699,14 @@ def semdedup_stream(vectors: DataFrame,
             ids, flat = [], []
         dim = None
         out_id, out_kept = [], []
-        for pdf in pdfs:
-            order = pdf.sort_values("vec_id")
+        # Concatenate the chunk iterator BEFORE sorting: per-chunk sorting
+        # would process vec_ids out of global order when a cell's batch
+        # spans Arrow chunks (same fix as _ordered_batch for the ts twins).
+        chunks = [p for p in pdfs if len(p)]
+        order = (
+            pd.concat(chunks).sort_values("vec_id") if chunks else None
+        )
+        if order is not None:
             for vec_id, emb in zip(order["vec_id"], order["embedding"]):
                 v = np.asarray(emb, dtype=np.float64)
                 dim = dim or len(v)
@@ -740,8 +765,8 @@ def ewma_stream(events: DataFrame, alpha_num: int = 1, alpha_den: int = 4) -> Da
         import pandas as pd
 
         n, e_us = state.get if state.exists else (0, 0)
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
+        pdf = _ordered_batch(pdfs)
+        if pdf is not None:
             for v in pdf["value"]:
                 v_us = int(v * 1_000_000)
                 if n == 0:
@@ -789,8 +814,8 @@ def rolling_median_stream(events: DataFrame, frame_rows: int = 10) -> DataFrame:
         buf = list(state.get[0]) if state.exists else []
         out_ids: list[int] = []
         out_med: list[int] = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
+        pdf = _ordered_batch(pdfs)
+        if pdf is not None:
             for eid, v in zip(pdf["event_id"], pdf["value"]):
                 buf.append(math.floor(v * 1_000_000))
                 buf = buf[-frame_rows:]
@@ -840,8 +865,8 @@ def markov_pairs_stream(events: DataFrame) -> DataFrame:
             _eus, _eid, last = (0, 0, None)
         frm: list[str] = []
         to: list[str] = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
+        pdf = _ordered_batch(pdfs)
+        if pdf is not None:
             for eid, ts, et in zip(pdf["event_id"], pdf["ts"], pdf["event_type"]):
                 if last is not None:
                     frm.append(last)
@@ -890,8 +915,8 @@ def sessionize_stream(events: DataFrame,
         out_eid: list[int] = []
         out_eus: list[int] = []
         out_idx: list[int] = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
+        pdf = _ordered_batch(pdfs)
+        if pdf is not None:
             for eid, ts in zip(pdf["event_id"], pdf["ts"]):
                 eus = int(ts.value // 1000)
                 if last_eus is None or eus - last_eus >= gap_us:
