@@ -76,7 +76,10 @@ def main() -> None:
     # its entire bench artifact (round 1 lost it to an oversized line, round
     # 2 to a crash-on-first-error — the summary line is now unconditional).
     per_query: dict[str, float] = {}
+    shuffle: dict[str, dict[str, int]] = {}
     errors: dict[str, str] = {}
+    from datafusion_ray_spark.plans import runtime_shuffle_metrics
+
     for name in names:
         entry = registry[name]
         best = None
@@ -88,6 +91,16 @@ def main() -> None:
                 elapsed = time.perf_counter() - start
                 best = elapsed if best is None else min(best, elapsed)
             per_query[name] = round(best, 4)
+            # Shuffle-volume baseline next to the time baseline (read from
+            # the last executed plan, after timing — zero timing impact):
+            # a plan regression (new Expand, lost broadcast, extra
+            # exchange, 2x shuffle bytes) should fail as loudly as a wrong
+            # answer. tests/test_shuffle_drift.py diffs these against the
+            # committed SHUFFLE_BASELINE.json.
+            try:
+                shuffle[name] = runtime_shuffle_metrics(df)
+            except Exception as e:  # noqa: BLE001 - metrics are best-effort
+                print(f"bench: {name} metrics failed: {e}", file=sys.stderr)
         except Exception as e:  # noqa: BLE001 - record and keep benching
             msg = f"{type(e).__name__}: {e}"
             errors[name] = msg[:300]
@@ -108,6 +121,7 @@ def main() -> None:
         "engine": "datafusion_ray_spark",
         "n_queries": len(per_query),
         "errors": errors,
+        "shuffle": shuffle,
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_DETAIL.json")

@@ -80,3 +80,61 @@ def uses_python_workers(df: DataFrame) -> bool:
         marker in plan
         for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
     )
+
+
+def runtime_shuffle_metrics(df: DataFrame) -> dict[str, int]:
+    """Aggregate runtime shuffle/plan-shape metrics from the EXECUTED plan.
+
+    Call AFTER an action (collect/count): SQLMetrics hold real values only
+    post-execution. Returns the scale-contract vitals —
+    ``shuffle_bytes``/``shuffle_rows`` (sum of shuffle bytes/records
+    written across all exchanges: the volume that becomes the network
+    bottleneck at 100 TB), ``n_exchange``/``n_broadcast`` (shuffle vs
+    broadcast exchange node counts in the final AQE plan), and
+    ``n_expand`` (Expand nodes — the multi-distinct row-multiplication
+    anti-pattern the profile_table fix removed). Used by bench.py to emit
+    a per-query shuffle-volume baseline next to the time baseline, so a
+    plan regression (new Expand, lost broadcast, extra exchange) fails as
+    loudly as a wrong answer.
+    """
+    agg = {"shuffle_bytes": 0, "shuffle_rows": 0, "n_exchange": 0,
+           "n_broadcast": 0, "n_expand": 0}
+    seen: set[int] = set()
+
+    def walk(node) -> None:
+        ident = node.id()
+        if ident in seen:  # AQE stages can be reachable via two accessors
+            return
+        seen.add(ident)
+        name = node.nodeName()
+        if "Exchange" in name:
+            if "Broadcast" in name:
+                agg["n_broadcast"] += 1
+            else:
+                agg["n_exchange"] += 1
+                try:
+                    it = node.metrics().iterator()
+                    while it.hasNext():
+                        kv = it.next()
+                        k, v = kv._1(), int(kv._2().value())
+                        if k == "shuffleBytesWritten":
+                            agg["shuffle_bytes"] += v
+                        elif k == "shuffleRecordsWritten":
+                            agg["shuffle_rows"] += v
+                except Exception:  # noqa: BLE001 - metric-less node
+                    pass
+        elif name.startswith("Expand"):
+            agg["n_expand"] += 1
+        # AQE / query-stage wrappers expose the materialized subtree behind
+        # accessor methods rather than children().
+        for accessor in ("executedPlan", "plan"):
+            try:
+                walk(getattr(node, accessor)())
+            except Exception:  # noqa: BLE001 - absent on plain nodes
+                pass
+        ch = node.children().iterator()
+        while ch.hasNext():
+            walk(ch.next())
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return agg
