@@ -45,41 +45,48 @@ def _sql_entry(qdef: QueryDef) -> SuiteEntry:
 
 
 # Flagship entries are certified first: external correctness gates may cap
-# how many registry entries they validate per run, so the order below puts
-# the highest-value operators (TPC-H core, then the LLM-pipeline extension
-# operators) ahead of scalar/coverage filler.  Everything stays green in the
-# local oracle gate (tests/test_suite_oracle.py) regardless of order.
-_PRIORITY_AFTER_TPCH = [
-    # Dedup family (displaced entries — dedup_fuzzy_prefix, sim_ann_sq8,
-    # ev_ewma this round — stay certified in CORRECTNESS_LOCAL.json; each
-    # batch's flagship additions push simpler family members out of the
-    # 50-row driver window)
-    "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-    "dedup_groups", "dedup_containment",
-    # Similarity / ANN (single-query scale paths + the batch kNN-graph
-    # workload; the brute single-query baseline stays certified in
-    # CORRECTNESS_LOCAL.json)
-    "sim_knn_graph", "sim_ann_lsh", "sim_ann_ivf",
-    "sim_semdedup",
-    # Leakage-safe corpus split over near-dup components
-    "split_group_holdout",
-    # Temporal joins (full family: backward as-of, point-in-window range,
-    # nearest with tolerance, interval×interval overlap)
-    "join_asof", "join_range", "join_asof_nearest", "join_interval",
-    # Event windows / derivations / CEP sequence matching
-    # (ev_winsorize displaced to the local artifact by layout_zorder)
-    "ev_session_window", "ev_scd2", "ev_seq_match", "ev_funnel",
-    # Text analysis / quality / search
-    "text_token_stats", "text_lang_id", "text_bm25",
-    # Sketches
-    "sketch_count_min",
-    # Multimodal
-    "mm_decode_features",
-    # LLM-pipeline data management + graph
-    "seq_pack", "contamination_ngram", "dsir_weights", "graph_pagerank",
-    # Data layout (fills the 50th driver-certified slot)
-    "layout_zorder",
+# how many registry entries they validate per run (the driver certifies the
+# FIRST 50), so order is the certification window.  Everything stays green
+# in the local oracle gate (tests/test_suite_oracle.py) regardless of order.
+#
+# ROTATION POLICY (round 4+): the 50-slot driver window = q1–q22 (fixed)
+# + _FIXED_FLAGSHIPS (8 family anchors, fixed) + _ROTATING (20 slots).
+# Each round the rotating slots move to registry entries that have not yet
+# earned a driver-side CORRECTNESS row (the union of CORRECTNESS_r*.json
+# keys), oldest-certified last — so every entry earns the harder driver
+# oracle within a few rounds while the flagships stay pinned.  89/170 had
+# driver rows entering round 4; this round's 20 picks are all from the
+# never-certified set.
+_FIXED_FLAGSHIPS = [
+    "dedup_minhash_lsh", "dedup_groups",      # near-dup pipeline + groups
+    "sim_knn_graph",                          # ANN batch workload
+    "join_asof",                              # temporal-join family anchor
+    "ev_session_window",                      # event windowing anchor
+    "text_token_stats",                       # text pipeline anchor
+    "sketch_count_min",                       # mergeable-sketch anchor
+    "mm_decode_features",                     # multimodal anchor
 ]
+_ROTATING_R4 = [
+    # the round-3 verdict's flagged plan (now fixed) + its eval twin
+    "profile_table", "dedup_lsh_eval",
+    # new this round: parameterized CEP second pattern set
+    "ev_seq_match2",
+    # event analytics never driver-certified
+    "ev_markov_transitions", "ev_changepoint", "ev_sessionize",
+    "ev_cooccurrence", "ev_gap_histogram",
+    # graph + embedding analytics
+    "graph_triangles", "graph_local_clustering", "emb_centroid_outliers",
+    # profiling / drift
+    "profile_drift",
+    # multimodal
+    "mm_scene_cuts", "mm_silence_trim",
+    # text / dedup scale paths
+    "text_ngram_novelty", "dedup_substring_fps",
+    # ANN compositions + windows + bands + exact aggregates
+    "sim_ann_ivfpq", "win_rolling_median", "join_value_band",
+    "agg_mode_median",
+]
+_PRIORITY_AFTER_TPCH = _FIXED_FLAGSHIPS + _ROTATING_R4
 
 
 def build_registry() -> dict[str, SuiteEntry]:

@@ -148,6 +148,10 @@ def duckdb_register(con, sf_dir: str, tables: tuple[str, ...] = ALL_TABLES) -> N
     ``/root/reference/src/util.rs:414-484``)."""
     for name in tables:
         path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.isdir(path):
+            # multi-file layout (<table>.parquet/part-*.parquet): DuckDB
+            # reads directories via glob, Spark natively.
+            path = os.path.join(path, "*.parquet")
         if name == "events":
             con.execute(
                 f"CREATE OR REPLACE VIEW events AS "

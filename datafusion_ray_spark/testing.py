@@ -166,3 +166,42 @@ def generate_skewed_testdata(
         os.path.join(out_dir, "documents.parquet"),
     )
     return out_dir
+
+
+def make_multifile(src_dir: str, out_dir: str, big_parts: int = 32) -> str:
+    """Rewrite a single-file testdata dir as a realistic multi-file layout.
+
+    All three driver sf* dirs are single-file single-row-group parquet —
+    the degenerate layout ``sources.tables.spread()`` exists to paper
+    over. A real 100 TB table is thousands of files; this rewrites each
+    corpus-scaling table as ``<out>/<table>.parquet/part-*.parquet``
+    (``big_parts`` files, one row group each, so scans split naturally)
+    while tiny dimensions stay single-file, and the full oracle + bench
+    gates can run against the result unchanged. Returns ``out_dir``.
+    """
+    import math
+    import os
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    for fname in sorted(os.listdir(src_dir)):
+        if not fname.endswith(".parquet"):
+            continue
+        src = os.path.join(src_dir, fname)
+        table = pq.read_table(src)
+        n = table.num_rows
+        parts = big_parts if n >= 50_000 else (8 if n >= 5_000 else 1)
+        dst = os.path.join(out_dir, fname)
+        if parts == 1:
+            pq.write_table(table, dst)
+            continue
+        os.makedirs(dst, exist_ok=True)
+        step = math.ceil(n / parts)
+        for i in range(parts):
+            chunk = table.slice(i * step, step)
+            if chunk.num_rows:
+                pq.write_table(
+                    chunk, os.path.join(dst, f"part-{i:05d}.parquet")
+                )
+    return out_dir
