@@ -442,6 +442,8 @@ def test_seq_match_matches_re(spark, j1, j2):
     for u, journey in enumerate((j1, j2)):
         if not journey:
             continue
-        expect = (len(re.findall(s4.CONVERSION_PATTERN, journey)),
-                  len(re.findall(s4.ERROR_BURST_PATTERN, journey)))
+        expect = (
+            len(re.findall(s4.SEQ_PATTERNS["n_conversions"], journey)),
+            len(re.findall(s4.SEQ_PATTERNS["n_error_bursts"], journey)),
+        )
         assert got[u] == expect, (u, journey)

@@ -115,6 +115,57 @@ def test_seq_match_nonoverlapping_counts(spark, monkeypatch, tmp_path):
     assert got == {1: (2, 0), 2: (0, 1), 3: (0, 0)}
 
 
+def test_cep_match_rejects_bad_symbol_maps_and_unknown_types(spark):
+    """The parameterized operator fails loudly instead of conflating: a
+    colliding symbol map raises at build time; an event type missing from
+    the map raises at execution (raise_error), never silently merges."""
+    import datetime as dt
+
+    import pytest
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from datafusion_ray_spark.operators.suite4 import cep_match
+
+    df = spark.createDataFrame(
+        [(1, 1, 1_000_000, "search")],
+        "user_id long, event_id long, eus long, event_type string",
+    )
+    with pytest.raises(ValueError, match="colliding"):
+        cep_match(df, {"x": "s+"}, {"signup": "s", "search": "s"})
+    with pytest.raises(ValueError, match="single chars"):
+        cep_match(df, {"x": "s+"}, {"signup": "si"})
+    with pytest.raises(Exception, match="unmapped event_type"):
+        cep_match(df, {"x": "v+"}).collect()
+    _ = dt
+
+
+def test_cep_match_second_pattern_set(spark, monkeypatch):
+    """v{3,} counts maximal view streaks; s[vc]*p requires the signup
+    before the purchase."""
+    import datetime as dt
+
+    import datafusion_ray_spark.operators.suite4 as s4
+
+    sym2type = {"v": "view", "c": "click", "p": "purchase", "e": "error",
+                "s": "signup"}
+    rows = []
+    for uid, journey in ((1, "vvvvsvcp"), (2, "svvvvvvp"), (3, "vcp")):
+        for i, ch in enumerate(journey):
+            rows.append((uid * 100 + i, dt.datetime(2024, 1, 1, 0, i),
+                         uid, sym2type[ch], 1.0, "{}"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    monkeypatch.setattr(s4, "load_table", lambda _s, _d, _n: df)
+    got = {r["user_id"]: (r["n_view_streaks"], r["n_signup_journeys"])
+           for r in s4.run_seq_match2(spark, "ignored").collect()}
+    # uid1: vvvv=1 streak, svcp=1 journey; uid2: vvvvvv=1 streak (greedy),
+    # s...p=1 journey; uid3: no streak (only 1 v), no signup
+    assert got == {1: (1, 1), 2: (1, 1), 3: (0, 0)}
+
+
 def test_markov_probabilities_sum_per_state(spark, sf_dir):
     from pyspark.sql import functions as F
 
