@@ -2039,6 +2039,7 @@ def _round3_entries():
         extension_entries3d,
     )
     from .suite4 import extension_entries4
+    from .suite5 import extension_entries5
 
     return (
         extension_entries2()
@@ -2047,4 +2048,5 @@ def _round3_entries():
         + extension_entries3c()
         + extension_entries3d()
         + extension_entries4()
+        + extension_entries5()
     )

@@ -82,9 +82,10 @@ _ROTATING_R4 = [
     "mm_scene_cuts", "mm_silence_trim",
     # text / dedup scale paths
     "text_ngram_novelty", "dedup_substring_fps",
-    # ANN compositions + windows + bands + exact aggregates
-    "sim_ann_ivfpq", "win_rolling_median", "join_value_band",
-    "agg_mode_median",
+    # ANN compositions + windows
+    "sim_ann_ivfpq", "win_rolling_median",
+    # new round-4 composites (lexical+semantic ensemble, benchmark screen)
+    "dedup_ensemble", "contamination_semantic",
 ]
 _PRIORITY_AFTER_TPCH = _FIXED_FLAGSHIPS + _ROTATING_R4
 
