@@ -497,3 +497,52 @@ def test_streaming_sessionize_matches_batch(spark, sf_dir, events_dir):
         for r in run_sessionize(spark, sf_dir).collect()
     }
     assert streamed == batch
+
+
+def test_streaming_sessionize_bit_equal_across_arrow_chunks(
+    spark, sf_dir, events_dir
+):
+    """Force tiny Arrow batches (maxRecordsPerBatch=7) so every key's
+    micro-batch spans MANY chunks: the stateful twins must concatenate the
+    chunk iterator before sorting (structured._ordered_batch) or events
+    fold out of (ts, event_id) order and session indices diverge — the
+    round-3 advisor's latent-ordering finding, pinned here."""
+    from datafusion_ray_spark.operators.suite4 import run_sessionize
+
+    # The driver testdata is already (ts, event_id)-ordered in file order,
+    # under which even buggy per-chunk sorting is accidentally correct —
+    # scramble the row order so cross-chunk ordering actually matters.
+    import pathlib
+
+    import numpy as np
+    import pyarrow.parquet as papq
+
+    tbl = papq.read_table(f"{sf_dir}/events.parquet")
+    perm = np.random.default_rng(13).permutation(tbl.num_rows)
+    scrambled = pathlib.Path(events_dir).parent / "events_scrambled"
+    scrambled.mkdir(exist_ok=True)
+    papq.write_table(tbl.take(perm), scrambled / "part-0.parquet")
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    saved = spark.conf.get(key, None)
+    try:
+        spark.conf.set(key, "7")
+        stream = structured.stream_events(spark, str(scrambled))
+        structured.run_to_memory(
+            structured.sessionize_stream(stream), "stream_sess_chunked",
+            output_mode="append",
+        )
+        streamed = {
+            r["event_id"]: (r["user_id"], r["eus"], r["session_idx"])
+            for r in spark.sql("SELECT * FROM stream_sess_chunked").collect()
+        }
+    finally:
+        if saved is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, saved)
+    batch = {
+        r["event_id"]: (r["user_id"], r["eus"], r["session_idx"])
+        for r in run_sessionize(spark, sf_dir).collect()
+    }
+    assert streamed == batch
