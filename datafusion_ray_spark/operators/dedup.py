@@ -201,7 +201,12 @@ def _verify_jaccard(df: DataFrame, cand: DataFrame, text_col: str):
     ids = cand.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id")).distinct()
     sh = df.join(ids, "doc_id").select(
         "doc_id", shingles(text_col).alias("sh")
-    )
+    # Materialized once (candidate docs only, so bounded by the candidate
+    # set): both join legs below consume it, and without pinning each leg
+    # re-runs the scan + shingle projection (different join keys, so no
+    # exchange reuse). localCheckpoint blocks are dropped by the
+    # ContextCleaner when unreachable.
+    ).localCheckpoint(eager=True)
     joined = (
         cand.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
         .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
