@@ -475,9 +475,15 @@ def word_ngrams(text_col: str = "text", k: int = 4) -> Column:
     sized k; for hot k=3 paths use ``shingles``.
     """
     toks = tokens(text_col)
+    # Single-element-array let-binding: `transform(array(split(...)), a ->
+    # ...)` evaluates the regex split ONCE and binds it to the lambda
+    # variable. Inlining split() into the inner lambda re-evaluates it on
+    # EVERY position access (no CSE across lambda scopes) — benched 2.6 s
+    # vs 0.4 s at sf0.1 for the gram-count scan, identical output.
     grams = F.expr(
-        f"transform(sequence(1, size(split(trim({text_col}),'\\\\s+'))-{k}+1), "
-        f"i -> array_join(slice(split(trim({text_col}),'\\\\s+'), i, {k}), ' '))"
+        f"transform(array(split(trim({text_col}),'\\\\s+')), a -> "
+        f"transform(sequence(1, size(a)-{k}+1), "
+        f"i -> array_join(slice(a, i, {k}), ' ')))[0]"
     )
     return F.array_distinct(
         F.when(F.size(toks) >= k, grams).otherwise(F.array().cast("array<string>"))
