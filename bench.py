@@ -30,6 +30,12 @@ def main() -> None:
         default=int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")),
     )
     parser.add_argument(
+        "--detail-out", default=None,
+        help="write the per-query detail record to this path instead of "
+             "BENCH_DETAIL.json (used by scale_check.py so a scale-up run "
+             "never clobbers the committed 1x baseline detail)",
+    )
+    parser.add_argument(
         "--family-throughput", action="store_true",
         help="measure per-family kernel throughput (docs/s, vec/s) on a "
              "200k-row synthetic corpus and write THROUGHPUT.json instead "
@@ -132,8 +138,8 @@ def main() -> None:
         "errors": errors,
         "shuffle": shuffle,
     }
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_DETAIL.json")
+    detail_path = args.detail_out or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1)
     # Full per-query record first (humans / logs)...

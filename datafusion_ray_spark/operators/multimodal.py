@@ -476,23 +476,33 @@ def scene_cuts(binary_df: DataFrame, frame_bytes: int = 256,
 
 # -- Perceptual hash (aHash) ------------------------------------------------
 
-PHASH_SAMPLES = 64  # 8x8 "pixel" grid
-PHASH_BANDS = 8  # 8 bands x 8 bits: hamming <= 7 is losslessly blocked
+# 128 samples (16x8 "pixel" grid) split into 8 bands of 16 bits. Band
+# count pins the pigeonhole guarantee (hamming <= PHASH_BANDS-1 = 7 is
+# losslessly blocked); band WIDTH pins the random-collision floor: banded
+# candidates are ~n^2 * bands / 2^width pairs on unrelated inputs, and the
+# original 8-bit bands (floor n^2/32) went quadratic at the 10x scale gate
+# (40x wall at 10x data). 16-bit bands push the floor out 256x — beyond
+# that, width must grow with log2(n) at the documented cost of one band
+# (one hamming unit of guarantee) per 16 bits.
+PHASH_SAMPLES = 128
+PHASH_BANDS = 8
+PHASH_BAND_BITS = PHASH_SAMPLES // PHASH_BANDS
 
 
 def phash_bands(binary_df: DataFrame) -> DataFrame:
-    """64-bit average-hash (aHash) per payload, emitted as PHASH_BANDS
-    8-bit band values ``b0..b7`` — the banded form the LSH-style
-    near-duplicate join consumes directly (same pigeonhole argument as the
-    simhash band blocking: two hashes within hamming distance
-    PHASH_BANDS-1 share at least one identical band).
+    """PHASH_SAMPLES-bit average-hash (aHash) per payload, emitted as
+    PHASH_BANDS band values ``b0..b7`` of PHASH_BAND_BITS bits each — the
+    banded form the LSH-style near-duplicate join consumes directly (same
+    pigeonhole argument as the simhash band blocking: two hashes within
+    hamming distance PHASH_BANDS-1 share at least one identical band).
 
-    aHash over the codec's nearest-neighbor resize to an 8x8 grid: sample
-    j is payload byte ``(j * len) // 64``; bit j is 1 iff
-    ``sample_j * 64 > sum(samples)`` (integer compare — no float mean, so
-    the oracle is exactly reproducible). Vectorized like the decode
-    kernel: one concatenated uint8 buffer per Arrow batch, one gather, one
-    matrix compare — no per-row Python beyond the payload join.
+    aHash over the codec's nearest-neighbor resize to a 16x8 grid: sample
+    j is payload byte ``(j * len) // PHASH_SAMPLES``; bit j is 1 iff
+    ``sample_j * PHASH_SAMPLES > sum(samples)`` (integer compare — no
+    float mean, so the oracle is exactly reproducible). Vectorized like
+    the decode kernel: one concatenated uint8 buffer per Arrow batch, one
+    gather, one matrix compare — no per-row Python beyond the payload
+    join.
 
     Scale: pure projection (mapInPandas, partition-preserving); the join
     that consumes the bands is candidate-only. At 100 TB this is the image
@@ -502,7 +512,9 @@ def phash_bands(binary_df: DataFrame) -> DataFrame:
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         j = np.arange(PHASH_SAMPLES, dtype=np.int64)
-        weights = (1 << np.arange(7, -1, -1, dtype=np.int64))[None, :]
+        weights = (
+            1 << np.arange(PHASH_BAND_BITS - 1, -1, -1, dtype=np.int64)
+        )[None, :]
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -522,7 +534,9 @@ def phash_bands(binary_df: DataFrame) -> DataFrame:
             bits = (samples * PHASH_SAMPLES) > totals[:, None]
             out = {"doc_id": pdf["doc_id"].to_numpy()}
             for k in range(PHASH_BANDS):
-                band = bits[:, k * 8 : (k + 1) * 8].astype(np.int64)
+                band = bits[
+                    :, k * PHASH_BAND_BITS : (k + 1) * PHASH_BAND_BITS
+                ].astype(np.int64)
                 out[f"b{k}"] = (band * weights).sum(axis=1).astype(np.int32)
             yield pd.DataFrame(out)
 
@@ -535,7 +549,7 @@ def phash_bands(binary_df: DataFrame) -> DataFrame:
 
 def phash_near_dup_pairs(binary_df: DataFrame, max_hamming: int = 7) -> DataFrame:
     """Multimodal near-duplicate pairs: banded candidate generation over the
-    aHash, exact 64-bit hamming verify on candidates only.
+    aHash, exact 128-bit hamming verify on candidates only.
 
     Lossless for ``max_hamming <= PHASH_BANDS - 1`` (pigeonhole: fewer
     differing bits than bands forces one identical band). Shuffle volume is

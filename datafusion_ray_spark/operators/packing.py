@@ -13,11 +13,17 @@ whole corpus — as a single ``ORDER BY doc_id`` window it would serialize
 distributed prefix sum:
 
 1. bucket each doc by a contiguous id range (``doc_id DIV bucket_width``),
-2. aggregate per-bucket token totals (tiny: ``n_docs / bucket_width`` rows),
-   cumsum THOSE in one partition (safe: at 100 TB pick ``bucket_width`` so
-   this stays ~1e5 rows) to get each bucket's starting offset,
+2. aggregate per-bucket token totals (``n_docs / bucket_width`` rows),
+   cumsum THOSE in one partition to get each bucket's starting offset,
 3. broadcast-join the bucket offsets back and run the within-bucket cumsum
    as a ``PARTITION BY bucket`` window — fully parallel.
+
+``bucket_width`` defaults to ``~sqrt(n_docs)`` (floor 64), which bounds
+BOTH single-partition stages — the level-1 cumsum table and each level-2
+partition — at ~sqrt(n) rows (~1e6 at a trillion docs). A fixed width
+leaves the level-1 table at n/width rows, i.e. corpus-scale again. The
+output is width-INVARIANT (the offsets are exact either way), so the
+default can scale freely without touching the oracle.
 
 Every step is deterministic, so the output is oracle-checkable against a
 plain global-window cumsum in DuckDB.
@@ -32,7 +38,7 @@ from pyspark.sql import functions as F
 def assign_bins(
     docs: DataFrame,
     budget: int = 256,
-    bucket_width: int = 64,
+    bucket_width: int | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
@@ -41,7 +47,12 @@ def assign_bins(
     ``bin_id = floor(start_offset / budget)`` where ``start_offset`` is the
     corpus-wide running token count before this doc (order: ``id_col``);
     ``straddle`` marks docs whose tokens cross a bin boundary.
+    ``bucket_width=None`` scales it to ~sqrt(corpus) (module docstring).
     """
+    if bucket_width is None:
+        import math
+
+        bucket_width = max(64, math.isqrt(docs.count()))
     d = docs.select(
         F.col(id_col).alias("doc_id"),
         F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tok"),
@@ -77,7 +88,9 @@ def assign_bins(
     )
 
 
-def pack_stats(docs: DataFrame, budget: int = 256, bucket_width: int = 64) -> DataFrame:
+def pack_stats(
+    docs: DataFrame, budget: int = 256, bucket_width: int | None = None
+) -> DataFrame:
     """Per-bin packing summary: docs, tokens, boundary-straddling docs."""
     return (
         assign_bins(docs, budget=budget, bucket_width=bucket_width)

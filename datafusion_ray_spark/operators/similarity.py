@@ -30,13 +30,49 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 #: Fixed random hyperplanes for LSH bucketing (seeded, rounded so the exact
-#: same literals appear in the Spark plan and the oracle SQL).
+#: same literals appear in the Spark plan and the oracle SQL). MAX_PLANES
+#: are pre-drawn; fixed-granularity ops use the first N_PLANES, while
+#: corpus-blocked ops pick ``scaled_planes(n)`` so bucket COUNT grows with
+#: the data and per-bucket size stays bounded (numpy draws sequentially, so
+#: the first N_PLANES rows are bit-identical to the old 4-row table).
 N_PLANES = 4
+MAX_PLANES = 16
 DIM = 64
 HYPERPLANES: list[list[float]] = [
     [round(float(v), 6) for v in row]
-    for row in np.random.RandomState(42).normal(size=(N_PLANES, DIM))
+    for row in np.random.RandomState(42).normal(size=(MAX_PLANES, DIM))
 ]
+
+#: Target members per block for corpus-scaled blocking (LSH buckets /
+#: semantic cells). Pairwise work within a block is ~TARGET_CELL per row,
+#: so total candidate work stays LINEAR in the corpus — the knob the 10x
+#: scale gate (scale_check.py) pins.
+TARGET_CELL = 256
+
+
+def scaled_planes(n_rows: int) -> int:
+    """Hyperplane count for ~TARGET_CELL vectors per LSH bucket.
+
+    ``ceil(log2(ceil(n / TARGET_CELL)))`` with a floor of N_PLANES.
+    Integer argument keeps the cross-engine float story exact: log2 of an
+    integer only lands on an integer for exact powers of two (IEEE-exact
+    in every engine), so the SQL mirror
+    ``GREATEST(4, CEIL(LOG2((COUNT(*) + 255) // 256)))`` computes the
+    identical plane count.
+    """
+    import math
+
+    m = (max(n_rows, 1) + TARGET_CELL - 1) // TARGET_CELL
+    return min(MAX_PLANES, max(N_PLANES, math.ceil(math.log2(m)) if m > 1 else 1))
+
+
+def scaled_centroids(n_rows: int) -> int:
+    """Centroid count for ~TARGET_CELL vectors per semantic cell (SemDeDup
+    cell sizing: k grows linearly with the corpus; SQL mirror is
+    ``GREATEST(8, COUNT(*) // 256)``). Driver/broadcast state is k x DIM
+    doubles — ~50 MB at 100M vectors; beyond that assign hierarchically
+    (coarse shard -> per-shard centroids), same plan shape."""
+    return max(len(CENTROID_VEC_IDS), n_rows // TARGET_CELL)
 
 
 def _as_double(arr: Column | str) -> Column:
@@ -80,18 +116,20 @@ def cosine_topk(
     )
 
 
-def bucket_expr(emb_col: str = "embedding") -> Column:
+def bucket_expr(emb_col: str = "embedding", n_planes: int = N_PLANES) -> Column:
     """LSH bucket id: bit j set iff dot(v, hyperplane_j) > 0."""
     e = _as_double(emb_col)
     bits = [
         F.when(dot(e, _lit_vec(HYPERPLANES[j])) > 0, F.lit(2**j)).otherwise(F.lit(0))
-        for j in range(N_PLANES)
+        for j in range(n_planes)
     ]
     return sum(bits).cast("int")
 
 
-def with_bucket(df: DataFrame, emb_col: str = "embedding") -> DataFrame:
-    return df.withColumn("bucket", bucket_expr(emb_col))
+def with_bucket(
+    df: DataFrame, emb_col: str = "embedding", n_planes: int = N_PLANES
+) -> DataFrame:
+    return df.withColumn("bucket", bucket_expr(emb_col, n_planes))
 
 
 def lsh_ann_topk(
@@ -304,34 +342,39 @@ def indexed_ann_topk(
 
 def neardup_pairs(
     df: DataFrame,
-    block_col: str = "label",
+    block_col: str | tuple[str, ...] = "label",
     threshold: float = 0.35,
     k: int = 20,
 ) -> DataFrame:
     """Embedding-cosine near-dup candidate pairs within a blocking key.
 
-    Self-join on the block key (shuffle on a small key; at 100 TB the block
-    is an LSH bucket so block sizes stay bounded), then exact cosine per
-    pair and a top-k of the most similar pairs.
+    Self-join on the block key(s), then exact cosine per pair and a top-k
+    of the most similar pairs. Per-block pair work is QUADRATIC in block
+    size, so at least one block column must be corpus-scaled (a
+    ``scaled_centroids`` semantic cell, as the registry query composes, or
+    an LSH bucket) — blocking on a fixed-cardinality attribute alone made
+    the 10x scale gate measure 15x wall at 10x data. The first block
+    column is echoed in the output as ``label``.
     """
+    blocks = [block_col] if isinstance(block_col, str) else list(block_col)
     # Precompute each vector's norm ONCE; the pair join then evaluates only
     # the dot product per pair. Recomputing norms inside the join would do
     # O(pairs) redundant array reductions — at 1M vectors per block that is
     # thousands of times more work than the O(vectors) precompute.
     normed = df.select(
-        F.col(block_col).alias("blk"),
+        *blocks,
         "vec_id",
         "embedding",
         norm(_as_double("embedding")).alias("nrm"),
     )
     a = normed.select(
-        "blk",
+        *blocks,
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("emb_a"),
         F.col("nrm").alias("norm_a"),
     )
     b = normed.select(
-        "blk",
+        *blocks,
         F.col("vec_id").alias("vec_b"),
         F.col("embedding").alias("emb_b"),
         F.col("nrm").alias("norm_b"),
@@ -341,12 +384,12 @@ def neardup_pairs(
         6,
     )
     return (
-        a.join(b, "blk")
+        a.join(b, blocks)
         .where(F.col("vec_a") < F.col("vec_b"))
         .select(
             "vec_a",
             "vec_b",
-            F.col("blk").alias("label"),
+            F.col(blocks[0]).alias("label"),
             cosine.alias("cosine"),
         )
         .withColumn("is_near_dup", F.col("cosine") >= threshold)
@@ -663,8 +706,8 @@ def ivfpq_encode(
     return df.mapInPandas(gen, out_schema)
 
 
-def knn_graph(df: DataFrame, k: int = 3,
-              emb_col: str = "embedding") -> DataFrame:
+def knn_graph(df: DataFrame, k: int = 3, emb_col: str = "embedding",
+              n_planes: int | None = None) -> DataFrame:
     """Batch ANN: the k-nearest-neighbor GRAPH over the whole corpus —
     top-``k`` same-bucket neighbors by cosine for EVERY vector (the
     workload shape behind SemDeDup clustering, kNN-graph label
@@ -683,6 +726,13 @@ def knn_graph(df: DataFrame, k: int = 3,
     Determinism: cosines are rounded to 6 dp; ranking ties break by
     neighbor id. float64 matmul vs the oracle's exact-decimal sums agree
     to ~1e-13, far below the rounding grain.
+
+    ``n_planes`` defaults to ``scaled_planes(count)``: bucket COUNT grows
+    with the corpus so per-bucket membership stays ~TARGET_CELL and the
+    per-bucket matmul stays O(TARGET_CELL) per vector — with a fixed
+    plane count the kernel is secretly quadratic (the 10x scale gate
+    measured 40x wall at 10x data before this). Pass an explicit value to
+    pin granularity (the ann_lsh index queries use N_PLANES).
     """
     import pandas as pd
     from pyspark.sql import types as T
@@ -725,8 +775,10 @@ def knn_graph(df: DataFrame, k: int = 3,
              "cosine": np.asarray(coss, dtype="float64")}
         )
 
+    if n_planes is None:
+        n_planes = scaled_planes(df.count())
     return (
-        with_bucket(df, emb_col)
+        with_bucket(df, emb_col, n_planes)
         .select("bucket", "vec_id", emb_col)
         .groupBy("bucket")
         .applyInPandas(per_bucket, out_schema)

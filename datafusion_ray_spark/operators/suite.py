@@ -312,11 +312,11 @@ LIMIT {k}
 """
 
 
-def _hyperplane_values_sql() -> str:
-    from .similarity import HYPERPLANES
+def _hyperplane_values_sql(n_planes: int | None = None) -> str:
+    from .similarity import HYPERPLANES, N_PLANES
 
     rows = []
-    for j, vec in enumerate(HYPERPLANES):
+    for j, vec in enumerate(HYPERPLANES[: n_planes or N_PLANES]):
         arr = "[" + ", ".join(repr(v) for v in vec) + "]::DOUBLE[]"
         rows.append(f"({j}, {arr})")
     return ",\n       ".join(rows)
@@ -1050,13 +1050,41 @@ ORDER BY c.event_id
 
 
 def neardup_oracle(threshold: float = 0.35, k: int = 20) -> str:
+    from .similarity import CENTROID_VEC_IDS, TARGET_CELL
+
+    lo, kmin = min(CENTROID_VEC_IDS), len(CENTROID_VEC_IDS)
     return f"""
-WITH prod AS (
+WITH cents AS (
+    SELECT vec_id AS cid, embedding AS ce FROM embeddings
+    WHERE vec_id BETWEEN {lo} AND GREATEST({kmin},
+          (SELECT COUNT(*) FROM embeddings) // {TARGET_CELL})
+),
+cpr AS (
+    SELECT e.vec_id, c.cid,
+           CAST(unnest(e.embedding) AS DOUBLE) AS x,
+           CAST(unnest(c.ce) AS DOUBLE) AS y
+    FROM embeddings e CROSS JOIN cents c
+),
+csc AS (
+    SELECT vec_id, cid,
+           ROUND({_DOT_DEC} / (SQRT({_NORM_X}) * SQRT({_NORM_Y})), 6) AS score
+    FROM cpr GROUP BY vec_id, cid
+),
+assign AS (
+    SELECT vec_id, cid AS cell
+    FROM (SELECT vec_id, cid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) AS rn
+          FROM csc)
+    WHERE rn = 1
+),
+prod AS (
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
            CAST(unnest(a.embedding) AS DOUBLE) AS x,
            CAST(unnest(b.embedding) AS DOUBLE) AS y
     FROM embeddings a
+    JOIN assign ca ON ca.vec_id = a.vec_id
     JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    JOIN assign cb ON cb.vec_id = b.vec_id AND cb.cell = ca.cell
 ),
 agg AS (
     SELECT vec_a, vec_b, label,
@@ -1467,13 +1495,14 @@ SEMDEDUP_THRESHOLD = 0.4
 
 
 def semdedup_oracle(threshold: float = SEMDEDUP_THRESHOLD) -> str:
-    from .similarity import CENTROID_VEC_IDS
+    from .similarity import CENTROID_VEC_IDS, TARGET_CELL
 
-    lo, hi = min(CENTROID_VEC_IDS), max(CENTROID_VEC_IDS)
+    lo, kmin = min(CENTROID_VEC_IDS), len(CENTROID_VEC_IDS)
     return f"""
 WITH cents AS (
     SELECT vec_id AS cid, embedding AS ce FROM embeddings
-    WHERE vec_id BETWEEN {lo} AND {hi}
+    WHERE vec_id BETWEEN {lo} AND GREATEST({kmin},
+          (SELECT COUNT(*) FROM embeddings) // {TARGET_CELL})
 ),
 pr AS (
     SELECT e.vec_id, c.cid,
@@ -1515,11 +1544,18 @@ ORDER BY a.vec_id
 
 
 def run_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid count is corpus-scaled (similarity.scaled_centroids <->
+    the oracle's GREATEST(8, n // 256)): cells stay ~TARGET_CELL members
+    so the within-cell pair join is linear in the corpus — with the old
+    fixed 8 centroids the 10x scale gate measured 20x wall at 10x data.
+    Centroids are the k lowest vec_ids >= 1 (the CENTROID_VEC_IDS
+    convention, generalized)."""
     from . import similarity
 
     emb = _emb(spark, sf_dir)
+    k = similarity.scaled_centroids(emb.count())
     rows = (
-        emb.where(F.col("vec_id").isin(list(similarity.CENTROID_VEC_IDS)))
+        emb.where(F.col("vec_id").between(1, k))
         .select("vec_id", "embedding")
         .collect()
     )
@@ -1881,10 +1917,24 @@ def run_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def run_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocks on (label, semantic cell): label alone is fixed-cardinality,
+    so its blocks grow with the corpus and the pair join goes quadratic
+    (the 10x scale gate measured 15x wall). Cells use the same
+    corpus-scaled centroid convention as run_semdedup."""
     from . import similarity
 
     emb = _emb(spark, sf_dir)
-    return similarity.neardup_pairs(emb, threshold=0.35, k=20)
+    k = similarity.scaled_centroids(emb.count())
+    rows = (
+        emb.where(F.col("vec_id").between(1, k))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    centroids = sorted((r["vec_id"], list(r["embedding"])) for r in rows)
+    assigned = similarity.ivf_assign(emb, centroids)
+    return similarity.neardup_pairs(
+        assigned, block_col=("label", "cell"), threshold=0.35, k=20
+    )
 
 
 def extension_entries():

@@ -624,10 +624,13 @@ def run_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def phash_oracle(max_hamming: int = 7) -> str:
+    from .multimodal import PHASH_BAND_BITS, PHASH_BANDS, PHASH_SAMPLES
+
+    ns, nb, w = PHASH_SAMPLES, PHASH_BANDS, PHASH_BAND_BITS
     # byte i (0-based) of encode(text) = hex chars 2i+1, 2i+2 (1-based)
     byte_at = (
-        "(strpos('0123456789ABCDEF', substring(hx, 2*CAST((j*n)//64 AS INT)+1, 1))-1)*16"
-        " + strpos('0123456789ABCDEF', substring(hx, 2*CAST((j*n)//64 AS INT)+2, 1))-1"
+        f"(strpos('0123456789ABCDEF', substring(hx, 2*CAST((j*n)//{ns} AS INT)+1, 1))-1)*16"
+        f" + strpos('0123456789ABCDEF', substring(hx, 2*CAST((j*n)//{ns} AS INT)+2, 1))-1"
     )
     return f"""
 WITH b AS (
@@ -636,22 +639,22 @@ WITH b AS (
 ),
 samp AS (
     SELECT doc_id,
-           list_transform(range(0, 64),
+           list_transform(range(0, {ns}),
                j -> CASE WHEN n = 0 THEN 0 ELSE {byte_at} END) AS s
     FROM b
 ),
 tot AS (SELECT doc_id, s, list_sum(s) AS t FROM samp),
 bands AS (
     SELECT doc_id,
-           list_transform(range(0, 8), k ->
-               list_sum(list_transform(range(0, 8), m ->
-                   CASE WHEN s[CAST(k*8 + m AS INT) + 1] * 64 > t
-                        THEN 1 << (7 - CAST(m AS INT)) ELSE 0 END))) AS bv
+           list_transform(range(0, {nb}), k ->
+               list_sum(list_transform(range(0, {w}), m ->
+                   CASE WHEN s[CAST(k*{w} + m AS INT) + 1] * {ns} > t
+                        THEN 1 << ({w - 1} - CAST(m AS INT)) ELSE 0 END))) AS bv
     FROM tot
 ),
 pairs AS (
     SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
-           list_sum(list_transform(range(0, 8),
+           list_sum(list_transform(range(0, {nb}),
                k -> bit_count(xor(a.bv[CAST(k AS INT) + 1],
                                   c.bv[CAST(k AS INT) + 1])))) AS hamming
     FROM bands a JOIN bands c ON a.doc_id < c.doc_id

@@ -1361,6 +1361,10 @@ ORDER BY 1
 # kNN-graph construction (batch ANN) — see similarity.knn_graph. The
 # oracle recomputes the same LSH buckets from the shared hyperplane
 # literals and ranks per-bucket pair cosines with exact decimal sums.
+# Plane count is corpus-scaled on BOTH sides (similarity.scaled_planes
+# <-> the ``params`` CTE) so per-bucket membership stays ~TARGET_CELL and
+# the kernel is linear at any scale — the 10x gate measured 40x wall with
+# the old fixed-4-plane bucketing.
 
 KNN_GRAPH_K = 3
 
@@ -1373,11 +1377,21 @@ def run_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def knn_graph_oracle(k: int = KNN_GRAPH_K) -> str:
+    from .similarity import MAX_PLANES, N_PLANES, TARGET_CELL
     from .suite import _DOT_DEC, _hyperplane_values_sql
 
     return f"""
-WITH hp(j, v) AS (
-    VALUES {_hyperplane_values_sql()}
+WITH params AS (
+    SELECT CAST(LEAST({MAX_PLANES}, GREATEST({N_PLANES},
+             CASE WHEN m > 1
+                  THEN CAST(CEIL(LOG2(CAST(m AS DOUBLE))) AS INT)
+                  ELSE 1 END)) AS INT) AS p
+    FROM (SELECT (COUNT(*) + {TARGET_CELL - 1}) // {TARGET_CELL} AS m
+          FROM embeddings)
+),
+hp AS (
+    SELECT j, v FROM (VALUES {_hyperplane_values_sql(MAX_PLANES)}) t(j, v)
+    WHERE j < (SELECT p FROM params)
 ),
 pr AS (
     SELECT e.vec_id, hp.j,

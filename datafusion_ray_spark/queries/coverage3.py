@@ -158,7 +158,10 @@ ORDER BY event_type
 
 # Pearson correlation + sample covariance from exact integer moments
 # (native one-pass CORR/COVAR over doubles is engine-order-dependent; the
-# moment formulation is exact, associative, and partial-agg safe).
+# moment formulation is exact, associative, and partial-agg safe). The
+# squared-cents moments are ~1e14/row, so the sums run in DECIMAL(38,0):
+# BIGINT sums overflowed at the 10x scale gate (scale_check.py), and
+# decimal keeps the moments exact to ~1e38 (~1e24 rows/group).
 _q(
     "agg_corr_covar",
     f"""
@@ -169,11 +172,11 @@ SELECT l_returnflag,
 FROM (
     SELECT l_returnflag,
            CAST(COUNT(*) AS DOUBLE) AS n,
-           CAST(SUM({whole('l_quantity')}) AS DOUBLE) AS sx,
-           CAST(SUM({cents('l_extendedprice')}) AS DOUBLE) / 100 AS sy,
-           CAST(SUM({whole('l_quantity')} * {whole('l_quantity')}) AS DOUBLE) AS sx2,
-           CAST(SUM({cents('l_extendedprice')} * {cents('l_extendedprice')}) AS DOUBLE) / 10000 AS sy2,
-           CAST(SUM({whole('l_quantity')} * {cents('l_extendedprice')}) AS DOUBLE) / 100 AS sxy
+           CAST(SUM(CAST({whole('l_quantity')} AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+           CAST(SUM(CAST({cents('l_extendedprice')} AS DECIMAL(38,0))) AS DOUBLE) / 100 AS sy,
+           CAST(SUM(CAST({whole('l_quantity')} * {whole('l_quantity')} AS DECIMAL(38,0))) AS DOUBLE) AS sx2,
+           CAST(SUM(CAST({cents('l_extendedprice')} * {cents('l_extendedprice')} AS DECIMAL(38,0))) AS DOUBLE) / 10000 AS sy2,
+           CAST(SUM(CAST({whole('l_quantity')} * {cents('l_extendedprice')} AS DECIMAL(38,0))) AS DOUBLE) / 100 AS sxy
     FROM lineitem
     GROUP BY l_returnflag
 ) m

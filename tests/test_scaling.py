@@ -1,0 +1,62 @@
+"""Scale-up certification gate: super-linear plans fail like wrong answers.
+
+``scale_check.py`` builds a 10x variant of sf0.1 (disjoint-key copies for
+the keyed tables, fresh vocab-sampled synthetic rows for documents/
+embeddings), runs the full fault-isolated bench against it, and writes
+``SCALING_r04.json`` with per-query wall-time ratios vs the committed 1x
+``BENCH_DETAIL.json``. This test pins the committed artifact's contract:
+every query ran, none errored, and nothing scales super-linearly except
+the explicitly documented all-pairs baseline (``sim_knn_brute``, the
+recall oracle for the sub-linear ANN family).
+
+After an intentional change, regenerate with:
+    python scale_check.py --rebuild   # ~20 min, writes SCALING_r04.json
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pytest
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _artifact() -> dict:
+    paths = sorted(glob.glob(os.path.join(_REPO, "SCALING_r*.json")))
+    if not paths:
+        pytest.skip("no SCALING_r*.json committed yet")
+    with open(paths[-1]) as f:
+        return json.load(f)
+
+
+def test_scaling_artifact_is_complete_and_clean():
+    art = _artifact()
+    assert art["factor"] >= 10
+    assert art["summary"]["n_errors"] == 0, art["summary"]["err_queries"]
+    # every bench query must have earned a ratio row (the bench registry
+    # can only grow; a shrinking artifact means queries silently dropped)
+    assert art["summary"]["n_queries"] >= 170
+
+
+def test_no_undocumented_superlinear_queries():
+    art = _artifact()
+    assert art["summary"]["n_flagged"] == 0, (
+        "super-linear at 10x data: "
+        f"{art['summary']['flagged']} — either fix the plan or, if the "
+        "semantics are inherently all-pairs, document it in "
+        "scale_check.KNOWN_SUPERLINEAR with a justification"
+    )
+
+
+def test_known_superlinear_list_is_justified():
+    from scale_check import KNOWN_SUPERLINEAR
+
+    art = _artifact()
+    for name, why in KNOWN_SUPERLINEAR.items():
+        assert len(why) > 20, f"{name}: justification required"
+        assert name in art["queries"], f"{name}: not measured"
+    # the allowlist must stay an exception, not become an escape hatch
+    assert len(KNOWN_SUPERLINEAR) <= 3
