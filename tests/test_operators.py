@@ -211,6 +211,27 @@ def test_semdedup_removes_planted_clone(spark):
     assert out[10]["cell"] == out[0]["cell"] == 0
 
 
+def test_hash_embedding_kernel_matches_expression_form(spark, docs):
+    """The shuffle-free Arrow kernel must be bit-identical to the pure
+    expression form it replaced (hash_embedding_exprs), including the
+    tokenizer edge cases Java split(limit=-1) produces: leading/trailing
+    empty tokens around non-space whitespace, runs of mixed whitespace,
+    and an all-whitespace text (one empty token after trim)."""
+    edge = spark.createDataFrame(
+        [
+            (10, "\ta b\n", "en", "s0", 5),       # leading+trailing empties
+            (11, "  ", "en", "s0", 2),             # trim -> "" -> one token
+            (12, "x\r\n y\x0b\fz", "en", "s0", 9),  # mixed whitespace runs
+            (13, "solo", "en", "s0", 4),
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    both = docs.unionByName(edge)
+    a = text.hash_embedding(both).orderBy("doc_id").collect()
+    b = text.hash_embedding_exprs(both).orderBy("doc_id").collect()
+    assert [r.asDict() for r in a] == [r.asDict() for r in b]
+
+
 def test_hash_embedding_feeds_semdedup(docs):
     """The text->vector bridge end to end: hash-embed documents, then
     SemDeDup over the derived vectors prunes the exact text duplicate
