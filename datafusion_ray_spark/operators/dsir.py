@@ -135,9 +135,9 @@ def dsir_select(raw: DataFrame, target: DataFrame, frac: float,
     selection; the deterministic variant keeps the output oracle-checkable.
 
     The global rank is one ``row_number`` over a single ordering — at
-    100 TB replace with an approximate threshold (``approxQuantile`` on
-    logw_nats, then a pure filter) to avoid the single-ordering sort;
-    semantics identical up to quantile error.
+    100 TB use :func:`dsir_select_approx` (an ``approxQuantile``
+    threshold plus a pure filter, no global sort); semantics identical up
+    to quantile error.
     """
     w = dsir_logweights(raw, target, text_col, n_buckets)
     n = w.count()
@@ -148,6 +148,23 @@ def dsir_select(raw: DataFrame, target: DataFrame, frac: float,
         Window.orderBy(F.desc("logw_nats"), F.asc("doc_id"))
     )
     return w.withColumn("rk", rn).where(F.col("rk") <= k).drop("rk")
+
+
+def dsir_select_approx(raw: DataFrame, target: DataFrame, frac: float,
+                       text_col: str = "text",
+                       n_buckets: int = DSIR_BUCKETS,
+                       rel_err: float = 0.001) -> DataFrame:
+    """The 100 TB form of :func:`dsir_select`: an ``approxQuantile``
+    threshold on ``logw_nats`` (driver receives ONE float) followed by a
+    pure filter — no global ordering anywhere, so nothing serializes
+    through a single partition. Keeps every doc with log-weight at or
+    above the (1-frac) quantile; the selected set differs from the exact
+    top-k only within the quantile's rel_err rank band (pinned by
+    ``tests/test_operators.py::test_dsir_select_approx_matches_exact``).
+    """
+    w = dsir_logweights(raw, target, text_col, n_buckets)
+    [threshold] = w.approxQuantile("logw_nats", [1.0 - frac], rel_err)
+    return w.where(F.col("logw_nats") >= threshold)
 
 
 def frozen_ratio(raw: DataFrame, target: DataFrame, text_col: str = "text",

@@ -548,11 +548,10 @@ def ppl_bucket_sample(
     engine, so the whole pipeline is oracle-checkable.
 
     Scale: the NTILE is a single global ordering of (doc_id, xent) rows —
-    narrow but still one sort. At 100 TB replace the exact NTILE with
-    bucket thresholds from ``approxQuantile`` on xent_bits (driver gets
-    n_buckets floats) and a pure filter per stratum; the seeded
-    within-stratum ordering is already embarrassingly parallel
-    (hash + per-stratum top-k).
+    narrow but still one sort. At 100 TB use
+    :func:`ppl_bucket_sample_approx` (bucket thresholds from
+    ``approxQuantile``, no global sort); the seeded within-stratum
+    ordering is already embarrassingly parallel.
     """
     from pyspark.sql import Window
 
@@ -560,6 +559,46 @@ def ppl_bucket_sample(
     bucket = F.ntile(n_buckets).over(
         Window.orderBy(F.asc("xent_bits"), F.asc("doc_id"))
     )
+    key = F.md5(F.concat(F.lit(f"s{seed}:"), F.col("doc_id").cast("string")))
+    rn = F.row_number().over(Window.partitionBy("bucket").orderBy(key, "doc_id"))
+    return (
+        scored.withColumn("bucket", bucket)
+        .withColumn("rn", rn)
+        .where(F.col("rn") <= per_bucket)
+        .select(
+            "doc_id",
+            "n_tokens",
+            "xent_bits",
+            F.col("bucket").cast("int").alias("bucket"),
+        )
+    )
+
+
+def ppl_bucket_sample_approx(
+    df: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = 3,
+    per_bucket: int = 20,
+    seed: int = 42,
+    rel_err: float = 0.001,
+) -> DataFrame:
+    """The 100 TB form of :func:`ppl_bucket_sample`: stratum boundaries
+    come from ``approxQuantile`` on xent_bits (driver receives n_buckets-1
+    floats) and stratum membership is a pure per-row expression — no
+    global NTILE sort. The per-stratum seeded top-k is unchanged (its
+    window partitions by bucket, fully parallel). Strata differ from the
+    exact NTILE only for docs within the quantile rel_err band of a
+    boundary (pinned by ``tests/test_operators.py``).
+    """
+    from pyspark.sql import Window
+
+    scored = lm_score(df, text_col)
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = scored.approxQuantile("xent_bits", probs, rel_err)
+    # bucket = 1 + number of boundaries strictly below this doc's score
+    bucket = sum(
+        (F.col("xent_bits") > F.lit(float(c))).cast("int") for c in cuts
+    ) + F.lit(1)
     key = F.md5(F.concat(F.lit(f"s{seed}:"), F.col("doc_id").cast("string")))
     rn = F.row_number().over(Window.partitionBy("bucket").orderBy(key, "doc_id"))
     return (

@@ -888,3 +888,73 @@ def test_substring_dup_pairs_find_planted_span(spark):
     }
     assert (1, 2) in got and got[(1, 2)] >= 3
     assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_dsir_select_approx_matches_exact(spark):
+    """The 100 TB selection path (approxQuantile threshold + pure filter,
+    no global sort) must agree with the exact global-rank top-k up to the
+    quantile error band: high overlap, similar size, and pure
+    upward-closedness (it may only disagree about threshold-tied docs)."""
+    from datafusion_ray_spark.operators.dsir import dsir_select, dsir_select_approx
+    from datafusion_ray_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    target = docs.where(F.col("source") == "src0")
+    frac = 0.3
+    exact = {r["doc_id"]: r["logw_nats"]
+             for r in dsir_select(docs, target, frac).collect()}
+    approx = {r["doc_id"]: r["logw_nats"]
+              for r in dsir_select_approx(docs, target, frac).collect()}
+    k = len(exact)
+    assert k > 0
+    overlap = len(exact.keys() & approx.keys()) / k
+    assert overlap >= 0.9, f"overlap {overlap:.2f}"
+    assert abs(len(approx) - k) <= max(5, 0.1 * k)
+    # threshold-purity: the approx set must be exactly {logw >= t} for
+    # some t — no doc outside it may outscore a doc inside it. (It may
+    # legitimately sit one tie-band below the exact kth value; that IS
+    # the rel_err quantile band.)
+    from datafusion_ray_spark.operators.dsir import dsir_logweights
+
+    all_w = {r["doc_id"]: r["logw_nats"]
+             for r in dsir_logweights(docs, target).collect()}
+    excluded = [v for d, v in all_w.items() if d not in approx]
+    assert min(approx.values()) >= max(excluded)
+
+
+def test_ppl_bucket_sample_approx_matches_exact_strata(spark):
+    """Approx strata (approxQuantile cuts, no global NTILE) must assign
+    the same bucket as the exact NTILE for nearly all docs, keep the
+    per-bucket cap, and be run-to-run deterministic."""
+    from datafusion_ray_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    scored = text.lm_score(docs)
+    n = scored.count()
+    from pyspark.sql import Window
+
+    exact_bucket = {
+        r["doc_id"]: r["b"]
+        for r in scored.withColumn(
+            "b", F.ntile(3).over(Window.orderBy(F.asc("xent_bits"), F.asc("doc_id")))
+        ).select("doc_id", "b").collect()
+    }
+    cuts = scored.approxQuantile("xent_bits", [1 / 3, 2 / 3], 0.001)
+    approx_bucket = {
+        r["doc_id"]: r["b"]
+        for r in scored.withColumn(
+            "b",
+            sum((F.col("xent_bits") > F.lit(float(c))).cast("int") for c in cuts)
+            + F.lit(1),
+        ).select("doc_id", "b").collect()
+    }
+    agree = sum(exact_bucket[d] == approx_bucket[d] for d in exact_bucket) / n
+    assert agree >= 0.95, f"stratum agreement {agree:.2f}"
+
+    out1 = text.ppl_bucket_sample_approx(docs).collect()
+    out2 = text.ppl_bucket_sample_approx(docs).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+    from collections import Counter
+
+    per = Counter(r["bucket"] for r in out1)
+    assert set(per) == {1, 2, 3} and all(v <= 20 for v in per.values())
