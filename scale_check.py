@@ -49,7 +49,7 @@ import sys
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 SRC = "/root/testdata/sf0.1"
-DST = os.path.join(REPO, ".scaledata", "x10")
+DST = os.path.join(REPO, ".scaledata", "x10")  # rebound per --copies in main()
 
 # Key columns per table, shifted by copy*stride to keep copies disjoint.
 # Strides are far above any sf0.1 max key (orderkey max 149_999).
@@ -75,12 +75,13 @@ _SHARED_DIMS = ("region", "nation")
 # are banded/bucketed/cell-blocked with corpus-scaled granularity).
 KNOWN_SUPERLINEAR: dict[str, str] = {}
 
-# Wall-ratio gate for a 10x data step. Linear plans land well under 10
-# (fixed costs amortize); genuinely quadratic ones land at 50-100x.
-# 15 leaves headroom for spill/GC noise on the biggest shuffles while
-# still catching any quadratic blowup. Tiny queries (t10 under 2s) are
-# fixed-cost dominated and never meaningfully super-linear.
-RATIO_LIMIT = 15.0
+# Wall-ratio gate: linear plans land well under the data factor (fixed
+# costs amortize); genuinely quadratic ones land at factor^2-ish. 1.5x
+# the factor leaves headroom for spill/GC noise on the biggest shuffles
+# while still catching any quadratic blowup (15 for the default 10x
+# step). Tiny queries (t10 under 2s) are fixed-cost dominated and never
+# meaningfully super-linear.
+RATIO_LIMIT_PER_FACTOR = 1.5
 MIN_T10 = 2.0
 
 
@@ -210,12 +211,22 @@ def verify_x10(copies: int) -> None:
 
 
 def main() -> int:
+    global DST
+
     parser = argparse.ArgumentParser()
     parser.add_argument("--copies", type=int, default=10)
     parser.add_argument("--queries", default=None)
     parser.add_argument("--rebuild", action="store_true")
-    parser.add_argument("--out", default=os.path.join(REPO, "SCALING_r04.json"))
+    parser.add_argument("--out", default=None)
     args = parser.parse_args()
+
+    DST = os.path.join(REPO, ".scaledata", f"x{args.copies}")
+    if args.out is None:
+        args.out = os.path.join(
+            REPO,
+            "SCALING_r04.json" if args.copies == 10
+            else f"SCALING_X{args.copies}_r04.json",
+        )
 
     if args.rebuild or not os.path.isdir(DST):
         build_x10(args.copies)
@@ -227,7 +238,8 @@ def main() -> int:
     if base.get("sf") != 0.1 or base.get("errors"):
         raise SystemExit("BENCH_DETAIL.json is not a clean sf0.1 baseline")
 
-    detail_path = os.path.join(REPO, ".scaledata", "bench_x10.json")
+    ratio_limit = RATIO_LIMIT_PER_FACTOR * args.copies
+    detail_path = os.path.join(REPO, ".scaledata", f"bench_x{args.copies}.json")
     cmd = [
         sys.executable, os.path.join(REPO, "bench.py"),
         "--sf-dir", DST, "--detail-out", detail_path,
@@ -258,7 +270,7 @@ def main() -> int:
             rec["shuffle_bytes_ratio"] = round(b10 / max(b1, 1), 2)
         if name in KNOWN_SUPERLINEAR:
             rec["known_superlinear"] = KNOWN_SUPERLINEAR[name]
-        elif ratio > RATIO_LIMIT and t10 > MIN_T10:
+        elif ratio > ratio_limit and t10 > MIN_T10:
             rec["flag"] = "super-linear wall ratio"
             flagged[name] = rec
         queries[name] = rec
@@ -287,7 +299,7 @@ def main() -> int:
             ratio = round(t10c / max(rec["t1x"], 1e-3), 2)
             rec["t10x_confirmed"] = round(t10c, 3)
             rec["wall_ratio_confirmed"] = ratio
-            if not (ratio > RATIO_LIMIT and t10c > MIN_T10):
+            if not (ratio > ratio_limit and t10c > MIN_T10):
                 del rec["flag"]
                 rec["flag_retracted"] = "isolated min-of-2 re-time is linear"
                 del flagged[name]
@@ -296,7 +308,7 @@ def main() -> int:
         "metric": "scale_up_certification",
         "factor": args.copies,
         "base_sf": 0.1,
-        "ratio_limit": RATIO_LIMIT,
+        "ratio_limit": ratio_limit,
         "summary": {
             "n_queries": len(queries),
             "n_errors": len(x10.get("errors", {})),
