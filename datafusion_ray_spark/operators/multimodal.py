@@ -547,14 +547,32 @@ def phash_bands(binary_df: DataFrame) -> DataFrame:
     return binary_df.select("doc_id", "payload").mapInPandas(gen, schema)
 
 
-def phash_near_dup_pairs(binary_df: DataFrame, max_hamming: int = 7) -> DataFrame:
+#: Band-buckets larger than this are "hubs" — degenerate band values
+#: shared by a corpus-scale fraction of documents (e.g. the all-ones band
+#: that every bright-region payload hashes to). A hub band carries almost
+#: no selectivity, but its pair join is |bucket|² — the 100x scale gate
+#: OOM'd a task on a 9k-doc hub before this cap existed. Capping trades a
+#: documented sliver of recall (only pairs whose EVERY agreeing band is a
+#: hub are lost; pairs within max_hamming agree on >=1 band and usually
+#: several) for a hard bound on candidate work.
+PHASH_HUB_CAP = 1024
+
+
+def phash_near_dup_pairs(
+    binary_df: DataFrame, max_hamming: int = 7, band_cap: int = PHASH_HUB_CAP
+) -> DataFrame:
     """Multimodal near-duplicate pairs: banded candidate generation over the
     aHash, exact 128-bit hamming verify on candidates only.
 
     Lossless for ``max_hamming <= PHASH_BANDS - 1`` (pigeonhole: fewer
-    differing bits than bands forces one identical band). Shuffle volume is
-    PHASH_BANDS rows per doc for the candidate join, plus two hash-table
-    joins to re-attach the full band vectors — all linear in corpus size.
+    differing bits than bands forces one identical band) among pairs with
+    at least one non-hub agreeing band; hub buckets (> ``band_cap``
+    members, see PHASH_HUB_CAP) are excluded from candidate generation.
+    Shuffle volume is PHASH_BANDS rows per doc for the candidate join plus
+    the bounded band-census aggregate (distinct (k, v) values — at most
+    PHASH_BANDS * 2^PHASH_BAND_BITS rows, broadcastable by construction),
+    plus two hash-table joins to re-attach the full band vectors — all
+    linear in corpus size.
     """
     from pyspark.sql import functions as F
 
@@ -568,6 +586,13 @@ def phash_near_dup_pairs(binary_df: DataFrame, max_hamming: int = 7) -> DataFram
             ])
         ).alias("band"),
     ).select("doc_id", "band.k", "band.v")
+    non_hub = (
+        bands.groupBy("k", "v")
+        .agg(F.count("*").alias("_n"))
+        .where(F.col("_n") <= band_cap)
+        .select("k", "v")
+    )
+    bands = bands.join(F.broadcast(non_hub), ["k", "v"])
     cand = (
         bands.alias("l")
         .join(bands.alias("r"), ["k", "v"])

@@ -624,9 +624,14 @@ def run_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def phash_oracle(max_hamming: int = 7) -> str:
-    from .multimodal import PHASH_BAND_BITS, PHASH_BANDS, PHASH_SAMPLES
+    from .multimodal import (
+        PHASH_BAND_BITS,
+        PHASH_BANDS,
+        PHASH_HUB_CAP,
+        PHASH_SAMPLES,
+    )
 
-    ns, nb, w = PHASH_SAMPLES, PHASH_BANDS, PHASH_BAND_BITS
+    ns, nb, w, cap = PHASH_SAMPLES, PHASH_BANDS, PHASH_BAND_BITS, PHASH_HUB_CAP
     # byte i (0-based) of encode(text) = hex chars 2i+1, 2i+2 (1-based)
     byte_at = (
         f"(strpos('0123456789ABCDEF', substring(hx, 2*CAST((j*n)//{ns} AS INT)+1, 1))-1)*16"
@@ -652,12 +657,26 @@ bands AS (
                         THEN 1 << ({w - 1} - CAST(m AS INT)) ELSE 0 END))) AS bv
     FROM tot
 ),
+bexp AS (
+    SELECT doc_id, CAST(t.k AS INT) AS k, bv[CAST(t.k AS INT) + 1] AS v
+    FROM bands, range(0, {nb}) t(k)
+),
+nonhub AS (
+    SELECT k, v FROM bexp GROUP BY k, v HAVING COUNT(*) <= {cap}
+),
+fb AS (SELECT bexp.* FROM bexp JOIN nonhub USING (k, v)),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+    FROM fb a JOIN fb c ON a.k = c.k AND a.v = c.v AND a.doc_id < c.doc_id
+),
 pairs AS (
-    SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+    SELECT doc_a, doc_b,
            list_sum(list_transform(range(0, {nb}),
                k -> bit_count(xor(a.bv[CAST(k AS INT) + 1],
                                   c.bv[CAST(k AS INT) + 1])))) AS hamming
-    FROM bands a JOIN bands c ON a.doc_id < c.doc_id
+    FROM cand
+    JOIN bands a ON a.doc_id = cand.doc_a
+    JOIN bands c ON c.doc_id = cand.doc_b
 )
 SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
 FROM pairs

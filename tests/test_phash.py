@@ -81,3 +81,31 @@ def test_banded_pairs_equal_bruteforce(spark, seed):
         for r in phash_near_dup_pairs(df, max_hamming=MAX_H).collect()
     }
     assert got == expected
+
+
+def test_hub_band_cap_bounds_candidates(spark):
+    """Band-buckets above band_cap are excluded from candidate generation
+    (the 100x gate OOM'd on a degenerate all-ones hub before the cap).
+    A clique of identical payloads larger than the cap hubs EVERY band,
+    so its pairs are traded away; a small clone pair outside the hub is
+    still found. This pins the exact recall contract of PHASH_HUB_CAP."""
+    rng = np.random.RandomState(7)
+    hub_payload = rng.randint(0, 256, size=200).astype(np.uint8).tobytes()
+    pair_raw = rng.randint(0, 256, size=200).astype(np.uint8)
+    pair_mut = pair_raw.copy()
+    pair_mut[3] = np.clip(pair_mut[3].astype(np.int64) + 1, 0, 255)
+    rows = [(i, bytearray(hub_payload)) for i in range(6)]  # 6 > cap of 4
+    rows += [(100, bytearray(pair_raw.tobytes())),
+             (101, bytearray(pair_mut.tobytes()))]
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ])
+    df = spark.createDataFrame(rows, schema)
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in phash_near_dup_pairs(df, max_hamming=MAX_H, band_cap=4).collect()
+    }
+    assert all(a >= 100 for a, _ in got), f"hub pairs leaked: {got}"
+    if _brute_pairs({100: pair_raw.tobytes(), 101: pair_mut.tobytes()}):
+        assert (100, 101) in got

@@ -60,3 +60,19 @@ def test_known_superlinear_list_is_justified():
         assert name in art["queries"], f"{name}: not measured"
     # the allowlist must stay an exception, not become an escape hatch
     assert len(KNOWN_SUPERLINEAR) <= 3
+
+
+def test_x100_subset_artifact_is_clean():
+    """The 100x subset certification (scale_check.py --copies 100 over
+    representative queries from every family) must be error-free with no
+    super-linear flags — the closest measurable stand-in for the 100 TB
+    north star this sandbox can produce."""
+    path = os.path.join(_REPO, "SCALING_X100_r04.json")
+    if not os.path.exists(path):
+        pytest.skip("no x100 artifact committed")
+    with open(path) as f:
+        art = json.load(f)
+    assert art["factor"] == 100
+    assert art["summary"]["n_errors"] == 0, art["summary"]["err_queries"]
+    assert art["summary"]["n_flagged"] == 0, art["summary"]["flagged"]
+    assert art["summary"]["n_queries"] >= 20
