@@ -1448,6 +1448,105 @@ ORDER BY src, rank
 """
 
 
+# ---------------------------------------------------------------------------
+# Conversion attribution: last-touch marketing attribution over the event
+# stream (the standard web-analytics workload — every purchase credits the
+# most recent preceding touch event within a lookback window, else 'none').
+# One shuffle (partition by user), one window pass — same linear shape as
+# the sessionize/SCD2 family. Values are exact floor-micro integers.
+
+ATTRIBUTION_LOOKBACK_US = 7 * 24 * 3600 * 1_000_000  # 7 days
+ATTRIBUTION_TOUCH_TYPES = ("click", "view")
+
+
+def attribution(ev: DataFrame,
+                lookback_us: int = ATTRIBUTION_LOOKBACK_US,
+                touch_types: tuple[str, ...] = ATTRIBUTION_TOUCH_TYPES,
+                conversion_type: str = "purchase") -> DataFrame:
+    """Last-touch attribution over a pre-projected event frame with
+    columns (user_id, event_type, event_id, eus, vus). Per user, each
+    conversion credits the most recent STRICTLY-preceding touch event
+    within ``lookback_us`` (ties broken by event_id, the same
+    deterministic ordering as the sessionize family); conversions with no
+    qualifying touch land in the 'none' bucket. Returns one row per
+    credited touch type: (touch_type, n_conversions, value_us)."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("eus", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(
+        F.col("event_type").isin(list(touch_types)),
+        F.struct(F.col("eus").alias("teus"),
+                 F.col("event_type").alias("ttype")),
+    )
+    credited = (
+        ev.withColumn("lt", F.last(touch, ignorenulls=True).over(w))
+        .where(F.col("event_type") == conversion_type)
+        .select(
+            F.when(
+                F.col("lt").isNotNull()
+                & (F.col("eus") - F.col("lt.teus") <= lookback_us),
+                F.col("lt.ttype"),
+            ).otherwise(F.lit("none")).alias("touch_type"),
+            "vus",
+        )
+    )
+    return (
+        credited.groupBy("touch_type")
+        .agg(
+            F.count("*").cast("long").alias("n_conversions"),
+            F.sum("vus").cast("long").alias("value_us"),
+        )
+        .orderBy("touch_type")
+    )
+
+
+def run_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import epoch_us
+
+    ev = load_table(spark, sf_dir, "events")
+    return attribution(
+        ev.select(
+            "user_id",
+            "event_type",
+            "event_id",
+            epoch_us(ev, "ts").alias("eus"),
+            F.floor(F.col("value") * 1_000_000).cast("long").alias("vus"),
+        )
+    )
+
+
+ATTRIBUTION_ORACLE = f"""
+WITH e AS (
+    SELECT user_id, event_type, event_id,
+           epoch_us(CAST(ts AS TIMESTAMP)) AS eus,
+           CAST(FLOOR(value * 1000000) AS BIGINT) AS vus
+    FROM events
+),
+t AS (
+    SELECT *,
+           LAST_VALUE(CASE WHEN event_type IN ('click', 'view')
+                           THEN struct_pack(teus := eus, ttype := event_type)
+                      END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY eus, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt
+    FROM e
+)
+SELECT CASE WHEN lt IS NOT NULL
+             AND eus - struct_extract(lt, 'teus') <= {ATTRIBUTION_LOOKBACK_US}
+            THEN struct_extract(lt, 'ttype') ELSE 'none' END AS touch_type,
+       CAST(COUNT(*) AS BIGINT) AS n_conversions,
+       CAST(SUM(vus) AS BIGINT) AS value_us
+FROM t
+WHERE event_type = 'purchase'
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 def extension_entries4() -> list:
     from ..queries.registry import SuiteEntry
 
@@ -1578,5 +1677,13 @@ def extension_entries4() -> list:
             SILENCE_TRIM_ORACLE,
             "audio-VAD-shape silence trim: active frame spans vs the "
             "corpus-mean threshold, cross-multiplied integers",
+        ),
+        SuiteEntry(
+            "ev_attribution",
+            run_attribution,
+            ATTRIBUTION_ORACLE,
+            "last-touch conversion attribution: each purchase credits the "
+            "latest preceding click/view within a 7-day lookback, exact "
+            "floor-micro value sums",
         ),
     ]

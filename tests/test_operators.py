@@ -958,3 +958,39 @@ def test_ppl_bucket_sample_approx_matches_exact_strata(spark):
 
     per = Counter(r["bucket"] for r in out1)
     assert set(per) == {1, 2, 3} and all(v <= 20 for v in per.values())
+
+
+def test_attribution_credits_last_touch_within_lookback(spark):
+    """Planted journeys: the purchase credits the LATEST preceding touch
+    (view then click -> click); a touch older than the lookback window
+    doesn't qualify ('none'); a conversion-less user contributes nothing;
+    error events never receive credit."""
+    from datafusion_ray_spark.operators.suite4 import (
+        ATTRIBUTION_LOOKBACK_US,
+        attribution,
+    )
+
+    day = 24 * 3600 * 1_000_000
+    rows = [
+        # user 1: view @t0, click @t1, purchase @t2 -> click credited
+        (1, "view", 10, 0 * day, 0),
+        (1, "click", 11, 1 * day, 0),
+        (1, "purchase", 12, 2 * day, 5_000_000),
+        # user 2: click 8 days before purchase -> outside lookback, 'none'
+        (2, "click", 20, 0 * day, 0),
+        (2, "purchase", 21, ATTRIBUTION_LOOKBACK_US + day, 7_000_000),
+        # user 3: error then purchase -> error is not a touch, 'none'
+        (3, "error", 30, 0 * day, 0),
+        (3, "purchase", 31, 1 * day, 1_000_000),
+        # user 4: touches but no purchase -> no output contribution
+        (4, "click", 40, 0 * day, 0),
+    ]
+    ev = spark.createDataFrame(
+        rows, ["user_id", "event_type", "event_id", "eus", "vus"]
+    )
+    out = {r["touch_type"]: r for r in attribution(ev).collect()}
+    assert out["click"]["n_conversions"] == 1
+    assert out["click"]["value_us"] == 5_000_000
+    assert out["none"]["n_conversions"] == 2
+    assert out["none"]["value_us"] == 8_000_000
+    assert "view" not in out and "error" not in out
