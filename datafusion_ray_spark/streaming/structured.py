@@ -942,3 +942,73 @@ def sessionize_stream(events: DataFrame,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def attribution_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of last-touch conversion attribution
+    (``operators/suite4.py:run_attribution``): per user, state is ONLY
+    the most recent touch event's (epoch-us, type); each arriving
+    purchase emits one credited row AT INGEST — (user_id, event_id,
+    touch_type, vus), where touch_type is the latest preceding
+    click/view within the 7-day lookback, else 'none'. Aggregating the
+    emitted rows by touch_type reproduces the batch operator exactly
+    (the test certifies it).
+
+    State is O(1) per key (two scalars), horizontally partitioned. Rows
+    fold in (ts, event_id) order within each micro-batch; as with the
+    EWMA/Markov/sessionize twins, cross-batch order assumes
+    replay/backfill arrival.
+    """
+    import math
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..operators.suite4 import (
+        ATTRIBUTION_LOOKBACK_US,
+        ATTRIBUTION_TOUCH_TYPES,
+    )
+
+    touch_types = set(ATTRIBUTION_TOUCH_TYPES)
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        teus, ttype = state.get if state.exists else (0, None)
+        out_eid: list[int] = []
+        out_touch: list[str] = []
+        out_vus: list[int] = []
+        pdf = _ordered_batch(pdfs)
+        if pdf is not None:
+            for eid, ts, et, val in zip(
+                pdf["event_id"], pdf["ts"], pdf["event_type"], pdf["value"]
+            ):
+                eus = int(ts.value // 1000)
+                if et == "purchase":
+                    credited = (
+                        ttype
+                        if ttype is not None
+                        and eus - teus <= ATTRIBUTION_LOOKBACK_US
+                        else "none"
+                    )
+                    out_eid.append(int(eid))
+                    out_touch.append(credited)
+                    out_vus.append(int(math.floor(val * 1_000_000)))
+                elif et in touch_types:
+                    teus, ttype = eus, et
+        state.update((teus, ttype))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(out_eid),
+                "event_id": out_eid,
+                "touch_type": out_touch,
+                "vus": out_vus,
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, event_id long, touch_type string, vus long",
+        stateStructType="teus long, ttype string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

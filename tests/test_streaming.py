@@ -546,3 +546,26 @@ def test_streaming_sessionize_bit_equal_across_arrow_chunks(
         for r in run_sessionize(spark, sf_dir).collect()
     }
     assert streamed == batch
+
+
+def test_streaming_attribution_matches_batch(spark, sf_dir, events_dir):
+    """Aggregated streamed last-touch credits == the batch attribution."""
+    from datafusion_ray_spark.operators.suite4 import run_attribution
+
+    stream = structured.stream_events(spark, events_dir)
+    structured.run_to_memory(
+        structured.attribution_stream(stream), "stream_attr",
+        output_mode="append",
+    )
+    streamed = {
+        r["touch_type"]: (r["n"], r["v"])
+        for r in spark.sql(
+            "SELECT touch_type, COUNT(*) AS n, SUM(vus) AS v "
+            "FROM stream_attr GROUP BY touch_type"
+        ).collect()
+    }
+    batch = {
+        r["touch_type"]: (r["n_conversions"], r["value_us"])
+        for r in run_attribution(spark, sf_dir).collect()
+    }
+    assert streamed == batch
