@@ -7,6 +7,7 @@ composed from the round-3 batch-4 operators.
       -> Markov transition matrix             (ev_markov_transitions)
       -> per-user mean-shift change point     (ev_changepoint, CUSUM numerator)
       -> RFM segmentation                     (ev_user_rfm, deterministic NTILE)
+      -> last-touch conversion attribution    (ev_attribution, one window pass)
 
 Every stage is a DataFrame -> DataFrame transform over ONE events scan
 shape: a single hash shuffle on user_id dominates each (the window
@@ -57,6 +58,11 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     print("RFM segmentation (best customers first):")
     rfm = build_registry()["ev_user_rfm"].run(spark, sf_dir)
     rfm.orderBy("rfm_code", "user_id").show(5)
+
+    print("last-touch attribution (credited touch -> conversions, value):")
+    from datafusion_ray_spark.operators.suite4 import run_attribution
+
+    run_attribution(spark, sf_dir).show()
 
     spark.stop()
 
