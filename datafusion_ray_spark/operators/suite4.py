@@ -1519,6 +1519,145 @@ def run_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def linear_attribution(ev: DataFrame,
+                       lookback_us: int = ATTRIBUTION_LOOKBACK_US,
+                       touch_types: tuple[str, ...] = ATTRIBUTION_TOUCH_TYPES,
+                       conversion_type: str = "purchase") -> DataFrame:
+    """Linear (equal-split) multi-touch attribution: every touch within
+    the lookback strictly preceding a conversion (ties by event_id, the
+    last-touch rule) receives an equal share of its value; conversions
+    with no qualifying touch land in 'none' with their full value.
+
+    Scale shape: the purchase->touch pairing is the bucketized range-join
+    idiom (bucket width = lookback, purchases probe their own + previous
+    bucket), so the equi-join keys are (user_id, bucket) and pair work is
+    bounded by touches per user-window — the OUTPUT of linear
+    attribution, not an artifact of the plan. Credit is exact integer
+    arithmetic: ``vus * 1e6 DIV n_touches`` pico-dollar shares summed in
+    DECIMAL(38,0) (headroom ~1e24 conversions).
+
+    Returns (touch_type, n_credits, value_credit_pico) per credited type.
+    """
+    from pyspark.sql import Window
+
+    pur = ev.where(F.col("event_type") == conversion_type).select(
+        "user_id",
+        F.col("event_id").alias("pid"),
+        F.col("eus").alias("peus"),
+        "vus",
+    )
+    tou = ev.where(F.col("event_type").isin(list(touch_types))).select(
+        "user_id",
+        F.col("event_type").alias("ttype"),
+        F.col("event_id").alias("tid"),
+        F.col("eus").alias("teus"),
+        F.expr(f"eus DIV {lookback_us}").alias("bucket"),
+    )
+    probe = pur.withColumn(
+        "bucket",
+        F.explode(
+            F.array(
+                F.expr(f"peus DIV {lookback_us}"),
+                F.expr(f"peus DIV {lookback_us} - 1"),
+            )
+        ),
+    )
+    strictly_before = (F.col("teus") < F.col("peus")) | (
+        (F.col("teus") == F.col("peus")) & (F.col("tid") < F.col("pid"))
+    )
+    pairs = (
+        probe.join(tou, ["user_id", "bucket"])
+        .where(strictly_before & (F.col("teus") >= F.col("peus") - lookback_us))
+        .select("pid", "vus", "ttype")
+    )
+    n_w = Window.partitionBy("pid")
+    # FLOOR division (matches DuckDB //): same negative-sum correction as
+    # run_drift_profile, so a negative-valued events table can't diverge.
+    credited = pairs.withColumn(
+        "n_t", F.count("*").over(n_w)
+    ).withColumn(
+        "credit",
+        F.expr(
+            "vus * 1000000 DIV n_t - (CASE WHEN (vus * 1000000) % n_t != 0"
+            " AND vus < 0 THEN 1 ELSE 0 END)"
+        ),
+    )
+    unattributed = (
+        pur.join(pairs.select("pid").distinct(), "pid", "left_anti")
+        .select(
+            F.lit("none").alias("ttype"),
+            F.expr("vus * 1000000").alias("credit"),
+        )
+    )
+    return (
+        credited.select("ttype", "credit")
+        .unionByName(unattributed)
+        .groupBy(F.col("ttype").alias("touch_type"))
+        .agg(
+            F.count("*").cast("long").alias("n_credits"),
+            F.expr(
+                "CAST(SUM(CAST(credit AS DECIMAL(38,0))) AS BIGINT)"
+            ).alias("value_credit_pico"),
+        )
+        .orderBy("touch_type")
+    )
+
+
+def run_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import epoch_us
+
+    ev = load_table(spark, sf_dir, "events")
+    return linear_attribution(
+        ev.select(
+            "user_id",
+            "event_type",
+            "event_id",
+            epoch_us(ev, "ts").alias("eus"),
+            F.floor(F.col("value") * 1_000_000).cast("long").alias("vus"),
+        )
+    )
+
+
+LINEAR_ATTRIBUTION_ORACLE = f"""
+WITH e AS (
+    SELECT user_id, event_type, event_id,
+           epoch_us(CAST(ts AS TIMESTAMP)) AS eus,
+           CAST(FLOOR(value * 1000000) AS BIGINT) AS vus
+    FROM events
+),
+pur AS (
+    SELECT user_id, event_id AS pid, eus AS peus, vus
+    FROM e WHERE event_type = 'purchase'
+),
+tou AS (
+    SELECT user_id, event_type AS ttype, event_id AS tid, eus AS teus
+    FROM e WHERE event_type IN ('click', 'view')
+),
+pairs AS (
+    SELECT p.pid, p.vus, t.ttype
+    FROM pur p JOIN tou t ON t.user_id = p.user_id
+    WHERE (t.teus < p.peus OR (t.teus = p.peus AND t.tid < p.pid))
+      AND t.teus >= p.peus - {ATTRIBUTION_LOOKBACK_US}
+),
+credited AS (
+    SELECT ttype,
+           vus * 1000000 // COUNT(*) OVER (PARTITION BY pid) AS credit
+    FROM pairs
+),
+unattributed AS (
+    SELECT 'none' AS ttype, vus * 1000000 AS credit
+    FROM pur WHERE pid NOT IN (SELECT pid FROM pairs)
+)
+SELECT ttype AS touch_type,
+       CAST(COUNT(*) AS BIGINT) AS n_credits,
+       CAST(CAST(SUM(CAST(credit AS HUGEINT)) AS DECIMAL(38,0)) AS BIGINT)
+         AS value_credit_pico
+FROM (SELECT * FROM credited UNION ALL SELECT * FROM unattributed)
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 ATTRIBUTION_ORACLE = f"""
 WITH e AS (
     SELECT user_id, event_type, event_id,
@@ -1685,5 +1824,13 @@ def extension_entries4() -> list:
             "last-touch conversion attribution: each purchase credits the "
             "latest preceding click/view within a 7-day lookback, exact "
             "floor-micro value sums",
+        ),
+        SuiteEntry(
+            "ev_attribution_linear",
+            run_linear_attribution,
+            LINEAR_ATTRIBUTION_ORACLE,
+            "linear multi-touch attribution: equal exact-integer value "
+            "split across all lookback touches (bucketized range-join "
+            "pairing, DECIMAL(38,0) sums)",
         ),
     ]

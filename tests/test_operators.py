@@ -994,3 +994,34 @@ def test_attribution_credits_last_touch_within_lookback(spark):
     assert out["none"]["n_conversions"] == 2
     assert out["none"]["value_us"] == 8_000_000
     assert "view" not in out and "error" not in out
+
+
+def test_linear_attribution_splits_value_exactly(spark):
+    """Planted journeys: two touches in-window split the purchase value
+    in exact pico-dollar floor shares; a touch outside the lookback gets
+    nothing; an untouched purchase lands whole in 'none'."""
+    from datafusion_ray_spark.operators.suite4 import (
+        ATTRIBUTION_LOOKBACK_US,
+        linear_attribution,
+    )
+
+    day = 24 * 3600 * 1_000_000
+    rows = [
+        # user 1: view + click in-window, purchase of 5_000_001 micro
+        # -> each credited floor(5000001e6 / 2), remainder dropped
+        (1, "view", 10, 0 * day, 0),
+        (1, "click", 11, 1 * day, 0),
+        (1, "purchase", 12, 2 * day, 5_000_001),
+        # user 2: click 8 days before purchase -> outside lookback
+        (2, "click", 20, 0 * day, 0),
+        (2, "purchase", 21, ATTRIBUTION_LOOKBACK_US + day, 7_000_000),
+    ]
+    ev = spark.createDataFrame(
+        rows, ["user_id", "event_type", "event_id", "eus", "vus"]
+    )
+    out = {r["touch_type"]: r for r in linear_attribution(ev).collect()}
+    share = 5_000_001 * 1_000_000 // 2
+    assert out["view"]["n_credits"] == 1 and out["view"]["value_credit_pico"] == share
+    assert out["click"]["n_credits"] == 1 and out["click"]["value_credit_pico"] == share
+    assert out["none"]["n_credits"] == 1
+    assert out["none"]["value_credit_pico"] == 7_000_000 * 1_000_000
