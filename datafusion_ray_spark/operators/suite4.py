@@ -1534,9 +1534,13 @@ def linear_attribution(ev: DataFrame,
     bounded by touches per user-window — the OUTPUT of linear
     attribution, not an artifact of the plan. Credit is exact integer
     arithmetic: ``vus * 1e6 DIV n_touches`` pico-dollar shares summed in
-    DECIMAL(38,0) (headroom ~1e24 conversions).
+    DECIMAL(38,0), emitted as floor-MICRO dollars (a raw pico BIGINT
+    output overflowed at the 100x gate — 4.8e19 > int64; micro emission
+    keeps sub-micro split exactness inside the aggregate and overflows
+    only past ~1e12 conversions; floor correction matches DuckDB // on
+    negative totals).
 
-    Returns (touch_type, n_credits, value_credit_pico) per credited type.
+    Returns (touch_type, n_credits, value_credit_us) per credited type.
     """
     from pyspark.sql import Window
 
@@ -1596,8 +1600,11 @@ def linear_attribution(ev: DataFrame,
         .agg(
             F.count("*").cast("long").alias("n_credits"),
             F.expr(
-                "CAST(SUM(CAST(credit AS DECIMAL(38,0))) AS BIGINT)"
-            ).alias("value_credit_pico"),
+                "CAST(SUM(CAST(credit AS DECIMAL(38,0))) DIV 1000000"
+                " - (CASE WHEN SUM(CAST(credit AS DECIMAL(38,0))) % 1000000"
+                " != 0 AND SUM(CAST(credit AS DECIMAL(38,0))) < 0"
+                " THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("value_credit_us"),
         )
         .orderBy("touch_type")
     )
@@ -1650,8 +1657,8 @@ unattributed AS (
 )
 SELECT ttype AS touch_type,
        CAST(COUNT(*) AS BIGINT) AS n_credits,
-       CAST(CAST(SUM(CAST(credit AS HUGEINT)) AS DECIMAL(38,0)) AS BIGINT)
-         AS value_credit_pico
+       CAST(SUM(CAST(credit AS HUGEINT)) // 1000000 AS BIGINT)
+         AS value_credit_us
 FROM (SELECT * FROM credited UNION ALL SELECT * FROM unattributed)
 GROUP BY 1
 ORDER BY 1

@@ -1020,8 +1020,8 @@ def test_linear_attribution_splits_value_exactly(spark):
         rows, ["user_id", "event_type", "event_id", "eus", "vus"]
     )
     out = {r["touch_type"]: r for r in linear_attribution(ev).collect()}
-    share = 5_000_001 * 1_000_000 // 2
-    assert out["view"]["n_credits"] == 1 and out["view"]["value_credit_pico"] == share
-    assert out["click"]["n_credits"] == 1 and out["click"]["value_credit_pico"] == share
+    share_us = (5_000_001 * 1_000_000 // 2) // 1_000_000  # pico agg, micro out
+    assert out["view"]["n_credits"] == 1 and out["view"]["value_credit_us"] == share_us
+    assert out["click"]["n_credits"] == 1 and out["click"]["value_credit_us"] == share_us
     assert out["none"]["n_credits"] == 1
-    assert out["none"]["value_credit_pico"] == 7_000_000 * 1_000_000
+    assert out["none"]["value_credit_us"] == 7_000_000
