@@ -142,3 +142,116 @@ def interval_overlap_join(
         )
     )
     return pairs
+
+
+def band_count(
+    probes: DataFrame,
+    targets: DataFrame,
+    probe_val: str,
+    target_val: str,
+    eps: float,
+    id_col: str,
+    count_alias: str = "n_close",
+) -> DataFrame:
+    """For each probe row, the EXACT count of target rows with value in
+    ``[p - eps, p + eps]`` — the 1-D range-COUNT form of the band join,
+    computed WITHOUT materializing probe x target pairs.
+
+    The bucketized pair join (this module's idiom) is right when the
+    JOIN OUTPUT is wanted; for a count it is quadratic busywork — at the
+    100x scale gate the pair form took 1300+ s (half a trillion pairs)
+    for an answer that is just ``CDF(p+eps) - CDF⁻(p-eps)``. This
+    computes that directly:
+
+    1. Bucket targets by ``floor(v / eps)``; per-(bucket, value) counts
+       with an in-bucket running total (window PARTITIONED by bucket —
+       fully parallel).
+    2. Bucket offsets (targets in all earlier buckets) via one window
+       over the bucket-total table — bounded by value_range/eps rows
+       (a few hundred here; for unbounded domains size eps like the
+       packing prefix-sum, ~sqrt(n) buckets).
+    3. Each probe emits two boundary rows (lo = p-eps, hi = p+eps);
+       a per-bucket merge (union + ONE window pass, the as-of idiom)
+       reads the running CDF at each boundary: a ``-inf`` sentinel per
+       bucket carries the bucket offset, and the sort rank orders
+       lo-probes BEFORE ties (strict <) and hi-probes AFTER ties
+       (inclusive <=).
+    4. count = C(hi) - C⁻(lo), grouped back per probe id. Probes with
+       no targets in band get 0 (both lookups hit the same CDF point).
+
+    Work: two linear shuffles + one bounded-table window — no pair
+    blowup at ANY probe/target density. Boundary arithmetic is plain
+    double ``p ± eps`` on both engines (the oracle must use the same
+    boundary form, not ``ABS(p - v) <= eps``: IEEE sub/add round
+    differently near exact-boundary values).
+    """
+    from pyspark.sql import Window
+
+    t = targets.select(F.col(target_val).cast("double").alias("tv"))
+    t = t.withColumn("b", F.floor(F.col("tv") / eps).cast("long"))
+    tvc = t.groupBy("b", "tv").agg(F.count("*").alias("cnt"))
+    in_bucket = Window.partitionBy("b").orderBy("tv").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tvc = tvc.withColumn("cum_le", F.sum("cnt").over(in_bucket))
+
+    p = probes.select(F.col(id_col).alias("_pid"),
+                      F.col(probe_val).cast("double").alias("pv"))
+    lo = p.select("_pid", (F.col("pv") - eps).alias("val"),
+                  F.lit(1).alias("tr"))
+    hi = p.select("_pid", (F.col("pv") + eps).alias("val"),
+                  F.lit(3).alias("tr"))
+    boundary = lo.unionByName(hi).withColumn(
+        "b", F.floor(F.col("val") / eps).cast("long")
+    )
+
+    # bucket offsets over the UNION of target and probe buckets: the
+    # one bounded-size serial window (value_range/eps rows).
+    buckets = (
+        tvc.groupBy("b").agg(F.sum("cnt").alias("c"))
+        .unionByName(boundary.select("b").distinct()
+                     .withColumn("c", F.lit(0)))
+        .groupBy("b").agg(F.sum("c").alias("c"))
+    )
+    off_w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = buckets.withColumn(
+        "off", F.coalesce(F.sum("c").over(off_w), F.lit(0))
+    ).select("b", "off")
+
+    sentinel = offsets.select(
+        "b",
+        F.lit(float("-inf")).alias("val"),
+        F.lit(0).alias("tr"),
+        F.col("off").cast("long").alias("c_le"),
+        F.lit(None).cast("long").alias("_pid"),
+    )
+    target_rows = (
+        tvc.join(offsets, "b")
+        .select(
+            "b",
+            F.col("tv").alias("val"),
+            F.lit(2).alias("tr"),
+            (F.col("off") + F.col("cum_le")).cast("long").alias("c_le"),
+            F.lit(None).cast("long").alias("_pid"),
+        )
+    )
+    probe_rows = boundary.select(
+        "b", "val", "tr", F.lit(None).cast("long").alias("c_le"), "_pid"
+    )
+    merge_w = Window.partitionBy("b").orderBy("val", "tr").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    merged = (
+        sentinel.unionByName(target_rows).unionByName(probe_rows)
+        .withColumn("cdf", F.last("c_le", ignorenulls=True).over(merge_w))
+    )
+    return (
+        merged.where(F.col("tr").isin(1, 3))
+        .groupBy(F.col("_pid").alias(id_col))
+        .agg(
+            (
+                F.max(F.when(F.col("tr") == 3, F.col("cdf")))
+                - F.max(F.when(F.col("tr") == 1, F.col("cdf")))
+            ).cast("long").alias(count_alias)
+        )
+    )

@@ -805,42 +805,31 @@ BAND_EPS = 0.5
 
 
 def run_value_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band COUNT via the distributed-CDF form (rangejoin.band_count):
+    the old bucketized pair join was the right plan for emitting pairs
+    but quadratic busywork for a count — the 100x scale gate measured
+    1300+ s on it; the CDF form is two linear shuffles at any density.
+    The oracle uses the same ``v ± eps`` boundary arithmetic (NOT
+    ``ABS(a-b) <= eps``: IEEE sub and add round differently at exact
+    band edges, and both engines must compare the same doubles)."""
+    from .rangejoin import band_count
+
     ev = _events(spark, sf_dir)
     err = ev.where(F.col("event_type") == "error").select("event_id", "value")
-    clk = ev.where(F.col("event_type") == "click").select(
-        F.col("value").alias("_rv")
-    )
-    l = err.withColumn("_b", F.floor(F.col("value") / BAND_EPS))
-    r = (
-        clk.withColumn("_b0", F.floor(F.col("_rv") / BAND_EPS))
-        .withColumn(
-            "_b",
-            F.explode(
-                F.array(
-                    F.col("_b0") - 1, F.col("_b0"), F.col("_b0") + 1
-                )
-            ),
-        )
-        .drop("_b0")
-    )
-    joined = l.join(
-        r,
-        (l["_b"] == r["_b"])
-        & (F.abs(l["value"] - r["_rv"]) <= BAND_EPS),
-        "left",
-    )
-    return (
-        joined.groupBy(l["event_id"])
-        .agg(F.count(r["_rv"]).cast("long").alias("n_close"))
-        .orderBy("event_id")
-    )
+    clk = ev.where(F.col("event_type") == "click").select("value")
+    return band_count(
+        err, clk, probe_val="value", target_val="value",
+        eps=BAND_EPS, id_col="event_id",
+    ).orderBy("event_id")
 
 
 VALUE_BAND_ORACLE = f"""
 SELECT e.event_id, CAST(COUNT(c.value) AS BIGINT) AS n_close
 FROM events e
 LEFT JOIN events c
-    ON c.event_type = 'click' AND ABS(e.value - c.value) <= {BAND_EPS}
+    ON c.event_type = 'click'
+   AND c.value >= e.value - {BAND_EPS}
+   AND c.value <= e.value + {BAND_EPS}
 WHERE e.event_type = 'error'
 GROUP BY e.event_id
 ORDER BY e.event_id

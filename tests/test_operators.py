@@ -1025,3 +1025,34 @@ def test_linear_attribution_splits_value_exactly(spark):
     assert out["click"]["n_credits"] == 1 and out["click"]["value_credit_us"] == share_us
     assert out["none"]["n_credits"] == 1
     assert out["none"]["value_credit_us"] == 7_000_000
+
+
+def test_band_count_equals_naive_pairs_with_exact_boundaries(spark):
+    """The CDF band count must equal a naive per-pair count using the
+    SAME boundary arithmetic (t >= p - eps AND t <= p + eps), including
+    targets landing exactly ON a band edge, empty bands, negative
+    values, and bucket-straddling bands."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    eps = 0.5
+    targets = list(np.round(rng.uniform(-3, 3, 200), 2))
+    targets += [1.25 - eps, 1.25 + eps, -2.0, -2.0]  # exact edges + ties
+    probes = list(np.round(rng.uniform(-3, 3, 50), 2)) + [1.25, -1.5, 9.0]
+    tdf = spark.createDataFrame([(float(v),) for v in targets], ["value"])
+    pdf = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(probes)], ["event_id", "value"]
+    )
+    from datafusion_ray_spark.operators.rangejoin import band_count
+
+    got = {
+        r["event_id"]: r["n_close"]
+        for r in band_count(
+            pdf, tdf, probe_val="value", target_val="value",
+            eps=eps, id_col="event_id",
+        ).collect()
+    }
+    for i, p in enumerate(probes):
+        lo, hi = p - eps, p + eps
+        want = sum(1 for t in targets if lo <= t <= hi)
+        assert got[i] == want, f"probe {p}: {got[i]} != {want}"
