@@ -207,8 +207,13 @@ def _verify_jaccard(df: DataFrame, cand: DataFrame, text_col: str):
     # set): both join legs below consume it, and without pinning each leg
     # re-runs the scan + shingle projection (different join keys, so no
     # exchange reuse). localCheckpoint blocks are dropped by the
-    # ContextCleaner when unreachable.
-    ).localCheckpoint(eager=True)
+    # ContextCleaner when unreachable. eager=False: materialization happens
+    # at the first ACTION, not at DataFrame construction, so plan-only
+    # tooling (plan_report, uses_python_workers) can build this plan
+    # without running the candidate scan. Lineage is still truncated —
+    # executor loss after materialization fails the job rather than
+    # recomputing; acceptable for a bounded candidate-doc slice.
+    ).localCheckpoint(eager=False)
     joined = (
         cand.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
         .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")

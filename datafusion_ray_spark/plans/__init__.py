@@ -98,7 +98,7 @@ def runtime_shuffle_metrics(df: DataFrame) -> dict[str, int]:
     loudly as a wrong answer.
     """
     agg = {"shuffle_bytes": 0, "shuffle_rows": 0, "n_exchange": 0,
-           "n_broadcast": 0, "n_expand": 0}
+           "n_broadcast": 0, "n_expand": 0, "n_reused_exchange": 0}
     seen: set[int] = set()
 
     def walk(node) -> None:
@@ -107,7 +107,13 @@ def runtime_shuffle_metrics(df: DataFrame) -> dict[str, int]:
             return
         seen.add(ident)
         name = node.nodeName()
-        if "Exchange" in name:
+        if "ReusedExchange" in name:
+            # A reused exchange shares the original's SQLMetrics object:
+            # counting it as a fresh shuffle would double its bytes/rows and
+            # let an exchange-becomes-reused plan change trip the shuffle
+            # drift gate spuriously. Count it separately; no metric sum.
+            agg["n_reused_exchange"] += 1
+        elif "Exchange" in name:
             if "Broadcast" in name:
                 agg["n_broadcast"] += 1
             else:

@@ -264,8 +264,8 @@ def main() -> int:
             continue
         ratio = round(t10 / max(t1, 1e-3), 2)
         rec = {"t1x": t1, "t10x": round(t10, 3), "wall_ratio": ratio}
-        b1 = base.get("shuffle", {}).get(name, {}).get("shuffle_bytes_written")
-        b10 = x10.get("shuffle", {}).get(name, {}).get("shuffle_bytes_written")
+        b1 = base.get("shuffle", {}).get(name, {}).get("shuffle_bytes")
+        b10 = x10.get("shuffle", {}).get(name, {}).get("shuffle_bytes")
         if b1 and b10:
             rec["shuffle_bytes_ratio"] = round(b10 / max(b1, 1), 2)
         if name in KNOWN_SUPERLINEAR:
