@@ -54,9 +54,9 @@ def _sql_entry(qdef: QueryDef) -> SuiteEntry:
 # Each round the rotating slots move to registry entries that have not yet
 # earned a driver-side CORRECTNESS row (the union of CORRECTNESS_r*.json
 # keys), oldest-certified last — so every entry earns the harder driver
-# oracle within a few rounds while the flagships stay pinned.  89/170 had
-# driver rows entering round 4; this round's 20 picks are all from the
-# never-certified set.
+# oracle within a few rounds while the flagships stay pinned.  109/175 had
+# driver rows entering round 5; this round's 20 picks are all from the
+# never-certified set (66 remaining -> 46 after this window certifies).
 _FIXED_FLAGSHIPS = [
     "dedup_minhash_lsh", "dedup_groups",      # near-dup pipeline + groups
     "sim_knn_graph",                          # ANN batch workload
@@ -66,28 +66,21 @@ _FIXED_FLAGSHIPS = [
     "sketch_count_min",                       # mergeable-sketch anchor
     "mm_decode_features",                     # multimodal anchor
 ]
-_ROTATING_R4 = [
-    # the round-3 verdict's flagged plan (now fixed) + its eval twin
-    "profile_table", "dedup_lsh_eval",
-    # new this round: parameterized CEP second pattern set
-    "ev_seq_match2",
-    # event analytics never driver-certified
-    "ev_markov_transitions", "ev_changepoint", "ev_sessionize",
-    "ev_cooccurrence", "ev_gap_histogram",
-    # graph + embedding analytics
-    "graph_triangles", "graph_local_clustering", "emb_centroid_outliers",
-    # profiling / drift
-    "profile_drift",
-    # multimodal
-    "mm_scene_cuts", "mm_silence_trim",
-    # text / dedup scale paths
-    "text_ngram_novelty", "dedup_substring_fps",
-    # ANN compositions + windows
-    "sim_ann_ivfpq", "win_rolling_median",
-    # new round-4 composites (lexical+semantic ensemble, benchmark screen)
-    "dedup_ensemble", "contamination_semantic",
+_ROTATING_R5 = [
+    # SQL-surface entries never driver-certified (66 remained entering r5)
+    "recursive_cte", "pivot_sql", "unpivot_sql", "lateral_topk",
+    "json_funcs", "win_ignore_nulls", "agg_filter_clause", "null_semantics",
+    # text pipeline
+    "text_tfidf", "text_bigram_lm", "text_hash_embed", "text_gopher_rules",
+    "pii_redact",
+    # dedup variants
+    "dedup_paragraph", "dedup_fuzzy_groups", "dedup_incremental",
+    # ANN codebook paths
+    "sim_ann_pq", "sim_ann_sq8_rerank",
+    # sketches + the skew-resilience showcase
+    "sketch_heavy_hitters", "join_salted",
 ]
-_PRIORITY_AFTER_TPCH = _FIXED_FLAGSHIPS + _ROTATING_R4
+_PRIORITY_AFTER_TPCH = _FIXED_FLAGSHIPS + _ROTATING_R5
 
 
 def build_registry() -> dict[str, SuiteEntry]:
