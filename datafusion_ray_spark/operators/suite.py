@@ -2088,6 +2088,7 @@ def _round3_entries():
         extension_entries3c,
         extension_entries3d,
     )
+    from .sinks import extension_entries_sinks
     from .suite4 import extension_entries4
     from .suite5 import extension_entries5
 
@@ -2099,4 +2100,5 @@ def _round3_entries():
         + extension_entries3d()
         + extension_entries4()
         + extension_entries5()
+        + extension_entries_sinks()
     )
