@@ -173,6 +173,62 @@ ORDER BY event_date
 """
 
 
+def run_sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction (the OPTIMIZE-style maintenance operator):
+    rewrite a fragmented partitioned layout to one file per partition and
+    prove data integrity across the rewrite.
+
+    Stage 1 writes events partitioned by event_type WITHOUT the
+    repartition discipline — every one of 16 write tasks drops a sliver
+    into every directory (16 x 5 small files), which is exactly what
+    incremental appends do to a real table. Stage 2 is the compactor:
+    read back, shuffle each partition value to one task, rewrite — one
+    file per directory. The returned per-type aggregates come from the
+    COMPACTED layout and must match the DuckDB oracle computed from the
+    original table, certifying the rewrite lost/duplicated nothing.
+    File-count before/after is pinned by tests/test_partitioned_sink.py.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") * 1_000_000).cast("long").alias("value_micro"),
+    )
+    frag = _scratch(sf_dir, "frag")
+    ev.repartition(16).write.partitionBy("event_type").mode(
+        "overwrite"
+    ).parquet(frag)
+    compacted = _scratch(sf_dir, "compacted")
+    (
+        spark.read.parquet(frag)
+        .repartition("event_type")
+        .write.partitionBy("event_type")
+        .mode("overwrite")
+        .parquet(compacted)
+    )
+    return (
+        spark.read.parquet(compacted)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("value_micro").cast("long").alias("sum_value_micro"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def sink_compact_oracle() -> str:
+    return """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+           AS sum_value_micro
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 def extension_entries_sinks() -> list:
     from ..queries.registry import SuiteEntry
 
@@ -189,7 +245,15 @@ def extension_entries_sinks() -> list:
             run_join_dpp,
             join_dpp_oracle(),
             "dynamic partition pruning: date-partitioned fact joined to a "
-            "runtime top-K-revenue-days dim; only the K matching "
+            "runtime above-average-revenue-days dim; only the matching "
             "partitions are scanned",
+        ),
+        SuiteEntry(
+            "sink_compact",
+            run_sink_compact,
+            sink_compact_oracle(),
+            "small-file compaction: fragmented partitioned layout "
+            "rewritten to one file per partition, integrity certified "
+            "against the source table",
         ),
     ]

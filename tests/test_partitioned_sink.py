@@ -75,3 +75,27 @@ def test_dpp_result_subset_of_days(spark, sf_dir):
     # strict subset at every SF: the share threshold sits above the mean
     assert 0 < len(rows) < 30
     assert all(r.n_events > 0 for r in rows)
+
+
+def test_compaction_reduces_file_count(spark, sf_dir):
+    from datafusion_ray_spark.operators.sinks import (
+        _scratch,
+        run_sink_compact,
+    )
+
+    rows = run_sink_compact(spark, sf_dir)
+    assert rows.count() == 5
+    frag_files = glob.glob(
+        os.path.join(_scratch(sf_dir, "frag"), "event_type=*", "*.parquet")
+    )
+    compact_files = glob.glob(
+        os.path.join(
+            _scratch(sf_dir, "compacted"), "event_type=*", "*.parquet"
+        )
+    )
+    assert len(frag_files) > 5, (
+        f"fragmented stage should have many small files, got {len(frag_files)}"
+    )
+    assert len(compact_files) == 5, (
+        f"compactor must leave one file per partition, got {len(compact_files)}"
+    )
