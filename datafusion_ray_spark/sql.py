@@ -21,9 +21,14 @@ _COPY = re.compile(
     r"^\s*copy\s+(?:\((?P<query>.*)\)|(?P<table>[\w.]+))\s+to\s+"
     r"'(?P<path>[^']+)'"
     r"(?:\s+stored\s+as\s+(?P<fmt>\w+))?"
-    r"(?:\s+options\s*\(.*\))?\s*$",
+    r"(?:\s+partitioned\s+by\s*\((?P<partcols>[^)]*)\))?"
+    r"(?:\s+options\s*\((?P<options>.*)\))?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+#: OPTIONS entries: DataFusion accepts ``key value`` / ``key 'value'`` /
+#: ``'key' 'value'`` pairs, comma-separated; keys may be dotted
+#: (``format.compression``).
+_COPY_OPT = re.compile(r"'?([\w.]+)'?\s+'?([\w.\-()]+)'?")
 
 
 def split_statements(script: str) -> list[str]:
@@ -91,6 +96,15 @@ def run_copy(spark: SparkSession, stmt: str) -> DataFrame | None:
     sink — at scale a single output file would serialize the write), which
     Spark/DuckDB readers and ``register_parquet`` accept transparently.
     Format comes from STORED AS, else the path extension, else parquet.
+
+    DataFusion's ``PARTITIONED BY (cols)`` clause maps to
+    ``DataFrameWriter.partitionBy`` (hive-style directories, pruned on
+    read — see operators/sinks.py), with the one-file-per-partition
+    repartition discipline applied. ``OPTIONS (...)`` pairs are honored
+    for the compression codec (``compression 'zstd'`` or DataFusion's
+    dotted ``format.compression``; the reference's own fixtures are
+    zstd parquet, ``/root/reference/tpch/make_data.py``); unknown keys
+    are ignored like DataFusion's format-specific passthroughs.
     """
     m = _COPY.match(stmt)
     if m is None:
@@ -102,7 +116,17 @@ def run_copy(spark: SparkSession, stmt: str) -> DataFrame | None:
         tail = path.rstrip("/").rsplit("/", 1)[-1]
         fmt = tail.rsplit(".", 1)[-1] if "." in tail else "parquet"
     fmt = fmt.lower()
+    opts = dict(_COPY_OPT.findall(m.group("options") or ""))
+    partcols = [c.strip() for c in (m.group("partcols") or "").split(",") if c.strip()]
+    if partcols:
+        src = src.repartition(*partcols)
     writer = src.write.mode("overwrite")
+    if partcols:
+        writer = writer.partitionBy(*partcols)
+    compression = opts.get("compression") or opts.get("format.compression")
+    if compression:
+        # DataFusion spells levels inline (zstd(3)); Spark takes the codec
+        writer = writer.option("compression", compression.split("(")[0])
     if fmt == "parquet":
         writer.parquet(path)
         written = spark.read.parquet(path)

@@ -69,6 +69,50 @@ def test_copy_to_statement(spark, sf_dir, tmp_path):
     assert ctx.sql("SELECT COUNT(*) AS c FROM n1_back").to_pandas()["c"][0] == 7
 
 
+def test_copy_to_compression_option(spark, sf_dir, tmp_path):
+    """COPY ... OPTIONS (compression 'zstd') reaches the parquet writer
+    (the reference's own fixtures are zstd, tpch/make_data.py); the
+    footer's column codec proves it wasn't silently dropped."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    ctx = DFRayContext(spark=spark)
+    ctx.register_parquet("nation", f"{sf_dir}/nation.parquet")
+    out = str(tmp_path / "nz.parquet")
+    n = ctx.sql(
+        f"COPY nation TO '{out}' STORED AS PARQUET "
+        f"OPTIONS (compression 'zstd(3)')"
+    ).to_pandas()
+    assert n["count"][0] == 25
+    part = glob.glob(f"{out}/*.parquet")[0]
+    meta = pq.ParquetFile(part).metadata
+    assert meta.row_group(0).column(0).compression.lower() == "zstd"
+
+
+def test_copy_to_partitioned_by(spark, sf_dir, tmp_path):
+    """COPY ... PARTITIONED BY (col) writes hive-style directories with
+    one file per partition (repartition discipline) that read back with
+    partition pruning like any partitioned table."""
+    import glob
+    import os
+
+    ctx = DFRayContext(spark=spark)
+    ctx.register_parquet("nation", f"{sf_dir}/nation.parquet")
+    out = str(tmp_path / "n_part")
+    n = ctx.sql(
+        f"COPY (SELECT n_nationkey, n_name, n_regionkey FROM nation) "
+        f"TO '{out}' STORED AS PARQUET PARTITIONED BY (n_regionkey)"
+    ).to_pandas()
+    assert n["count"][0] == 25
+    dirs = sorted(glob.glob(os.path.join(out, "n_regionkey=*")))
+    assert len(dirs) == 5
+    for d in dirs:
+        assert len(glob.glob(os.path.join(d, "*.parquet"))) == 1
+    back = spark.read.parquet(out)
+    assert back.where("n_regionkey = 2").count() == 5
+
+
 def test_local_validator_matches_spark(spark, sf_dir):
     ctx = DFRayContext(spark=spark)
     ctx.register_parquet("nation", f"{sf_dir}/nation.parquet")
