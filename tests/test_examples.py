@@ -19,6 +19,7 @@ SCRIPTS = [
     "streaming_ingest.py",
     "llm_pipeline.py",
     "behavior_analytics.py",
+    "partitioned_tables.py",
 ]
 
 
