@@ -93,6 +93,13 @@ ORDER BY c_nationkey
 
 # Exact interpolated percentiles (Spark `percentile`, DuckDB
 # `quantile_cont` — same linear-interpolation definition).
+# SCALE NOTE: Spark's exact `percentile` buffers every group value in the
+# aggregation state (the ~5 MB shuffled for 6 output rows in
+# BENCH_DETAIL is the full column riding inside agg buffers) — correct
+# as the small-scale oracle but NOT the 100 TB plan. The scale paths are
+# `agg_approx_percentile` (GK sketch, bounded state, error-bound-tested
+# against this exact form) and the distributed-CDF counting idiom
+# (join_value_band's range-count rewrite) when exactness is required.
 _q(
     "agg_percentile",
     """
