@@ -229,16 +229,21 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text") -> DataFrame:
     Jaccard is computed from integer set sizes (bit-deterministic); pairs
     with jaccard >= JACCARD_THRESHOLD are flagged near-dups.
 
-    The candidate pair set is materialized (persist + count) before the
-    verify stage: candidates are a sub-percent fraction of the corpus, and
-    with them pinned, verification re-reads shingles ONLY for candidate
+    The candidate pair set is materialized (eager localCheckpoint) before
+    the verify stage: candidates are a sub-percent fraction of the corpus,
+    and with them pinned, verification re-reads shingles ONLY for candidate
     documents (tiny id list broadcast into the scan) instead of re-deriving
     the whole corpus's shingle sets once per join leg — at 100 TB that is
     the difference between two extra full-corpus passes and two sub-1%
-    column-pruned scans.
+    column-pruned scans. localCheckpoint rather than persist+count: persist
+    registers the plan with the CacheManager, whose canonicalized plan
+    matching then SUBSTITUTES this subtree into later queries built from
+    fresh table scans — observed to break attribute resolution
+    ("key not found: <attr>") when such a cache-substituted union feeds
+    another checkpoint (the star-CC edge set). Checkpoint blocks stay out
+    of the CacheManager and are dropped by the ContextCleaner.
     """
-    cand = minhash_candidates(df, text_col).persist()
-    cand.count()
+    cand = minhash_candidates(df, text_col).localCheckpoint(eager=True)
     joined, inter, union = _verify_jaccard(df, cand, text_col)
     return joined.select(
         "doc_a",
@@ -415,95 +420,155 @@ def simhash_pairs(
     )
 
 
+def _both_directions(e: DataFrame) -> DataFrame:
+    """(s,t) -> rows (u=s,v=t) and (u=t,v=s) via a single explode — one
+    pass over the edges, and deliberately NOT a self-union: Spark 4's
+    Union constraint rewriting (UnionBase.rewriteConstraints) throws
+    ``key not found: <attr>`` on self-unions of projections of the same
+    plan under some lineages (hit by the star loop's checkpointed edge
+    sets); a Generate node has no such path."""
+    return e.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("s").alias("u"), F.col("t").alias("v")),
+                F.struct(F.col("t").alias("u"), F.col("s").alias("v")),
+            )
+        ).alias("d")
+    ).select(F.col("d.u").alias("u"), F.col("d.v").alias("v"))
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star operation (Kiveris et al. 2014): every node connects its
+    LARGER neighbors to its minimum neighborhood member. Input/output:
+    canonical undirected edges (s < t)."""
+    adj = _both_directions(e)
+    m = adj.groupBy("u").agg(F.least(F.col("u"), F.min("v")).alias("m"))
+    # for v in N(u), v > u: emit (m_u, v); m_u <= u < v keeps canonical order
+    return (
+        adj.join(m, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("m").alias("s"), F.col("v").alias("t"))
+        .where(F.col("s") != F.col("t"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star operation: every node connects its SMALLER neighbors (and
+    itself) to the minimum of them. Canonical (s < t) in and out; the
+    two emissions per edge go through one explode (see
+    ``_both_directions`` for why not a self-union)."""
+    mm = e.groupBy("t").agg(F.min("s").alias("m"))
+    j = e.join(mm, "t")
+    return (
+        j.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("m").alias("s2"), F.col("s").alias("t2")),
+                    F.struct(F.col("m").alias("s2"), F.col("t").alias("t2")),
+                )
+            ).alias("d")
+        )
+        .select(F.col("d.s2").alias("s"), F.col("d.t2").alias("t"))
+        .where(F.col("s") != F.col("t"))
+        .distinct()
+    )
+
+
+def _edge_signature(e: DataFrame) -> tuple:
+    """(count, 64-bit-hash sum) fingerprint of an edge set — equal
+    signatures across a star round mean the fixpoint (star graphs) was
+    reached. Sum in DECIMAL(38,0): a plain long sum of xxhash64 values
+    overflows under ANSI mode."""
+    row = e.agg(
+        F.count("*").alias("n"),
+        F.sum(F.xxhash64("s", "t").cast("decimal(38,0)")).alias("h"),
+    ).collect()[0]
+    return (row["n"], row["h"])
+
+
 def duplicate_groups(pairs: DataFrame, max_iterations: int = 60) -> DataFrame:
     """Transitive duplicate groups from near-dup pairs: connected components
-    by iterative min-label propagation -> (doc_id, group_id = smallest
-    doc_id in the component).
+    by alternating large-star/small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC 2014) -> (doc_id, group_id =
+    smallest doc_id in the component).
 
     Pair detectors (minhash/ngram/simhash) emit EDGES; an actual keep-list
-    needs COMPONENTS (a~b, b~c => {a,b,c} one group). Each iteration is one
-    edge-propagation equi-join PLUS a pointer-doubling join
-    (label[label[doc]]) + one min-groupBy (hash-shuffled on ids, map-side
-    combinable). Doubling contracts pure chains exponentially (a 300-node
-    path converges in ~9 rounds, test-pinned), but on general graphs the
-    binding bound stays O(diameter): knowledge of the component's
-    global-min id still spreads one edge-hop per round regardless of
-    pointer jumps. Measured on the 10x scale fixture: a 19.8k-node,
-    diameter-24 ensemble component converges in ~20 rounds, exact against
-    a union-find reference. The cap is 60 because rounds after the
-    fixpoint never execute (early exit) — a high cap costs nothing on the
-    clique-shaped components real near-dup data produces (1-2 rounds),
-    and diameter>60 components warn rather than silently truncate. If
-    profiled corpora ever exceed it, the upgrade path is alternating
-    large-star/small-star (Kiveris et al. 2014), O(log^2 n) rounds of
-    edge-sized shuffles. Each round's labels are ``localCheckpoint``-ed:
-    persist alone caches *data* but the logical plan still accumulates
-    every iteration (planning/serialization cost per round grows
-    superlinearly with deep components); checkpointing truncates lineage
-    so the per-round plan stays O(1) deep. The driver holds only the
-    changed-row count.
+    needs COMPONENTS (a~b, b~c => {a,b,c} one group). Each round runs
+    large-star (larger neighbors re-attach to the neighborhood min) then
+    small-star (smaller neighbors collapse onto their min); the edge set
+    converges to per-component stars rooted at the component minimum in
+    O(log^2 n) rounds of edge-sized shuffles. This replaced round-4's
+    min-label propagation, whose binding bound is O(component diameter):
+    the 10x scale gate produced a 19.8k-node diameter-24 component
+    (chained cosine edges) that needed ~20 label rounds / ~38 s — star CC
+    does it in 6 rounds / ~6 s, and a 300-node path (diameter 299, the
+    adversarial case for label propagation) in 10 rounds. Both certified
+    exact against a union-find reference; clique-shaped components (the
+    common near-dup case) still finish in 2-3 rounds. Every round's edge
+    set is ``localCheckpoint``-ed so the per-round plan stays O(1) deep,
+    and the driver holds only the (count, hash) convergence fingerprint.
     """
     import warnings
-    edges = pairs.select(
-        F.col("doc_a").cast("long").alias("a"), F.col("doc_b").cast("long").alias("b")
-    )
-    edges = edges.union(
-        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).persist()
-    # 1-hop warm start: label = min(self, direct neighbors). Near-dup
-    # components are clique-shaped in practice, so this alone usually IS the
-    # fixpoint and the loop exits after one confirming round.
-    labels = (
-        edges.groupBy("a")
-        .agg(F.least(F.col("a"), F.min("b")).alias("label"))
-        .select(F.col("a").alias("doc_id"), "label")
+
+    # ONE materialization of the (possibly expensive) pair pipeline: keep
+    # self-pairs here so the final node roster derives from this
+    # checkpoint, never from `pairs` again (re-deriving pairs for the
+    # singleton roster re-ran the whole minhash pipeline — 62 s vs 6 s on
+    # the 10x fixture).
+    e0 = (
+        pairs.select(
+            F.least(F.col("doc_a"), F.col("doc_b")).cast("long").alias("s"),
+            F.greatest(F.col("doc_a"), F.col("doc_b")).cast("long").alias("t"),
+        )
+        .distinct()
         .localCheckpoint()
     )
-    changed = -1
+    e = e0.where(F.col("s") != F.col("t"))
+    sig = _edge_signature(e)
+    converged = False
     for _ in range(max_iterations):
-        propagated = edges.join(labels, edges["a"] == labels["doc_id"]).select(
-            F.col("b").alias("doc_id"), F.col("label")
-        )
-        # Pointer doubling: every label value is itself a node id, so
-        # label[label[doc]] is reachable-set min two hops out — chains
-        # contract exponentially instead of one hop per round.
-        hop = (
-            labels.alias("l1")
-            .join(
-                labels.alias("l2"),
-                F.col("l1.label") == F.col("l2.doc_id"),
-            )
-            .select(
-                F.col("l1.doc_id").alias("doc_id"),
-                F.col("l2.label").alias("label"),
-            )
-        )
-        new_labels = (
-            labels.select("doc_id", "label")
-            .union(propagated)
-            .union(hop)
-            .groupBy("doc_id")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.col("n.label") < F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        e2 = _small_star(_large_star(e)).localCheckpoint()
+        sig2 = _edge_signature(e2)
+        e = e2
+        if sig2 == sig:
+            converged = True
             break
-    if changed != 0:
+        sig = sig2
+    if not converged:
         warnings.warn(
             f"duplicate_groups did not converge after {max_iterations} "
-            "iterations; group ids may span partial components (raise "
-            "max_iterations for deep chain-shaped duplicate graphs)",
+            "star rounds; group ids may span partial components (raise "
+            "max_iterations for adversarial duplicate graphs)",
             stacklevel=2,
         )
-    edges.unpersist()
-    return labels.withColumnRenamed("label", "group_id")
+    # Terminal stars: (root, child) edges. label(child)=root,
+    # label(root)=root; nodes appearing only in degenerate self-pairs of
+    # the input are their own singleton groups (parity with the label-
+    # propagation implementation).
+    labels = (
+        e.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("t").alias("d"), F.col("s").alias("g")
+                    ),
+                    F.struct(
+                        F.col("s").alias("d"), F.col("s").alias("g")
+                    ),
+                )
+            ).alias("x")
+        )
+        .select(F.col("x.d").alias("doc_id"), F.col("x.g").alias("group_id"))
+        .distinct()
+    )
+    nodes = e0.select(
+        F.explode(F.array(F.col("s"), F.col("t"))).alias("doc_id")
+    ).distinct()
+    singletons = nodes.join(labels, "doc_id", "left_anti").select(
+        "doc_id", F.col("doc_id").alias("group_id")
+    )
+    return labels.unionByName(singletons)
 
 
 #: Paragraph-granularity exact dedup: chunk size in words. Real corpora

@@ -534,8 +534,8 @@ def test_duplicate_groups_transitive_closure(spark):
 
 def test_duplicate_groups_deep_chain_converges(spark):
     """A 300-node path graph (diameter 299) must converge WITHIN the
-    default iteration cap: pointer doubling contracts chains
-    exponentially, so ~log2(300) ~ 9 rounds suffice where one-hop
+    default iteration cap: alternating large-star/small-star contracts
+    components in O(log^2 n) rounds (~10 here) where one-hop label
     propagation would need 299 (the 10x scale gate hit exactly this with
     chain-shaped cosine components)."""
     import warnings
