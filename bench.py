@@ -149,7 +149,7 @@ def main() -> None:
     # line: consumers with a bounded tail window (the per-round driver) must
     # be able to parse it whole.  Per-query detail lives in BENCH_DETAIL.json.
     _FAMILIES = {"dedup", "sim", "join", "ev", "text", "sketch", "mm", "pipe",
-                 "emb"}
+                 "emb", "sink"}
     _PIPELINE = {"doc_chunk", "seq_pack", "pii_redact", "len_histogram",
                  "source_mix", "split_train_test", "text_normalize",
                  "contamination_check", "sample_stratified", "dsir_weights",

@@ -324,9 +324,10 @@ def ngram_jaccard_pairs(
         grouped.select(F.explode(pairs).alias("p"))
         .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .distinct()
-        .persist()
+        # eager localCheckpoint, not persist+count: keeps the candidate
+        # subtree out of the CacheManager (see minhash_dedup_pairs)
+        .localCheckpoint(eager=True)
     )
-    cand.count()
     joined, inter, union = _verify_jaccard(df, cand, text_col)
     return (
         joined.select("doc_a", "doc_b", F.round(inter / union, 6).alias("jaccard"))
@@ -661,8 +662,7 @@ def incremental_dedup_pairs(corpus: DataFrame, new_docs: DataFrame,
         .where(F.col("doc_a") != F.col("doc_b"))
     )
     nn = minhash_candidates(new_docs, text_col)
-    cand = on.union(nn).distinct().persist()
-    cand.count()
+    cand = on.union(nn).distinct().localCheckpoint(eager=True)
     everything = corpus.unionByName(new_docs)
     joined, inter, union = _verify_jaccard(everything, cand, text_col)
     return joined.select(
