@@ -545,7 +545,9 @@ def test_duplicate_groups_deep_chain_converges(spark):
         [(i, i + 1) for i in range(n - 1)], ["doc_a", "doc_b"]
     )
     with warnings.catch_warnings():
-        warnings.simplefilter("error")  # non-convergence warns -> fail
+        # non-convergence warns -> fail; scope to UserWarning so py4j
+        # socket-GC ResourceWarnings don't turn into unraisable noise
+        warnings.simplefilter("error", UserWarning)
         rows = dedup.duplicate_groups(pairs).collect()
     assert len(rows) == n
     assert {r["group_id"] for r in rows} == {0}
