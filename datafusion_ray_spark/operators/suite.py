@@ -2091,6 +2091,7 @@ def _round3_entries():
     from .sinks import extension_entries_sinks
     from .suite4 import extension_entries4
     from .suite5 import extension_entries5
+    from .suite6 import extension_entries6
 
     return (
         extension_entries2()
@@ -2100,5 +2101,6 @@ def _round3_entries():
         + extension_entries3d()
         + extension_entries4()
         + extension_entries5()
+        + extension_entries6()
         + extension_entries_sinks()
     )

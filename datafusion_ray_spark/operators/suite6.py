@@ -1,0 +1,419 @@
+"""Round-5 continuation operators: binary-quantization ANN, corpus-mix
+KL divergence, and coordinated (hash-consistent) sampling.
+
+Three more first-class LLM-pipeline primitives the reference lacks (its
+surface is TPC-H SQL; these extend the north-star family):
+
+- :func:`bq_rerank_topk` — 1-bit binary quantization ANN. Every vector
+  compresses to DIM bits (two packed BIGINT words here), candidates are
+  pre-screened by Hamming distance (`bit_count(xor(...))` — pure JVM
+  integer ops) and only the survivors pay exact cosine math. This is the
+  modern memory-bound ANN shape (binary/RaBitQ-style codes in RAM, raw
+  vectors on cold storage): 32× smaller than float32, and the scan stage
+  is two XOR+popcount per row.
+- :func:`run_text_kl` — per-source unigram KL divergence against the
+  whole-corpus distribution over the top-V vocabulary. The standard
+  data-mix diagnostic when balancing training sources: high KL = the
+  source's token distribution diverges from the mix you are training on.
+- :func:`run_sample_coordinated` — coordinated sampling: the SAME
+  md5-bucket predicate on the join key samples two tables independently,
+  yet the samples stay join-consistent (every sampled order's customer is
+  in the customer sample by construction). No shared state, no sample
+  registry — the property that makes pipeline-wide subsetting possible at
+  100 TB where "sample then join" would otherwise need a broadcast of the
+  sampled-id set.
+
+Scale notes:
+- BQ: the stats pass is one posexplode aggregate whose result is DIM
+  integers on the driver (same legitimately-driver-sized codebook as
+  SQ8/IVF). Encoding is a JVM expression; the Hamming scan is
+  TakeOrderedAndProject over two BIGINT columns (cacheable, bucketable);
+  exact math touches only ``n_candidates`` rows via a broadcast id join.
+- KL: two narrow keyed shuffles (term counts, per-source counts); the
+  vocabulary is capped at KL_VOCAB rows and broadcast; the source×vocab
+  grid is |sources|×V — bounded by construction.
+- Coordinated sample: a pure filter on each side — no shuffle at all
+  until the user's downstream aggregate; the samples co-partition on the
+  key like the full tables would.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .similarity import with_cosine
+from .text import tokens
+
+# ---------------------------------------------------------------------------
+# Binary-quantization ANN (Hamming pre-screen + exact rerank)
+
+#: candidates surviving the Hamming pre-screen into the exact rerank.
+BQ_CANDIDATES = 50
+_MICRO = "CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)"
+
+
+def bq_stats(df: DataFrame, emb_col: str = "embedding") -> tuple[list[int], int]:
+    """Per-dimension micro-unit SUM plus the corpus count — the BQ
+    "codebook" (bit_j is set iff x_j lies above the dimension-j mean).
+    One posexplode aggregate; the driver receives DIM integers, the same
+    legitimately-driver-sized result as :func:`similarity.sq8_stats`.
+
+    The mean itself is never materialized: the bit test is the exact
+    integer comparison ``v * n > sum`` (no division, so no cross-engine
+    floor/truncate ambiguity). ``v`` is ~|5e6| micro-units, so the product
+    stays int64-safe past 10^12 rows."""
+    rows = (
+        df.select(F.posexplode(emb_col).alias("pos", "x"))
+        .select("pos", F.expr(_MICRO).alias("v"))
+        .groupBy("pos")
+        .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+        .collect()
+    )
+    srt = sorted((r["pos"], r["s"], r["n"]) for r in rows)
+    return [s for _, s, _ in srt], int(srt[0][2])
+
+
+def bq_encode_exprs(
+    sums: list[int], n: int, emb_col: str = "embedding"
+) -> tuple[Column, Column]:
+    """JVM-side encoder: two packed BIGINT words (hi = dims 1..DIM/2,
+    lo = the rest), each a left-to-right ``acc*2 + bit`` fold so the word
+    is Σ bit_j · 2^(half-j). Halves stay ≤ 32 bits — no int64 overflow
+    even with ANSI mode on."""
+    half = len(sums) // 2
+    lits = ", ".join(f"{int(s)}L" for s in sums)
+    bits = (
+        f"zip_with(transform({emb_col}, x -> {_MICRO}), array({lits}),"
+        f" (x, s) -> CASE WHEN x * {int(n)}L > s THEN 1L ELSE 0L END)"
+    )
+    hi = F.expr(f"aggregate(slice({bits}, 1, {half}), 0L, (a, b) -> a * 2L + b)")
+    lo = F.expr(
+        f"aggregate(slice({bits}, {half + 1}, {half}), 0L, (a, b) -> a * 2L + b)"
+    )
+    return hi, lo
+
+
+def bq_encode_query(
+    vec: list[float], sums: list[int], n: int
+) -> tuple[int, int]:
+    """Driver-side twin of :func:`bq_encode_exprs` in exact Python ints."""
+    bits = [
+        1 if math.floor(float(x) * 1_000_000) * n > s else 0
+        for x, s in zip(vec, sums)
+    ]
+    half = len(bits) // 2
+    hi = lo = 0
+    for b in bits[:half]:
+        hi = hi * 2 + b
+    for b in bits[half:]:
+        lo = lo * 2 + b
+    return hi, lo
+
+
+def bq_rerank_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_candidates: int = BQ_CANDIDATES,
+    exclude_vec_id: int | None = None,
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage binary-quantization ANN: Hamming pre-screen over packed
+    sign bits, exact cosine rerank of the survivors.
+
+    At 100 TB the two code words are the only hot columns (16 bytes/row vs
+    512 for the raw vector); the pre-screen is a TakeOrderedAndProject
+    whose per-row cost is two XOR+popcount instructions, and the raw
+    vectors are re-read for just ``n_candidates`` rows via a broadcast id
+    join — exact math on a constant-size set, the FAISS-refine shape
+    :func:`similarity.sq8_rerank_topk` also uses, at 4× less memory."""
+    sums, n = bq_stats(df, emb_col)
+    qhi, qlo = bq_encode_query(query_vec, sums, n)
+    hi, lo = bq_encode_exprs(sums, n, emb_col)
+    enc = df.withColumn("_hi", hi).withColumn("_lo", lo)
+    if exclude_vec_id is not None:
+        enc = enc.where(F.col("vec_id") != exclude_vec_id)
+    hamming = (
+        F.bit_count(F.expr(f"_hi ^ {qhi}L")) + F.bit_count(F.expr(f"_lo ^ {qlo}L"))
+    ).cast("int")
+    cand = (
+        enc.select("vec_id", hamming.alias("hamming"))
+        .orderBy(F.asc("hamming"), "vec_id")
+        .limit(n_candidates)
+    )
+    reranked = with_cosine(df.join(F.broadcast(cand), "vec_id"), query_vec, emb_col)
+    return (
+        reranked.select("vec_id", "hamming", "cosine")
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(k)
+    )
+
+
+def run_ann_bq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .suite import _query_vec
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return bq_rerank_topk(
+        emb, _query_vec(spark, sf_dir), k=10, exclude_vec_id=0
+    )
+
+
+def bq_oracle(k: int = 10) -> str:
+    from .similarity import DIM
+    from .suite import _DOT_DEC, _NORM_X
+
+    half = DIM // 2
+    return f"""
+WITH x AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               v -> CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS xus
+    FROM embeddings
+),
+u AS (
+    SELECT vec_id, CAST(t.i AS INT) AS pos, xus[CAST(t.i AS INT)] AS v
+    FROM x, range(1, {DIM + 1}) t(i)
+),
+st AS (SELECT pos, SUM(v) AS s, COUNT(*) AS n FROM u GROUP BY pos),
+bits AS (
+    SELECT u.vec_id, u.pos,
+           CASE WHEN u.v * st.n > st.s THEN 1 ELSE 0 END AS b
+    FROM u JOIN st USING (pos)
+),
+codes AS (
+    SELECT vec_id,
+           SUM(CASE WHEN pos <= {half}
+                    THEN CAST(b AS BIGINT) << ({half} - pos) ELSE 0 END) AS hi,
+           SUM(CASE WHEN pos > {half}
+                    THEN CAST(b AS BIGINT) << ({DIM} - pos) ELSE 0 END) AS lo
+    FROM bits GROUP BY vec_id
+),
+qq AS (SELECT hi AS qhi, lo AS qlo FROM codes WHERE vec_id = 0),
+cand AS (
+    SELECT c.vec_id,
+           CAST(bit_count(xor(c.hi, (SELECT qhi FROM qq)))
+              + bit_count(xor(c.lo, (SELECT qlo FROM qq))) AS INT) AS hamming
+    FROM codes c WHERE c.vec_id != 0
+    ORDER BY hamming ASC, vec_id LIMIT {BQ_CANDIDATES}
+),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+prod AS (
+    SELECT e.vec_id,
+           CAST(unnest(e.embedding) AS DOUBLE) AS x,
+           CAST(unnest((SELECT qe FROM q)) AS DOUBLE) AS y
+    FROM embeddings e JOIN cand USING (vec_id)
+),
+agg AS (
+    SELECT vec_id, {_DOT_DEC} AS dot, {_NORM_X} AS norm2
+    FROM prod GROUP BY vec_id
+),
+qn AS (
+    SELECT SQRT(CAST(SUM(CAST(CAST(u AS DOUBLE) * CAST(u AS DOUBLE)
+        AS DECIMAL(28,14))) AS DOUBLE)) AS qnorm
+    FROM (SELECT unnest(qe) AS u FROM q) t
+)
+SELECT agg.vec_id, cand.hamming,
+       ROUND(dot / (SQRT(norm2) * (SELECT qnorm FROM qn)), 6) AS cosine
+FROM agg JOIN cand ON agg.vec_id = cand.vec_id
+ORDER BY cosine DESC, agg.vec_id
+LIMIT {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-source KL divergence vs the corpus token distribution
+
+#: corpus-wide top-V vocabulary the distributions are computed over.
+KL_VOCAB = 200
+
+
+def run_text_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL(source ‖ corpus) over the top-V unigram vocabulary, add-1
+    smoothed: p_sw = (c_sw+1)/(N_s+V), q_w = (c_w+1)/(N+V), contributions
+    summed over the FULL vocabulary (missing terms contribute their
+    smoothed mass — that is where divergence shows up).
+
+    Plan: one (term) shuffle for corpus counts, a bounded top-V vocabulary
+    (broadcast), one (source, term) shuffle for per-source counts, then a
+    |sources|×V grid left-joined to the counts — every stage is
+    map-side-combinable and the grid is bounded by construction."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(tokens("text")).alias("term"))
+    vocab = (
+        tok.groupBy("term")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), F.asc("term"))
+        .limit(KL_VOCAB)
+    )
+    # Driver scalars: vocabulary size + vocab-restricted corpus mass (two
+    # ints — the same legitimately-driver-sized reduction as tfidf's N).
+    nv = vocab.agg(
+        F.sum("c").alias("n_all"), F.count("*").alias("v")
+    ).first()
+    n_all, v_sz = int(nv["n_all"]), int(nv["v"])
+    per_src = (
+        tok.join(F.broadcast(vocab.select("term")), "term")
+        .groupBy("source", "term")
+        .agg(F.count("*").alias("c_sw"))
+    )
+    ns = per_src.groupBy("source").agg(F.sum("c_sw").alias("n_s"))
+    grid = ns.crossJoin(F.broadcast(vocab))
+    joined = grid.join(per_src, ["source", "term"], "left").withColumn(
+        "c_sw", F.coalesce(F.col("c_sw"), F.lit(0))
+    )
+    p = (F.col("c_sw") + 1.0).cast("double") / (F.col("n_s") + F.lit(v_sz))
+    q = (F.col("c") + 1.0).cast("double") / F.lit(float(n_all + v_sz))
+    contrib = p * F.log(p / q)
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.max("n_s").cast("long").alias("n_tokens"),
+            F.round(F.sum(contrib), 6).alias("kl_divergence"),
+        )
+        .orderBy("source")
+    )
+
+
+def text_kl_oracle() -> str:
+    from .suite import _WORDS
+
+    return f"""
+WITH tok AS (
+    SELECT source, unnest({_WORDS}) AS term FROM documents
+),
+overall AS (SELECT term, COUNT(*) AS c FROM tok GROUP BY term),
+vocab AS (SELECT term, c FROM overall ORDER BY c DESC, term LIMIT {KL_VOCAB}),
+nv AS (SELECT SUM(c) AS n_all, COUNT(*) AS v FROM vocab),
+per_src AS (
+    SELECT source, term, COUNT(*) AS c_sw
+    FROM tok JOIN vocab USING (term) GROUP BY source, term
+),
+ns AS (SELECT source, SUM(c_sw) AS n_s FROM per_src GROUP BY source),
+grid AS (SELECT ns.source, ns.n_s, v.term, v.c FROM ns CROSS JOIN vocab v),
+j AS (
+    SELECT g.source, g.n_s, g.c, COALESCE(p.c_sw, 0) AS c_sw
+    FROM grid g
+    LEFT JOIN per_src p ON p.source = g.source AND p.term = g.term
+),
+contrib AS (
+    SELECT source, n_s,
+           CAST((CAST(c_sw + 1 AS DOUBLE) / (n_s + (SELECT v FROM nv)))
+             * ln((CAST(c_sw + 1 AS DOUBLE) / (n_s + (SELECT v FROM nv)))
+                / (CAST(c + 1 AS DOUBLE)
+                   / ((SELECT n_all FROM nv) + (SELECT v FROM nv))))
+             AS DECIMAL(28,14)) AS t
+    FROM j
+)
+SELECT source, CAST(MAX(n_s) AS BIGINT) AS n_tokens,
+       ROUND(CAST(SUM(t) AS DOUBLE), 6) AS kl_divergence
+FROM contrib GROUP BY source ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# Coordinated (hash-consistent) sampling
+
+#: 1-in-SAMPLE_MOD md5 buckets are kept (bucket 0) — a ~10% sample.
+SAMPLE_MOD = 10
+
+
+def _md5_bucket(key: Column) -> Column:
+    """First 4 md5 hex chars as an int, mod SAMPLE_MOD — the same
+    engine-portable digest idiom as :mod:`sketch` (replicable in DuckDB
+    with pure string arithmetic)."""
+    return (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 4), 16, 10).cast("long")
+        % SAMPLE_MOD
+    )
+
+
+def run_sample_coordinated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coordinated sample: customers AND orders are filtered independently
+    by the same md5-bucket predicate on the customer key, then joined.
+
+    The left join proves the coordination property in the output itself:
+    every sampled order finds its customer (no orphans — impossible by
+    construction since both filters are the same function of the key), and
+    sampled customers with no orders surface with n_orders = 0, showing
+    the sample covers the full sampled-key space, not just the join hits.
+    At 100 TB each side is a pure pushed-down filter — no broadcast of a
+    sampled-id set, no shared sampling state across pipeline stages."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    cs = cust.where(_md5_bucket(F.col("c_custkey")) == 0).select(
+        "c_custkey", "c_mktsegment"
+    )
+    os_ = orders.where(_md5_bucket(F.col("o_custkey")) == 0)
+    per = (
+        cs.join(os_, cs.c_custkey == os_.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").cast("long").alias("n_orders"),
+            F.min("o_orderdate").alias("first_order"),
+            F.max("o_orderdate").alias("last_order"),
+        )
+        .orderBy("c_custkey")
+    )
+    return per
+
+
+def sample_coordinated_oracle() -> str:
+    hexmap = "0123456789abcdef"
+
+    def hex4(expr: str) -> str:
+        return " + ".join(
+            f"(strpos('{hexmap}', substring({expr}, {p + 1}, 1)) - 1)"
+            f" * {16 ** (3 - p)}"
+            for p in range(4)
+        )
+
+    def keep(key: str) -> str:
+        return f"({hex4(f'md5(CAST({key} AS VARCHAR))')}) % {SAMPLE_MOD} = 0"
+
+    return f"""
+WITH cs AS (
+    SELECT c_custkey, c_mktsegment FROM customer WHERE {keep('c_custkey')}
+),
+os AS (SELECT * FROM orders WHERE {keep('o_custkey')})
+SELECT cs.c_custkey, cs.c_mktsegment,
+       CAST(COUNT(os.o_orderkey) AS BIGINT) AS n_orders,
+       MIN(os.o_orderdate) AS first_order,
+       MAX(os.o_orderdate) AS last_order
+FROM cs LEFT JOIN os ON cs.c_custkey = os.o_custkey
+GROUP BY cs.c_custkey, cs.c_mktsegment
+ORDER BY cs.c_custkey
+"""
+
+
+def extension_entries6() -> list:
+    from ..queries.registry import SuiteEntry
+
+    return [
+        SuiteEntry(
+            "sim_ann_bq",
+            run_ann_bq,
+            bq_oracle(),
+            "binary-quantization ANN: 1-bit sign codes packed into two "
+            "BIGINT words, Hamming (XOR+popcount) pre-screen, exact "
+            "cosine rerank — 32x compression",
+        ),
+        SuiteEntry(
+            "text_kl_divergence",
+            run_text_kl,
+            text_kl_oracle(),
+            "per-source KL divergence vs the corpus unigram distribution "
+            "over the top-V vocabulary (add-1 smoothed) — the data-mix "
+            "balance diagnostic",
+        ),
+        SuiteEntry(
+            "sample_coordinated",
+            run_sample_coordinated,
+            sample_coordinated_oracle(),
+            "coordinated sampling: the same md5-bucket predicate samples "
+            "customer AND orders join-consistently with no shared state",
+        ),
+    ]
