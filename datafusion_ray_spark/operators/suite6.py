@@ -389,6 +389,306 @@ ORDER BY cs.c_custkey
 """
 
 
+# ---------------------------------------------------------------------------
+# Seasonal (hour-of-day) anomaly detection on the event stream
+
+#: |z| at or above this flags an anomalous (type, day, hour) cell.
+ANOMALY_Z = 2.0
+
+
+def run_ev_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal anomaly screen: for every (event_type, day,
+    hour) cell, a z-score against that (event_type, hour-of-day)'s
+    distribution of daily counts — the standard observability "is this
+    hour unusual for 3pm?" baseline.
+
+    Counts come from a DENSE day×hour×type grid (the resample-fill spine
+    idiom: bounds are a 1-row aggregate, the grid is days·24·|types| rows
+    — bounded by the time range, not event volume), so silent hours count
+    as zeros instead of vanishing from the baseline. The z-score core is
+    exact-integer: with n days, S = Σc and Q = Σc² per (type, hour),
+    z = (c·n − S) / sqrt(n·Q − S²) — one sqrt and one division in double,
+    rounded to 6dp, bit-agreeing across engines.
+
+    Plan: one map-side-combinable (type, day, hour) count shuffle, one
+    (type, hour) baseline aggregate over ~24·|types| groups, a broadcast
+    join of the tiny baseline back onto the grid."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    days = bounds.select(
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day")
+    )
+    hours = spark.range(24).select(F.col("id").cast("int").alias("hour"))
+    types = ev.select("event_type").distinct()
+    grid = days.crossJoin(hours).crossJoin(types)
+    counts = (
+        ev.groupBy(
+            F.col("event_type"),
+            F.to_date("ts").alias("day"),
+            F.hour("ts").alias("hour"),
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    cells = grid.join(counts, ["event_type", "day", "hour"], "left").withColumn(
+        "c", F.coalesce(F.col("c"), F.lit(0))
+    )
+    base = cells.groupBy("event_type", "hour").agg(
+        F.count("*").alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("q"),
+    )
+    joined = cells.join(F.broadcast(base), ["event_type", "hour"])
+    num = F.col("n") * F.col("q") - F.col("s") * F.col("s")
+    z = F.when(num == 0, F.lit(0.0)).otherwise(
+        F.round(
+            (F.col("c") * F.col("n") - F.col("s")).cast("double")
+            / F.sqrt(num.cast("double")),
+            6,
+        )
+    )
+    return (
+        joined.select(
+            "event_type",
+            "day",
+            "hour",
+            F.col("c").cast("long").alias("n_events"),
+            z.alias("z_score"),
+        )
+        .where(F.abs(F.col("z_score")) >= ANOMALY_Z)
+        .orderBy("event_type", "day", "hour")
+    )
+
+
+def ev_anomaly_oracle() -> str:
+    return f"""
+WITH b AS (
+    SELECT CAST(MIN(ts) AS DATE) AS d0, CAST(MAX(ts) AS DATE) AS d1
+    FROM events
+),
+days AS (
+    SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+    FROM b
+),
+hours AS (SELECT CAST(unnest(generate_series(0, 23)) AS INT) AS hour),
+types AS (SELECT DISTINCT event_type FROM events),
+grid AS (SELECT t.event_type, d.day, h.hour FROM days d, hours h, types t),
+counts AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(EXTRACT(hour FROM ts) AS INT) AS hour, COUNT(*) AS c
+    FROM events GROUP BY 1, 2, 3
+),
+cells AS (
+    SELECT g.event_type, g.day, g.hour, COALESCE(c.c, 0) AS c
+    FROM grid g LEFT JOIN counts c
+      ON c.event_type = g.event_type AND c.day = g.day AND c.hour = g.hour
+),
+base AS (
+    SELECT event_type, hour, COUNT(*) AS n, SUM(c) AS s, SUM(c * c) AS q
+    FROM cells GROUP BY event_type, hour
+),
+scored AS (
+    SELECT cells.event_type, cells.day, cells.hour,
+           CAST(cells.c AS BIGINT) AS n_events,
+           CASE WHEN base.n * base.q - base.s * base.s = 0 THEN 0.0
+                ELSE ROUND(
+                    CAST(cells.c * base.n - base.s AS DOUBLE)
+                    / SQRT(CAST(base.n * base.q - base.s * base.s AS DOUBLE)),
+                    6)
+           END AS z_score
+    FROM cells
+    JOIN base ON base.event_type = cells.event_type
+             AND base.hour = cells.hour
+)
+SELECT * FROM scored WHERE ABS(z_score) >= {ANOMALY_Z}
+ORDER BY event_type, day, hour
+"""
+
+
+# ---------------------------------------------------------------------------
+# Weighted median (grouped, exact)
+
+
+def run_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantity-weighted median of extended price per return flag:
+    the smallest price whose running weight reaches half the group total
+    (lower weighted median, ``2·cumw ≥ W`` — all-integer, no midpoint
+    interpolation, engine-exact in cents).
+
+    Plan: one map-side-combinable (flag, price) pre-aggregate collapses
+    duplicate prices BEFORE the window, then a per-group running-sum
+    window over the collapsed (flag, distinct-price) rows and a min-agg
+    of the qualifying prices. At 100 TB the window input is bounded by
+    distinct prices per group, not rows; for a true corpus-cardinality
+    value column swap the exact window for approxQuantile thresholds —
+    the documented trade the perplexity-strata path also makes."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rows = li.select(
+        "l_returnflag",
+        (F.col("l_extendedprice") * 100).cast("long").alias("price_cents"),
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    pre = rows.groupBy("l_returnflag", "price_cents").agg(
+        F.sum("w").alias("w")
+    )
+    win = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("price_cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.partitionBy("l_returnflag")
+    cum = pre.withColumn("cumw", F.sum("w").over(win)).withColumn(
+        "totw", F.sum("w").over(tot)
+    )
+    return (
+        cum.where(2 * F.col("cumw") >= F.col("totw"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.max("totw").cast("long").alias("w_total"),
+            F.min("price_cents").alias("weighted_median_cents"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+WEIGHTED_MEDIAN_ORACLE = """
+WITH rows_ AS (
+    SELECT l_returnflag,
+           CAST(l_extendedprice * 100 AS BIGINT) AS price_cents,
+           CAST(l_quantity AS BIGINT) AS w
+    FROM lineitem
+),
+pre AS (
+    SELECT l_returnflag, price_cents, SUM(w) AS w
+    FROM rows_ GROUP BY l_returnflag, price_cents
+),
+cum AS (
+    SELECT l_returnflag, price_cents,
+           SUM(w) OVER (PARTITION BY l_returnflag ORDER BY price_cents
+                        ROWS UNBOUNDED PRECEDING) AS cumw,
+           SUM(w) OVER (PARTITION BY l_returnflag) AS totw
+    FROM pre
+)
+SELECT l_returnflag, CAST(MAX(totw) AS BIGINT) AS w_total,
+       MIN(price_cents) AS weighted_median_cents
+FROM cum WHERE 2 * cumw >= totw
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations (corpus-linguistics bigram association)
+
+#: bigrams below this count are too rare for a stable PMI estimate.
+PMI_MIN_COUNT = 5
+PMI_TOP_K = 20
+
+
+def run_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k bigram collocations by pointwise mutual information:
+    pmi = ln(c_xy · N² / (N_b · c_x · c_y)) with c_xy ≥ PMI_MIN_COUNT —
+    the classic corpus-linguistics detector for multi-word units
+    ("new york"-style pairs whose co-occurrence beats chance).
+
+    Plan: token and bigram counts are two map-side-combinable keyed
+    shuffles; corpus totals are driver scalars (two ints); the two
+    unigram lookups join on term — narrow keyed joins that scale with
+    vocabulary, never corpus². The PMI argument is an exact integer
+    ratio; one ln + round(6) certifies cross-engine."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(tokens("text").alias("w"))
+    uni = (
+        toks.select(F.explode("w").alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("c"))
+    )
+    bi = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1),"
+                    " (x, y) -> concat(x, ' ', y))"
+                )
+            ).alias("bigram")
+        )
+        .groupBy("bigram")
+        .agg(F.count("*").alias("c_xy"))
+        .where(F.col("c_xy") >= PMI_MIN_COUNT)
+    )
+    totals = uni.agg(
+        F.sum("c").alias("n_tok"),
+    ).crossJoin(bi.agg(F.sum("c_xy").alias("n_bi"))).first()
+    n_tok, n_bi = int(totals["n_tok"]), int(totals["n_bi"])
+    split = bi.withColumn("x", F.split_part("bigram", F.lit(" "), F.lit(1))) \
+              .withColumn("y", F.split_part("bigram", F.lit(" "), F.lit(2)))
+    cx = uni.select(F.col("term").alias("x"), F.col("c").alias("c_x"))
+    cy = uni.select(F.col("term").alias("y"), F.col("c").alias("c_y"))
+    scored = (
+        split.join(cx, "x").join(cy, "y")
+        .withColumn(
+            "pmi",
+            F.round(
+                F.log(
+                    (F.col("c_xy") * F.lit(float(n_tok)) * F.lit(float(n_tok)))
+                    / (F.lit(float(n_bi)) * F.col("c_x") * F.col("c_y"))
+                ),
+                6,
+            ),
+        )
+    )
+    return (
+        scored.select(
+            "bigram",
+            F.col("c_xy").cast("long").alias("c_xy"),
+            F.col("c_x").cast("long").alias("c_x"),
+            F.col("c_y").cast("long").alias("c_y"),
+            "pmi",
+        )
+        .orderBy(F.desc("pmi"), "bigram")
+        .limit(PMI_TOP_K)
+    )
+
+
+def text_collocations_oracle() -> str:
+    from .suite import _WORDS
+
+    return f"""
+WITH d AS (SELECT {_WORDS} AS w FROM documents),
+uni AS (
+    SELECT unnest(w) AS term FROM d
+),
+uc AS (SELECT term, COUNT(*) AS c FROM uni GROUP BY term),
+bi AS (
+    SELECT unnest(list_transform(range(1, len(w)),
+                  i -> concat_ws(' ', w[i], w[i + 1]))) AS bigram
+    FROM d
+),
+bc AS (
+    SELECT bigram, COUNT(*) AS c_xy FROM bi GROUP BY bigram
+    HAVING COUNT(*) >= {PMI_MIN_COUNT}
+),
+tot AS (
+    SELECT (SELECT SUM(c) FROM uc) AS n_tok, (SELECT SUM(c_xy) FROM bc) AS n_bi
+),
+scored AS (
+    SELECT bc.bigram, bc.c_xy, cx.c AS c_x, cy.c AS c_y,
+           ROUND(ln((bc.c_xy * CAST((SELECT n_tok FROM tot) AS DOUBLE)
+                     * (SELECT n_tok FROM tot))
+                    / (CAST((SELECT n_bi FROM tot) AS DOUBLE)
+                       * cx.c * cy.c)), 6) AS pmi
+    FROM bc
+    JOIN uc cx ON cx.term = split_part(bc.bigram, ' ', 1)
+    JOIN uc cy ON cy.term = split_part(bc.bigram, ' ', 2)
+)
+SELECT bigram, CAST(c_xy AS BIGINT) AS c_xy, CAST(c_x AS BIGINT) AS c_x,
+       CAST(c_y AS BIGINT) AS c_y, pmi
+FROM scored ORDER BY pmi DESC, bigram LIMIT {PMI_TOP_K}
+"""
+
+
 def extension_entries6() -> list:
     from ..queries.registry import SuiteEntry
 
@@ -415,5 +715,28 @@ def extension_entries6() -> list:
             sample_coordinated_oracle(),
             "coordinated sampling: the same md5-bucket predicate samples "
             "customer AND orders join-consistently with no shared state",
+        ),
+        SuiteEntry(
+            "ev_anomaly_seasonal",
+            run_ev_anomaly,
+            ev_anomaly_oracle(),
+            "hour-of-day seasonal anomaly screen: z-score per (type, day, "
+            "hour) cell vs that hour-of-day's daily-count distribution, "
+            "dense-grid baseline, exact-integer core",
+        ),
+        SuiteEntry(
+            "agg_weighted_median",
+            run_weighted_median,
+            WEIGHTED_MEDIAN_ORACLE,
+            "exact grouped weighted median (quantity-weighted price in "
+            "cents): pre-collapsed per-price weights, running-sum window, "
+            "2*cumw >= W lower-median rule",
+        ),
+        SuiteEntry(
+            "text_collocations",
+            run_text_collocations,
+            text_collocations_oracle(),
+            "top-k bigram collocations by PMI over the corpus (min-count "
+            "pruned, exact integer ratio, one ln)",
         ),
     ]
