@@ -396,24 +396,22 @@ ORDER BY cs.c_custkey
 ANOMALY_Z = 2.0
 
 
-def run_ev_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hour-of-day seasonal anomaly screen: for every (event_type, day,
-    hour) cell, a z-score against that (event_type, hour-of-day)'s
-    distribution of daily counts — the standard observability "is this
-    hour unusual for 3pm?" baseline.
-
-    Counts come from a DENSE day×hour×type grid (the resample-fill spine
-    idiom: bounds are a 1-row aggregate, the grid is days·24·|types| rows
-    — bounded by the time range, not event volume), so silent hours count
-    as zeros instead of vanishing from the baseline. The z-score core is
-    exact-integer: with n days, S = Σc and Q = Σc² per (type, hour),
+def anomaly_zscore(c: Column, n: Column, s: Column, q: Column) -> Column:
+    """Exact-integer seasonal z-score: with n samples, S = Σc, Q = Σc²,
     z = (c·n − S) / sqrt(n·Q − S²) — one sqrt and one division in double,
-    rounded to 6dp, bit-agreeing across engines.
+    rounded to 6dp; 0.0 for a constant series. Shared by the batch query
+    and the streaming twin so both score bit-identically."""
+    num = n * q - s * s
+    return F.when(num == 0, F.lit(0.0)).otherwise(
+        F.round((c * n - s).cast("double") / F.sqrt(num.cast("double")), 6)
+    )
 
-    Plan: one map-side-combinable (type, day, hour) count shuffle, one
-    (type, hour) baseline aggregate over ~24·|types| groups, a broadcast
-    join of the tiny baseline back onto the grid."""
-    ev = load_table(spark, sf_dir, "events")
+
+def anomaly_cells(ev: DataFrame) -> DataFrame:
+    """Dense (event_type, day, hour) count cells with per-(type, hour)
+    baseline stats (n, s, q) and z_score attached — shared core of
+    :func:`run_ev_anomaly` and the streaming-twin test."""
+    spark = ev.sparkSession
     bounds = ev.agg(
         F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
     )
@@ -440,21 +438,49 @@ def run_ev_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("c") * F.col("c")).alias("q"),
     )
     joined = cells.join(F.broadcast(base), ["event_type", "hour"])
-    num = F.col("n") * F.col("q") - F.col("s") * F.col("s")
-    z = F.when(num == 0, F.lit(0.0)).otherwise(
-        F.round(
-            (F.col("c") * F.col("n") - F.col("s")).cast("double")
-            / F.sqrt(num.cast("double")),
-            6,
-        )
+    return joined.withColumn(
+        "z_score",
+        anomaly_zscore(F.col("c"), F.col("n"), F.col("s"), F.col("q")),
     )
+
+
+def anomaly_baseline(ev: DataFrame) -> list[tuple]:
+    """FROZEN per-(event_type, hour-of-day) baseline for the streaming
+    twin: [(event_type, hour, n, s, q)] — at most |types|·24 rows on the
+    driver (fit once in batch over the dense grid, score forever)."""
+    return [
+        (r["event_type"], r["hour"], r["n"], r["s"], r["q"])
+        for r in anomaly_cells(ev)
+        .select("event_type", "hour", "n", "s", "q")
+        .distinct()
+        .collect()
+    ]
+
+
+def run_ev_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal anomaly screen: for every (event_type, day,
+    hour) cell, a z-score against that (event_type, hour-of-day)'s
+    distribution of daily counts — the standard observability "is this
+    hour unusual for 3pm?" baseline.
+
+    Counts come from a DENSE day×hour×type grid (the resample-fill spine
+    idiom: bounds are a 1-row aggregate, the grid is days·24·|types| rows
+    — bounded by the time range, not event volume), so silent hours count
+    as zeros instead of vanishing from the baseline. The z-score core is
+    exact-integer (:func:`anomaly_zscore`), bit-agreeing across engines.
+
+    Plan: one map-side-combinable (type, day, hour) count shuffle, one
+    (type, hour) baseline aggregate over ~24·|types| groups, a broadcast
+    join of the tiny baseline back onto the grid."""
+    ev = load_table(spark, sf_dir, "events")
     return (
-        joined.select(
+        anomaly_cells(ev)
+        .select(
             "event_type",
             "day",
             "hour",
             F.col("c").cast("long").alias("n_events"),
-            z.alias("z_score"),
+            "z_score",
         )
         .where(F.abs(F.col("z_score")) >= ANOMALY_Z)
         .orderBy("event_type", "day", "hour")

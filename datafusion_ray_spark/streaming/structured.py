@@ -1012,3 +1012,54 @@ def attribution_stream(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def anomaly_score_stream(
+    events: DataFrame,
+    baseline: list[tuple],
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming seasonal-anomaly scoring against a FROZEN batch-fit
+    hour-of-day baseline — the at-ingest twin of
+    ``operators.suite6.run_ev_anomaly`` (fit the per-(type, hour-of-day)
+    stats once in batch via ``suite6.anomaly_baseline``, score every
+    arriving hour forever).
+
+    Watermarked tumbling 1h counts per event_type, then a stream-static
+    join against the |types|·24-row baseline frame (broadcast by size)
+    and the shared exact-integer z formula (``suite6.anomaly_zscore``) —
+    bit-identical to the batch scorer on the cells the stream can see.
+    One semantic difference is inherent, not a bug: a RETROSPECTIVE
+    batch screen scores silent hours as zero-count cells, but a stream
+    emits no window for an hour with no events, so the streaming twin
+    flags only observed activity (positive spikes and non-empty lulls).
+    State is the windowed-count store, bounded by the watermark.
+    """
+    from ..operators.suite6 import anomaly_zscore
+
+    spark = events.sparkSession
+    base = spark.createDataFrame(
+        baseline, "event_type string, hour int, n long, s long, q long"
+    )
+    events = ts_to_utc(events, "ts")
+    counts = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("c"))
+        .select(
+            F.to_date("w.start").alias("day"),
+            F.hour("w.start").alias("hour"),
+            "event_type",
+            "c",
+        )
+    )
+    joined = counts.join(base, ["event_type", "hour"])
+    return joined.select(
+        "event_type",
+        "day",
+        "hour",
+        F.col("c").cast("long").alias("n_events"),
+        anomaly_zscore(
+            F.col("c"), F.col("n"), F.col("s"), F.col("q")
+        ).alias("z_score"),
+    )

@@ -569,3 +569,29 @@ def test_streaming_attribution_matches_batch(spark, sf_dir, events_dir):
         for r in run_attribution(spark, sf_dir).collect()
     }
     assert streamed == batch
+
+
+def test_streaming_anomaly_scores_match_batch(spark, sf_dir, events_dir):
+    """Streaming seasonal-anomaly scoring against a frozen batch-fit
+    hour-of-day baseline is bit-identical to the batch scorer on every
+    cell the stream can see (a stream emits no window for a silent hour,
+    so zero-count cells are batch-only by construction)."""
+    from datafusion_ray_spark.operators import suite6
+
+    ev = load_table(spark, sf_dir, "events")
+    baseline = suite6.anomaly_baseline(ev)
+    assert 0 < len(baseline) <= 24 * ev.select("event_type").distinct().count()
+    stream = structured.stream_events(spark, events_dir)
+    structured.run_to_memory(
+        structured.anomaly_score_stream(stream, baseline), "stream_anomaly",
+    )
+    streamed = {
+        (r["event_type"], r["day"], r["hour"]): (r["n_events"], r["z_score"])
+        for r in spark.sql("SELECT * FROM stream_anomaly").collect()
+    }
+    batch = {
+        (r["event_type"], r["day"], r["hour"]): (r["c"], r["z_score"])
+        for r in suite6.anomaly_cells(ev).where("c > 0").collect()
+    }
+    assert len(streamed) > 0
+    assert streamed == batch
