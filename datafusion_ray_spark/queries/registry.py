@@ -69,7 +69,13 @@ _FIXED_FLAGSHIPS = [
 _ROTATING_R5 = [
     # SQL-surface entries never driver-certified (66 remained entering r5)
     "recursive_cte", "pivot_sql", "unpivot_sql", "lateral_topk",
-    "json_funcs", "win_ignore_nulls", "agg_filter_clause", "null_semantics",
+    "win_ignore_nulls",
+    # round-5 flagship additions (never-certified by definition): the
+    # binary-quantization ANN, the seasonal anomaly screen, and the
+    # corpus-mix KL diagnostic take three slots from simpler SQL-surface
+    # entries (json_funcs/agg_filter_clause/null_semantics move to a
+    # later window; they stay green in CORRECTNESS_LOCAL).
+    "sim_ann_bq", "ev_anomaly_seasonal", "text_kl_divergence",
     # text pipeline
     "text_tfidf", "text_bigram_lm", "text_hash_embed", "text_gopher_rules",
     "pii_redact",
