@@ -77,22 +77,28 @@ def bq_stats(df: DataFrame, emb_col: str = "embedding") -> tuple[list[int], int]
     return [s for _, s, _ in srt], int(srt[0][2])
 
 
-def bq_encode_exprs(
-    sums: list[int], n: int, emb_col: str = "embedding"
-) -> tuple[Column, Column]:
-    """JVM-side encoder: two packed BIGINT words (hi = dims 1..DIM/2,
-    lo = the rest), each a left-to-right ``acc*2 + bit`` fold so the word
-    is Σ bit_j · 2^(half-j). Halves stay ≤ 32 bits — no int64 overflow
-    even with ANSI mode on."""
-    half = len(sums) // 2
+def bq_bits_expr(sums: list[int], n: int, emb_col: str = "embedding") -> Column:
+    """JVM-side bit vector: bit_j = 1 iff x_j·n > Σx_j (micro-units)."""
     lits = ", ".join(f"{int(s)}L" for s in sums)
-    bits = (
+    return F.expr(
         f"zip_with(transform({emb_col}, x -> {_MICRO}), array({lits}),"
         f" (x, s) -> CASE WHEN x * {int(n)}L > s THEN 1L ELSE 0L END)"
     )
-    hi = F.expr(f"aggregate(slice({bits}, 1, {half}), 0L, (a, b) -> a * 2L + b)")
+
+
+def bq_pack_exprs(half: int, bits_col: str = "_bits") -> tuple[Column, Column]:
+    """Pack a materialized bit array into two BIGINT words (hi = dims
+    1..half, lo = the rest), each a left-to-right ``acc*2 + bit`` fold so
+    the word is Σ bit_j · 2^(half-j). Halves stay ≤ 32 bits — no int64
+    overflow even with ANSI mode on. The bit array is computed ONCE into
+    a column first (materialize-before-reuse rule, SCALE.md): inlining it
+    into both folds would re-evaluate the zip_with per word."""
+    hi = F.expr(
+        f"aggregate(slice({bits_col}, 1, {half}), 0L, (a, b) -> a * 2L + b)"
+    )
     lo = F.expr(
-        f"aggregate(slice({bits}, {half + 1}, {half}), 0L, (a, b) -> a * 2L + b)"
+        f"aggregate(slice({bits_col}, {half + 1}, {half}), 0L,"
+        f" (a, b) -> a * 2L + b)"
     )
     return hi, lo
 
@@ -133,8 +139,12 @@ def bq_rerank_topk(
     :func:`similarity.sq8_rerank_topk` also uses, at 4× less memory."""
     sums, n = bq_stats(df, emb_col)
     qhi, qlo = bq_encode_query(query_vec, sums, n)
-    hi, lo = bq_encode_exprs(sums, n, emb_col)
-    enc = df.withColumn("_hi", hi).withColumn("_lo", lo)
+    hi, lo = bq_pack_exprs(len(sums) // 2)
+    enc = (
+        df.withColumn("_bits", bq_bits_expr(sums, n, emb_col))
+        .withColumn("_hi", hi)
+        .withColumn("_lo", lo)
+    )
     if exclude_vec_id is not None:
         enc = enc.where(F.col("vec_id") != exclude_vec_id)
     hamming = (
