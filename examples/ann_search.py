@@ -52,6 +52,11 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     print("IVF-PQ top-5 (nprobe cells, then ADC):")
     similarity.ivfpq_ann_topk(emb, q, centroids, books, k=5, exclude_vec_id=0).show()
 
+    from datafusion_ray_spark.operators import suite6
+
+    print("binary-quantization top-5 (Hamming pre-screen, exact rerank):")
+    suite6.bq_rerank_topk(emb, q, k=5, exclude_vec_id=0).show()
+
     spark.stop()
 
 
