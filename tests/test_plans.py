@@ -313,3 +313,25 @@ def test_events_date_partition_pruning(spark, sf_dir, tmp_path):
     n_expected = ev.where(F.to_date("ts") == day).count()
     assert n_day == n_expected > 0
     assert back.count() == ev.count()
+
+
+def test_bq_prescreen_zero_shuffle_take_ordered(spark, sf_dir):
+    """Binary-quantization ANN: the Hamming pre-screen must be a
+    zero-exchange TakeOrderedAndProject over the packed code words (pure
+    scan-side XOR+popcount), with the exact rerank joining back through a
+    broadcast of the limit-reduced candidate set — never a shuffle of
+    vector data."""
+    from datafusion_ray_spark.operators import suite6
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = list(emb.where(F.col("vec_id") == 0).first()["embedding"])
+    df = suite6.bq_rerank_topk(emb, q, k=10, exclude_vec_id=0)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    from datafusion_ray_spark.plans import runtime_shuffle_metrics
+
+    m = runtime_shuffle_metrics(df)
+    assert m["n_exchange"] == 0, m
+    assert m["n_broadcast"] >= 1, m
