@@ -52,29 +52,36 @@ _NORM_Y = "CAST(SUM(CAST(y * y AS DECIMAL(28,14))) AS DOUBLE)"
 
 def semantic_pairs(
     emb: DataFrame,
-    block_col: str = "label",
+    block_cols: tuple[str, ...] = ("label", "cell"),
     threshold: float = SEMANTIC_DUP_THRESHOLD,
 ) -> DataFrame:
     """All same-block embedding pairs with cosine >= threshold —
     ``similarity.neardup_pairs`` without the top-k cap (the ensemble needs
     the full edge set, not a preview). Norms are precomputed per vector;
-    the pair join evaluates one dot product each."""
+    the pair join evaluates one dot product each.
+
+    At least one block column must be CORPUS-SCALED (the semantic ``cell``
+    from ``similarity.ivf_assign`` with ``scaled_centroids`` granularity):
+    a first cut blocked on ``label`` alone — fixed cardinality, so blocks
+    grew with the corpus and the pair join went quadratic (the 100x gate
+    measured 633x wall on dedup_ensemble; the same lesson
+    ``run_emb_neardup`` had already learned at 10x)."""
     normed = emb.select(
-        F.col(block_col).alias("blk"),
+        *block_cols,
         "vec_id",
         _as_double("embedding").alias("e"),
         norm(_as_double("embedding")).alias("nrm"),
     )
     a = normed.select(
-        "blk", F.col("vec_id").alias("vec_a"),
+        *block_cols, F.col("vec_id").alias("vec_a"),
         F.col("e").alias("ea"), F.col("nrm").alias("na"),
     )
     b = normed.select(
-        "blk", F.col("vec_id").alias("vec_b"),
+        *block_cols, F.col("vec_id").alias("vec_b"),
         F.col("e").alias("eb"), F.col("nrm").alias("nb"),
     )
     return (
-        a.join(b, "blk")
+        a.join(b, list(block_cols))
         .where(F.col("vec_a") < F.col("vec_b"))
         .select(
             "vec_a",
@@ -91,6 +98,8 @@ def run_dedup_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard) and semantic (same-label cosine) near-dup edges; vec_id is the
     doc_id of the document each embedding encodes (1:1 in the testdata).
     Output: (doc_id, group_id, n_members) for every doc in any component."""
+    from . import similarity
+
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
     lex = (
@@ -98,7 +107,17 @@ def run_dedup_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where("is_near_dup")
         .select("doc_a", "doc_b")
     )
-    sem = semantic_pairs(emb).select(
+    # Corpus-scaled semantic cells (the run_emb_neardup convention): k
+    # grows with the corpus so per-block pair work stays bounded.
+    k = similarity.scaled_centroids(emb.count())
+    rows = (
+        emb.where(F.col("vec_id").between(1, k))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    centroids = sorted((r["vec_id"], list(r["embedding"])) for r in rows)
+    assigned = similarity.ivf_assign(emb, centroids)
+    sem = semantic_pairs(assigned).select(
         F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
     )
     edges = lex.unionByName(sem).distinct()
@@ -114,16 +133,45 @@ def run_dedup_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_ensemble_oracle(
     threshold: float = SEMANTIC_DUP_THRESHOLD,
 ) -> str:
+    from .similarity import CENTROID_VEC_IDS, TARGET_CELL
+
+    lo, kmin = min(CENTROID_VEC_IDS), len(CENTROID_VEC_IDS)
     return f"""
 WITH RECURSIVE mp AS (
 {minhash_pairs_oracle()}
+),
+cents AS (
+    SELECT vec_id AS cid, embedding AS ce FROM embeddings
+    WHERE vec_id BETWEEN {lo} AND GREATEST({kmin},
+          (SELECT COUNT(*) FROM embeddings) // {TARGET_CELL})
+),
+cpr AS (
+    SELECT e.vec_id, c.cid,
+           CAST(unnest(e.embedding) AS DOUBLE) AS x,
+           CAST(unnest(c.ce) AS DOUBLE) AS y
+    FROM embeddings e CROSS JOIN cents c
+),
+csc AS (
+    SELECT vec_id, cid,
+           ROUND({_DOT_DEC} / (SQRT({_NORM_X}) * SQRT({_NORM_Y})), 6) AS score
+    FROM cpr GROUP BY vec_id, cid
+),
+assign AS (
+    SELECT vec_id, cid AS cell
+    FROM (SELECT vec_id, cid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                                    ORDER BY score DESC, cid) AS rn
+          FROM csc)
+    WHERE rn = 1
 ),
 sprod AS (
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            CAST(unnest(a.embedding) AS DOUBLE) AS x,
            CAST(unnest(b.embedding) AS DOUBLE) AS y
     FROM embeddings a
+    JOIN assign ca ON ca.vec_id = a.vec_id
     JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    JOIN assign cb ON cb.vec_id = b.vec_id AND cb.cell = ca.cell
 ),
 sagg AS (
     SELECT vec_a, vec_b, {_DOT_DEC} AS dot, {_NORM_X} AS na, {_NORM_Y} AS nb
