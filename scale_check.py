@@ -87,6 +87,15 @@ _PASSJOIN_WHY = (
 KNOWN_SUPERLINEAR: dict[str, str] = {
     "dedup_fuzzy_prefix": _PASSJOIN_WHY,
     "dedup_fuzzy_groups": _PASSJOIN_WHY,
+    "theta_join": (
+        "generic inequality-predicate join — the surface-coverage entry "
+        "for the nested-loop/BNLJ operator, whose evaluation is O(|l|·|r|) "
+        "by definition (100x measured 515x wall, confirmed in isolation). "
+        "For banded or order-statistic theta predicates the engine's "
+        "linear paths are join_value_band (distributed-CDF range count) "
+        "and join_range/join_interval (bucketized band joins); this entry "
+        "deliberately keeps the raw BNLJ shape the reference also exposes."
+    ),
 }
 
 # Wall-ratio gate: linear plans land well under the data factor (fixed
