@@ -155,6 +155,13 @@ def lsh_buckets(df: DataFrame, text_col: str = "text") -> DataFrame:
     ).select("doc_id", "_shingles", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
 
+#: Buckets/posting lists above this size take the spillable self-join
+#: pair-expansion path instead of the in-task array expansion (which
+#: materializes a bucket²-struct array in one task — the 100x sweep
+#: measured SparkOutOfMemory on exactly that for the exact-pair family).
+HOT_BUCKET_CAP = 1024
+
+
 def minhash_candidates(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Candidate near-dup pairs (doc_a < doc_b sharing ≥1 LSH bucket).
 
@@ -167,11 +174,16 @@ def minhash_candidates(df: DataFrame, text_col: str = "text") -> DataFrame:
     expanded JVM-side from each bucket's sorted id list.
     """
     b = lsh_buckets(df, text_col).select("band", "bucket", "doc_id")
+    # Materialized once (localCheckpoint, eager=False): the small and hot
+    # branches below both read the grouped bucket table; without pinning,
+    # the union re-runs the whole signature pipeline per branch.
     grouped = (
         b.groupBy("band", "bucket")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
         .where(F.size("ids") > 1)
+        .localCheckpoint(eager=False)
     )
+    small = grouped.where(F.size("ids") <= HOT_BUCKET_CAP)
     pairs = F.flatten(
         F.transform(
             F.col("ids"),
@@ -181,11 +193,35 @@ def minhash_candidates(df: DataFrame, text_col: str = "text") -> DataFrame:
             ),
         )
     )
-    return (
-        grouped.select(F.explode(pairs).alias("p"))
+    small_pairs = (
+        small.select(F.explode(pairs).alias("p"))
         .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
-        .distinct()
     )
+    # HOT buckets (> HOT_BUCKET_CAP members): the array expansion above
+    # would materialize a bucket²-struct array inside ONE task — the 100x
+    # scale sweep measured SparkOutOfMemory exactly there. Re-explode hot
+    # buckets to rows and expand pairs with a bucket-keyed self-JOIN
+    # instead: same pairs (lossless), but SMJ streams/spills instead of
+    # building in-task arrays, and AQE skew-splits the hottest keys.
+    # localCheckpoint: both join legs read one materialization instead of
+    # re-running the signature pipeline per leg. Empty at healthy
+    # bucket-size distributions (the 1x/10x case) — the branch costs one
+    # cheap aggregate scan until a hot bucket actually exists.
+    hrows = (
+        grouped.where(F.size("ids") > HOT_BUCKET_CAP)
+        .select("band", "bucket", F.explode("ids").alias("doc_id"))
+        .localCheckpoint(eager=False)
+    )
+    hot_pairs = (
+        hrows.select("band", "bucket", F.col("doc_id").alias("doc_a"))
+        .join(
+            hrows.select("band", "bucket", F.col("doc_id").alias("doc_b")),
+            ["band", "bucket"],
+        )
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+    )
+    return small_pairs.unionByName(hot_pairs).distinct()
 
 
 def _verify_jaccard(df: DataFrame, cand: DataFrame, text_col: str):
@@ -300,10 +336,13 @@ def ngram_jaccard_pairs(
     # Pair expansion per posting list (same shape as minhash_candidates):
     # group the tiny (blk, tok) posting lists, expand ordered pairs with the
     # size-ratio prune applied inline, then dedupe pairs across tokens.
+    # Materialized once for the same two-branch reason as
+    # minhash_candidates (small expansion + hot self-join fallback).
     grouped = (
         inverted.groupBy("blk", "tok")
         .agg(F.array_sort(F.collect_list(F.struct("doc_id", "sz"))).alias("ids"))
         .where(F.size("ids") > 1)
+        .localCheckpoint(eager=False)
     )
     pairs = F.flatten(
         F.transform(
@@ -322,12 +361,39 @@ def ngram_jaccard_pairs(
             ),
         )
     )
-    cand = (
-        grouped.select(F.explode(pairs).alias("p"))
+    small_pairs = (
+        grouped.where(F.size("ids") <= HOT_BUCKET_CAP)
+        .select(F.explode(pairs).alias("p"))
         .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
-        .distinct()
-        .persist()
     )
+    # Hot posting lists (closed vocabularies make prefix-shingle lists grow
+    # ~n/V): the same OOM-proof self-join fallback as minhash_candidates,
+    # with the size-ratio prune applied in the join condition.
+    hrows = (
+        grouped.where(F.size("ids") > HOT_BUCKET_CAP)
+        .select("blk", "tok", F.explode("ids").alias("r"))
+        .select(
+            "blk", "tok",
+            F.col("r.doc_id").alias("doc_id"), F.col("r.sz").alias("sz"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    ha = hrows.select(
+        "blk", "tok", F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")
+    )
+    hb = hrows.select(
+        "blk", "tok", F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")
+    )
+    hot_pairs = (
+        ha.join(hb, ["blk", "tok"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .where(
+            F.least("sz_a", "sz_b")
+            >= F.lit(threshold) * F.greatest("sz_a", "sz_b")
+        )
+        .select("doc_a", "doc_b")
+    )
+    cand = small_pairs.unionByName(hot_pairs).distinct().persist()
     cand.count()
     joined, inter, union = _verify_jaccard(df, cand, text_col)
     return (
