@@ -327,73 +327,39 @@ def ngram_jaccard_pairs(
         .withColumn("sz", F.size("sh"))
     )
     prefix_len = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")).cast("int") + 1
+    # Candidate generation is a pure inverted-index SELF-JOIN on
+    # (block, prefix-token) rows — no collect_list anywhere. An earlier
+    # shape grouped posting lists into arrays and expanded pairs in-task;
+    # the 100x sweep killed it with SparkOutOfMemory twice: first the
+    # bucket²-struct expansion, then (after capping that) the collect_list
+    # aggregation buffers themselves on hot lists (closed vocabularies
+    # make prefix-token lists grow ~n/V). A row join has no per-group
+    # state: SMJ streams/spills and AQE skew-splits hot tokens. The
+    # checkpoint materializes the narrow (blk, tok, id, sz) index once so
+    # the two join legs don't re-run the shingle pipeline.
     inverted = sh.select(
         "blk",
         "doc_id",
         "sz",
         F.explode(F.slice("sh", 1, prefix_len)).alias("tok"),
-    )
-    # Pair expansion per posting list (same shape as minhash_candidates):
-    # group the tiny (blk, tok) posting lists, expand ordered pairs with the
-    # size-ratio prune applied inline, then dedupe pairs across tokens.
-    # Materialized once for the same two-branch reason as
-    # minhash_candidates (small expansion + hot self-join fallback).
-    grouped = (
-        inverted.groupBy("blk", "tok")
-        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "sz"))).alias("ids"))
-        .where(F.size("ids") > 1)
-        .localCheckpoint(eager=False)
-    )
-    pairs = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.filter(
-                F.transform(
-                    F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                    lambda y: F.struct(
-                        x["doc_id"].alias("doc_a"),
-                        y["doc_id"].alias("doc_b"),
-                        F.least(x["sz"], y["sz"]).alias("lo"),
-                        F.greatest(x["sz"], y["sz"]).alias("hi"),
-                    ),
-                ),
-                lambda p: p["lo"] >= F.lit(threshold) * p["hi"],
-            ),
-        )
-    )
-    small_pairs = (
-        grouped.where(F.size("ids") <= HOT_BUCKET_CAP)
-        .select(F.explode(pairs).alias("p"))
-        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
-    )
-    # Hot posting lists (closed vocabularies make prefix-shingle lists grow
-    # ~n/V): the same OOM-proof self-join fallback as minhash_candidates,
-    # with the size-ratio prune applied in the join condition.
-    hrows = (
-        grouped.where(F.size("ids") > HOT_BUCKET_CAP)
-        .select("blk", "tok", F.explode("ids").alias("r"))
-        .select(
-            "blk", "tok",
-            F.col("r.doc_id").alias("doc_id"), F.col("r.sz").alias("sz"),
-        )
-        .localCheckpoint(eager=False)
-    )
-    ha = hrows.select(
+    ).localCheckpoint(eager=False)
+    ia = inverted.select(
         "blk", "tok", F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")
     )
-    hb = hrows.select(
+    ib = inverted.select(
         "blk", "tok", F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")
     )
-    hot_pairs = (
-        ha.join(hb, ["blk", "tok"])
+    cand = (
+        ia.join(ib, ["blk", "tok"])
         .where(F.col("doc_a") < F.col("doc_b"))
         .where(
             F.least("sz_a", "sz_b")
             >= F.lit(threshold) * F.greatest("sz_a", "sz_b")
         )
         .select("doc_a", "doc_b")
+        .distinct()
+        .persist()
     )
-    cand = small_pairs.unionByName(hot_pairs).distinct().persist()
     cand.count()
     joined, inter, union = _verify_jaccard(df, cand, text_col)
     return (
