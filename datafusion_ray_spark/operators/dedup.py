@@ -174,16 +174,25 @@ def minhash_candidates(df: DataFrame, text_col: str = "text") -> DataFrame:
     expanded JVM-side from each bucket's sorted id list.
     """
     b = lsh_buckets(df, text_col).select("band", "bucket", "doc_id")
-    # Materialized once (localCheckpoint, eager=False): the small and hot
-    # branches below both read the grouped bucket table; without pinning,
-    # the union re-runs the whole signature pipeline per branch.
+    # Materialized once (localCheckpoint): the probe below and the pair
+    # expansion(s) both read the grouped bucket table; without pinning,
+    # each consumer re-runs the whole signature pipeline.
     grouped = (
         b.groupBy("band", "bucket")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
         .where(F.size("ids") > 1)
         .localCheckpoint(eager=False)
     )
-    small = grouped.where(F.size("ids") <= HOT_BUCKET_CAP)
+    # Pay-as-you-go hot-bucket handling (round-5 verdict: the always-on
+    # two-branch shape cost the dedup family ~2x at sf0.1 with ZERO hot
+    # buckets). One cheap max-aggregate on the already-checkpointed
+    # grouped table decides the shape: at healthy bucket-size
+    # distributions (every 1x/10x run, and any real corpus below the
+    # closed-vocab pathology) the hot leg + union + widened distinct are
+    # skipped entirely. The probe is an action, consistent with this
+    # family's design (minhash_dedup_pairs already persists + counts the
+    # candidate set at construction time).
+    max_sz = grouped.agg(F.max(F.size("ids"))).first()[0]
     pairs = F.flatten(
         F.transform(
             F.col("ids"),
@@ -193,8 +202,15 @@ def minhash_candidates(df: DataFrame, text_col: str = "text") -> DataFrame:
             ),
         )
     )
+    if max_sz is None or max_sz <= HOT_BUCKET_CAP:
+        return (
+            grouped.select(F.explode(pairs).alias("p"))
+            .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+            .distinct()  # a pair may collide in several bands; emit once
+        )
     small_pairs = (
-        small.select(F.explode(pairs).alias("p"))
+        grouped.where(F.size("ids") <= HOT_BUCKET_CAP)
+        .select(F.explode(pairs).alias("p"))
         .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
     )
     # HOT buckets (> HOT_BUCKET_CAP members): the array expansion above
@@ -204,9 +220,7 @@ def minhash_candidates(df: DataFrame, text_col: str = "text") -> DataFrame:
     # instead: same pairs (lossless), but SMJ streams/spills instead of
     # building in-task arrays, and AQE skew-splits the hottest keys.
     # localCheckpoint: both join legs read one materialization instead of
-    # re-running the signature pipeline per leg. Empty at healthy
-    # bucket-size distributions (the 1x/10x case) — the branch costs one
-    # cheap aggregate scan until a hot bucket actually exists.
+    # re-running the signature pipeline per leg.
     hrows = (
         grouped.where(F.size("ids") > HOT_BUCKET_CAP)
         .select("band", "bucket", F.explode("ids").alias("doc_id"))
@@ -511,11 +525,20 @@ def _small_star(e: DataFrame) -> DataFrame:
 
 def _is_star_forest(e: DataFrame) -> bool:
     """EXACT terminal test, one cheap job: a canonical (s < t) edge set is
-    a star forest iff no node appears both as a parent (s) and as a child
-    (t). Checking this directly — instead of fingerprinting the edge set
-    and running one more contraction round to see it unchanged — saves an
-    entire confirming round, which for the common clique-shaped inputs is
-    HALF the rounds. One explode + groupBy, no join, no self-union."""
+    a star forest iff (a) no node appears both as a parent (s) and as a
+    child (t), AND (b) every child has exactly one distinct parent.
+    Condition (b) is NOT implied by (a): edges {(1,4),(3,4)} are
+    parent/child-disjoint, yet node 4 belongs to two "stars" — exiting
+    there would emit doc 4 into BOTH group 1 and group 3 (duplicate
+    doc_id rows; the advisor's {1..9} counterexample terminates exactly
+    this way after one round). Checking both directly — instead of
+    fingerprinting the edge set and running one more contraction round to
+    see it unchanged — still saves an entire confirming round, which for
+    the common clique-shaped inputs is HALF the rounds. One explode +
+    groupBy, no join, no self-union, and NO count_distinct (which would
+    plan an Expand per round): the loop's edge sets are distinct rows, so
+    a child's distinct-parent count IS its child-role row count —
+    sum(c) > 1 detects multi-parent children exactly."""
     roles = e.select(
         F.explode(
             F.array(
@@ -530,14 +553,18 @@ def _is_star_forest(e: DataFrame) -> bool:
             )
         ).alias("r")
     ).select("r.*")
-    both = (
+    bad = (
         roles.groupBy("id")
-        .agg(F.max("p").alias("p"), F.max("c").alias("c"))
-        .where((F.col("p") == 1) & (F.col("c") == 1))
+        .agg(
+            F.max("p").alias("p"),
+            F.max("c").alias("c"),
+            F.sum("c").alias("nchild"),
+        )
+        .where(((F.col("p") == 1) & (F.col("c") == 1)) | (F.col("nchild") > 1))
         .limit(1)
         .count()
     )
-    return both == 0
+    return bad == 0
 
 
 def duplicate_groups(pairs: DataFrame, max_iterations: int = 60) -> DataFrame:

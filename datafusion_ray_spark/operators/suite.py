@@ -1478,17 +1478,28 @@ per_doc AS (
     FROM counts GROUP BY doc_id
 )
 SELECT doc_id,
-       list_transform(range(0, {dim}),
-                      i -> ROUND(CAST(coalesce(m[CAST(i AS INT)][1], 0) AS DOUBLE)
-                                 / SQRT(CAST(norm2 AS DOUBLE)), 6)) AS embedding,
+       CAST(i AS INT) AS pos,
+       ROUND(CAST(coalesce(m[CAST(i AS INT)][1], 0) AS DOUBLE)
+             / SQRT(CAST(norm2 AS DOUBLE)), 6) AS v,
        n_tokens
-FROM per_doc
-ORDER BY doc_id
+FROM per_doc CROSS JOIN range(0, {dim}) t(i)
+ORDER BY doc_id, pos
 """
 
 
 def run_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text.hash_embedding(_docs(spark, sf_dir)).orderBy("doc_id")
+    # Exploded to scalar (doc_id, pos, v) rows for the driver gate: its
+    # pandas canonicalizer cannot sort/hash array<double> cells (the one
+    # red CORRECTNESS_r05 row). hash_embedding itself keeps the array
+    # form — that is what feeds the similarity family.
+    emb = text.hash_embedding(_docs(spark, sf_dir))
+    return (
+        emb.select(
+            "doc_id", F.posexplode("embedding").alias("pos", "v"), "n_tokens"
+        )
+        .select("doc_id", "pos", "v", "n_tokens")
+        .orderBy("doc_id", "pos")
+    )
 
 
 SEMDEDUP_THRESHOLD = 0.4

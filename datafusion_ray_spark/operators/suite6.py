@@ -73,7 +73,15 @@ def bq_stats(df: DataFrame, emb_col: str = "embedding") -> tuple[list[int], int]
         .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
         .collect()
     )
+    if not rows:
+        raise ValueError("bq_stats: embeddings input is empty")
     srt = sorted((r["pos"], r["s"], r["n"]) for r in rows)
+    counts = {n for _, _, n in srt}
+    if len(counts) != 1:
+        raise ValueError(
+            "bq_stats: ragged embedding vectors (per-dimension counts "
+            f"{sorted(counts)}) — thresholds would silently skew"
+        )
     return [s for _, s, _ in srt], int(srt[0][2])
 
 
@@ -564,7 +572,10 @@ def run_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     rows = li.select(
         "l_returnflag",
-        (F.col("l_extendedprice") * 100).cast("long").alias("price_cents"),
+        # repo-wide cents idiom: floor on BOTH engines (a bare cast
+        # truncates in Spark but ROUNDS in DuckDB — 297/6000 fixture rows
+        # diverge by one cent under the cast form; advisor round-5 item)
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("price_cents"),
         F.col("l_quantity").cast("long").alias("w"),
     )
     pre = rows.groupBy("l_returnflag", "price_cents").agg(
@@ -593,7 +604,7 @@ def run_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 WEIGHTED_MEDIAN_ORACLE = """
 WITH rows_ AS (
     SELECT l_returnflag,
-           CAST(l_extendedprice * 100 AS BIGINT) AS price_cents,
+           CAST(floor(l_extendedprice * 100) AS BIGINT) AS price_cents,
            CAST(l_quantity AS BIGINT) AS w
     FROM lineitem
 ),

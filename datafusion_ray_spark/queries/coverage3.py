@@ -99,29 +99,31 @@ _q(
     "array_map_funcs",
     """
 SELECT n_nationkey,
-       ARRAY(n_nationkey, n_regionkey, n_nationkey + n_regionkey) AS trip,
-       SEQUENCE(1, CAST(n_regionkey + 2 AS INT)) AS seq,
-       TRANSFORM(SEQUENCE(1, CAST(n_regionkey + 2 AS INT)), x -> x * x) AS squares,
-       FILTER(SEQUENCE(1, CAST(n_nationkey % 6 + 1 AS INT)), x -> x % 2 = 0) AS evens,
+       ARRAY_JOIN(TRANSFORM(ARRAY(n_nationkey, n_regionkey, n_nationkey + n_regionkey), x -> CAST(x AS STRING)), ',') AS trip,
+       ARRAY_JOIN(TRANSFORM(SEQUENCE(1, CAST(n_regionkey + 2 AS INT)), x -> CAST(x AS STRING)), ',') AS seq,
+       ARRAY_JOIN(TRANSFORM(SEQUENCE(1, CAST(n_regionkey + 2 AS INT)), x -> CAST(x * x AS STRING)), ',') AS squares,
+       ARRAY_JOIN(TRANSFORM(FILTER(SEQUENCE(1, CAST(n_nationkey % 6 + 1 AS INT)), x -> x % 2 = 0), x -> CAST(x AS STRING)), ',') AS evens,
        CAST(AGGREGATE(SEQUENCE(1, CAST(n_nationkey % 6 + 1 AS INT)), 0, (acc, x) -> acc + x) AS INT) AS seq_sum,
        ARRAY_CONTAINS(ARRAY(n_nationkey, n_regionkey), 3) AS has_three,
-       SORT_ARRAY(ARRAY(n_nationkey, n_regionkey), false) AS sorted_desc,
-       SLICE(SEQUENCE(1, 10), CAST(n_regionkey + 1 AS INT), 3) AS sliced,
+       ARRAY_JOIN(TRANSFORM(SORT_ARRAY(ARRAY(n_nationkey, n_regionkey), false), x -> CAST(x AS STRING)), ',') AS sorted_desc,
+       ARRAY_JOIN(TRANSFORM(SLICE(SEQUENCE(1, 10), CAST(n_regionkey + 1 AS INT), 3), x -> CAST(x AS STRING)), ',') AS sliced,
        ELEMENT_AT(MAP('nk', n_nationkey, 'rk', n_regionkey), 'rk') AS map_rk
 FROM nation
 ORDER BY n_nationkey
 """,
-    "array/map construction + transform/filter/aggregate higher-order funcs",
+    "array/map construction + transform/filter/aggregate higher-order funcs"
+    " (arrays serialized to CSV strings: the driver's pandas canonicalizer"
+    " cannot sort/hash list cells — round-5 verdict item 1)",
     oracle="""
 SELECT n_nationkey,
-       [n_nationkey, n_regionkey, n_nationkey + n_regionkey] AS trip,
-       range(1, CAST(n_regionkey + 3 AS INT)) AS seq,
-       list_transform(range(1, CAST(n_regionkey + 3 AS INT)), x -> x * x) AS squares,
-       list_filter(range(1, CAST(n_nationkey % 6 + 2 AS INT)), x -> x % 2 = 0) AS evens,
+       ARRAY_TO_STRING([n_nationkey, n_regionkey, n_nationkey + n_regionkey], ',') AS trip,
+       ARRAY_TO_STRING(range(1, CAST(n_regionkey + 3 AS INT)), ',') AS seq,
+       ARRAY_TO_STRING(list_transform(range(1, CAST(n_regionkey + 3 AS INT)), x -> x * x), ',') AS squares,
+       COALESCE(ARRAY_TO_STRING(list_filter(range(1, CAST(n_nationkey % 6 + 2 AS INT)), x -> x % 2 = 0), ','), '') AS evens,
        CAST(list_sum(range(1, CAST(n_nationkey % 6 + 2 AS INT))) AS INT) AS seq_sum,
        list_contains([n_nationkey, n_regionkey], 3) AS has_three,
-       list_reverse_sort([n_nationkey, n_regionkey]) AS sorted_desc,
-       list_slice(range(1, 11), CAST(n_regionkey + 1 AS INT), CAST(n_regionkey + 3 AS INT)) AS sliced,
+       ARRAY_TO_STRING(list_reverse_sort([n_nationkey, n_regionkey]), ',') AS sorted_desc,
+       ARRAY_TO_STRING(list_slice(range(1, 11), CAST(n_regionkey + 1 AS INT), CAST(n_regionkey + 3 AS INT)), ',') AS sliced,
        MAP(['nk', 'rk'], [n_nationkey, n_regionkey])['rk'][1] AS map_rk
 FROM nation
 ORDER BY n_nationkey

@@ -54,9 +54,9 @@ def _sql_entry(qdef: QueryDef) -> SuiteEntry:
 # Each round the rotating slots move to registry entries that have not yet
 # earned a driver-side CORRECTNESS row (the union of CORRECTNESS_r*.json
 # keys), oldest-certified last — so every entry earns the harder driver
-# oracle within a few rounds while the flagships stay pinned.  109/175 had
-# driver rows entering round 5; this round's 20 picks are all from the
-# never-certified set (66 remaining -> 46 after this window certifies).
+# oracle within a few rounds while the flagships stay pinned.  127/184 had
+# driver rows entering round 6; this round's 20 picks are all from the
+# never-certified set (57 remaining -> 37 after this window certifies).
 _FIXED_FLAGSHIPS = [
     "dedup_minhash_lsh", "dedup_groups",      # near-dup pipeline + groups
     "sim_knn_graph",                          # ANN batch workload
@@ -66,27 +66,27 @@ _FIXED_FLAGSHIPS = [
     "sketch_count_min",                       # mergeable-sketch anchor
     "mm_decode_features",                     # multimodal anchor
 ]
-_ROTATING_R5 = [
-    # SQL-surface entries never driver-certified (66 remained entering r5)
-    "recursive_cte", "pivot_sql", "unpivot_sql", "lateral_topk",
-    "win_ignore_nulls",
-    # round-5 flagship additions (never-certified by definition): the
-    # binary-quantization ANN, the seasonal anomaly screen, and the
-    # corpus-mix KL diagnostic take three slots from simpler SQL-surface
-    # entries (json_funcs/agg_filter_clause/null_semantics move to a
-    # later window; they stay green in CORRECTNESS_LOCAL).
-    "sim_ann_bq", "ev_anomaly_seasonal", "text_kl_divergence",
-    # text pipeline
-    "text_tfidf", "text_bigram_lm", "text_hash_embed", "text_gopher_rules",
-    "pii_redact",
-    # dedup variants
-    "dedup_paragraph", "dedup_fuzzy_groups", "dedup_incremental",
-    # ANN codebook paths
-    "sim_ann_pq", "sim_ann_sq8_rerank",
-    # sketches + the skew-resilience showcase
-    "sketch_heavy_hitters", "join_salted",
+_ROTATING_R6 = [
+    # The two round-5 driver-canon schema fixes go first: text_hash_embed
+    # was the ONE red CORRECTNESS_r05 row (array<double> output, now
+    # exploded to scalar rows) and array_map_funcs carried the identical
+    # latent bug (six array<int> columns, now CSV strings).
+    "text_hash_embed", "array_map_funcs",
+    # round-5 additions never driver-certified: coordinated sampling,
+    # weighted median (cents idiom fixed this round), PMI collocations,
+    # and the partitioned-table lifecycle trio.
+    "sample_coordinated", "agg_weighted_median", "text_collocations",
+    "sink_partitioned_prune", "join_dpp", "sink_compact",
+    # SQL-surface entries deferred from earlier windows
+    "json_funcs", "agg_filter_clause", "null_semantics", "str_regex_funcs",
+    "agg_approx_distinct", "agg_approx_percentile", "agg_corr_covar",
+    # scale-watch entries from the 100x diagnostic (phash banding audit,
+    # text_normalize 70x investigation) — certify alongside the audits
+    "mm_phash_dedup", "text_normalize",
+    # remaining family breadth
+    "join_value_band", "sample_uniform", "ev_resample_fill",
 ]
-_PRIORITY_AFTER_TPCH = _FIXED_FLAGSHIPS + _ROTATING_R5
+_PRIORITY_AFTER_TPCH = _FIXED_FLAGSHIPS + _ROTATING_R6
 
 
 def build_registry() -> dict[str, SuiteEntry]:

@@ -553,6 +553,35 @@ def test_duplicate_groups_deep_chain_converges(spark):
     assert {r["group_id"] for r in rows} == {0}
 
 
+def test_duplicate_groups_no_premature_star_forest_exit(spark):
+    """Advisor round-5 counterexample: after one contraction round this
+    component's edge set is parent/child-disjoint but NOT a star forest —
+    node(s) have two distinct parents. A terminal test checking only
+    parent/child disjointness exits early, splitting the single component
+    {1..9} into two groups and emitting doc 3 under BOTH group_ids
+    (duplicate doc_id rows). The fixed ``_is_star_forest`` additionally
+    requires every child to have exactly one distinct parent."""
+    edges = [(3, 4), (4, 8), (3, 5), (5, 9), (1, 6), (6, 8), (2, 7),
+             (7, 9), (1, 4), (2, 5)]
+    pairs = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    rows = dedup.duplicate_groups(pairs).collect()
+    # exactly one row per doc (no doc in two groups) ...
+    ids = sorted(r["doc_id"] for r in rows)
+    assert ids == list(range(1, 10))
+    # ... and one component rooted at the minimum
+    assert {r["group_id"] for r in rows} == {1}
+
+
+def test_is_star_forest_rejects_multi_parent_child(spark):
+    """Unit form of the counterexample: {(1,4),(3,4)} is parent/child-
+    disjoint yet not a star forest (child 4 has parents 1 and 3), while
+    {(1,2),(1,3),(4,5)} is a genuine star forest."""
+    bad = spark.createDataFrame([(1, 4), (3, 4)], ["s", "t"])
+    good = spark.createDataFrame([(1, 2), (1, 3), (4, 5)], ["s", "t"])
+    assert dedup._is_star_forest(bad) is False
+    assert dedup._is_star_forest(good) is True
+
+
 def test_count_min_upper_bound_property(spark, sf_dir):
     """CMS guarantee: estimate >= true count, always."""
     from datafusion_ray_spark.operators.sketch import count_min_build, count_min_estimate

@@ -17,8 +17,24 @@ REGISTRY = build_registry()
 
 @pytest.mark.parametrize("name", sorted(REGISTRY))
 def test_query_matches_oracle(name, spark, oracle, sf_dir):
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
     entry = REGISTRY[name]
     result = entry.run(spark, sf_dir)
+    # Driver-canon schema gate (round-5 verdict item 1): the driver's
+    # pandas canonicalizer sorts/hashes every output column, and list/dict
+    # cells raise ``TypeError: unhashable type`` — text_hash_embed's
+    # array<double> was the one red CORRECTNESS_r05 row. No registry entry
+    # may expose a top-level array/map/struct output column.
+    complex_cols = [
+        f.name
+        for f in result.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not complex_cols, (
+        f"{name}: driver-canon-unsafe output columns {complex_cols} — "
+        "project arrays through array_join/posexplode (see round-5 verdict)"
+    )
     spark_pdf = result.toPandas()
     if entry.oracle is None:
         # Non-SQL-expressible op: driver records a rows-only check.
