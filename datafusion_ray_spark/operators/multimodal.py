@@ -568,24 +568,32 @@ def phash_near_dup_pairs(
     differing bits than bands forces one identical band) among pairs with
     at least one non-hub agreeing band; hub buckets (> ``band_cap``
     members, see PHASH_HUB_CAP) are excluded from candidate generation.
-    Shuffle volume is PHASH_BANDS rows per doc for the candidate join plus
-    the bounded band-census aggregate (distinct (k, v) values — at most
-    PHASH_BANDS * 2^PHASH_BAND_BITS rows, broadcastable by construction),
-    plus two hash-table joins to re-attach the full band vectors — all
-    linear in corpus size.
+
+    Hamming is verified INLINE in the band join — each banded row carries
+    its full band vector, so the collision stream flows XOR+popcount →
+    filter → an output-sized distinct. The shape this replaced made the
+    raw candidate set a shuffle boundary three times (a corpus-quadratic
+    ``distinct`` plus two joins re-attaching the band vectors); the 100x
+    sweep measured 7034x shuffle-byte growth on exactly that. Now the
+    only super-linear term is streamed compute inside one join stage
+    (never materialized, never shuffled), and the survivors of the
+    hamming filter — output-sized by definition — are all that is
+    deduplicated. Candidates, hub policy, and output are bit-identical
+    to the previous shape; the all-pairs oracle is unchanged.
     """
     from pyspark.sql import functions as F
 
     hashes = phash_bands(binary_df).localCheckpoint(eager=False)
     bands = hashes.select(
         "doc_id",
+        *[f"b{k}" for k in range(PHASH_BANDS)],
         F.explode(
             F.array(*[
                 F.struct(F.lit(k).alias("k"), F.col(f"b{k}").alias("v"))
                 for k in range(PHASH_BANDS)
             ])
         ).alias("band"),
-    ).select("doc_id", "band.k", "band.v")
+    ).select("doc_id", *[f"b{k}" for k in range(PHASH_BANDS)], "band.k", "band.v")
     non_hub = (
         bands.groupBy("k", "v")
         .agg(F.count("*").alias("_n"))
@@ -593,25 +601,25 @@ def phash_near_dup_pairs(
         .select("k", "v")
     )
     bands = bands.join(F.broadcast(non_hub), ["k", "v"])
-    cand = (
-        bands.alias("l")
-        .join(bands.alias("r"), ["k", "v"])
-        .where(F.col("l.doc_id") < F.col("r.doc_id"))
-        .select(
-            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
-        )
-        .distinct()
+    left = bands.select(
+        "k", "v", F.col("doc_id").alias("doc_a"),
+        *[F.col(f"b{k}").alias(f"la{k}") for k in range(PHASH_BANDS)],
+    )
+    right = bands.select(
+        "k", "v", F.col("doc_id").alias("doc_b"),
+        *[F.col(f"b{k}").alias(f"lb{k}") for k in range(PHASH_BANDS)],
     )
     ham = sum(
         F.bit_count(
-            F.col(f"ha.b{k}").bitwiseXOR(F.col(f"hb.b{k}")).cast("long")
+            F.col(f"la{k}").bitwiseXOR(F.col(f"lb{k}")).cast("long")
         )
         for k in range(PHASH_BANDS)
     )
     return (
-        cand.join(hashes.alias("ha"), F.col("doc_a") == F.col("ha.doc_id"))
-        .join(hashes.alias("hb"), F.col("doc_b") == F.col("hb.doc_id"))
+        left.join(right, ["k", "v"])
+        .where(F.col("doc_a") < F.col("doc_b"))
         .withColumn("hamming", ham.cast("long"))
         .where(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
+        .distinct()  # a near-dup pair may collide in several bands
     )

@@ -616,11 +616,23 @@ def extension_entries3() -> list:
 # PHASH_BANDS - 1.
 
 
+#: Certification threshold for the registry entry only. The operator's
+#: lossless pigeonhole default stays max_hamming=7 (PHASH_BANDS-1), but the
+#: synthetic corpus's closest payload pairs sit at hamming 17-20 — at 7 the
+#: query returns 0 rows on every test SF and the oracle match is vacuous.
+#: 20 yields real rows to hash-match; above PHASH_BANDS-1 the output is
+#: "pairs within hamming 20 sharing a non-hub band" (banding-dependent but
+#: exactly deterministic), and the oracle replicates the banding bit-for-bit.
+PHASH_CERT_HAMMING = 20
+
+
 def run_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import multimodal as mm
 
     payload = mm.with_binary_payload(_docs(spark, sf_dir))
-    return mm.phash_near_dup_pairs(payload).orderBy("doc_a", "doc_b")
+    return mm.phash_near_dup_pairs(
+        payload, max_hamming=PHASH_CERT_HAMMING
+    ).orderBy("doc_a", "doc_b")
 
 
 def phash_oracle(max_hamming: int = 7) -> str:
@@ -840,10 +852,13 @@ def extension_entries3b() -> list:
     from ..queries.registry import SuiteEntry
 
     return [
-        SuiteEntry("mm_phash_dedup", run_phash_dedup, phash_oracle(),
+        SuiteEntry("mm_phash_dedup", run_phash_dedup,
+                   phash_oracle(PHASH_CERT_HAMMING),
                    "multimodal perceptual-hash (aHash) near-dup pairs: "
-                   "banded candidates + exact hamming verify; all-pairs "
-                   "oracle certifies the banding lossless"),
+                   "banded candidates + exact inline hamming verify; the "
+                   "oracle replicates the banding bit-for-bit (cert "
+                   "threshold 20 so the match is non-vacuous — see "
+                   "PHASH_CERT_HAMMING)"),
         SuiteEntry("dedup_apply_quality", run_dedup_apply_quality,
                    dedup_apply_quality_oracle(),
                    "dedup apply keeping each cluster's highest-quality "
