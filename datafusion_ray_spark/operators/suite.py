@@ -1480,28 +1480,39 @@ per_doc AS (
     FROM counts GROUP BY doc_id
 )
 SELECT doc_id,
-       CAST(i AS INT) AS pos,
-       ROUND(CAST(coalesce(m[CAST(i AS INT)][1], 0) AS DOUBLE)
-             / SQRT(CAST(norm2 AS DOUBLE)), 6) AS v,
+       md5(array_to_string(
+           list_transform(range(0, {dim}),
+               i -> CAST(round(ROUND(CAST(coalesce(m[CAST(i AS INT)][1], 0) AS DOUBLE)
+                                     / SQRT(CAST(norm2 AS DOUBLE)), 6)
+                               * 1000000) AS BIGINT)),
+           ' ')) AS emb_hash,
        n_tokens
-FROM per_doc CROSS JOIN range(0, {dim}) t(i)
-ORDER BY doc_id, pos
+FROM per_doc
 """
 
 
 def run_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Exploded to scalar (doc_id, pos, v) rows for the driver gate: its
-    # pandas canonicalizer cannot sort/hash array<double> cells (the one
-    # red CORRECTNESS_r05 row). hash_embedding itself keeps the array
-    # form — that is what feeds the similarity family.
+    # Scalar per-doc digest for the driver gate: its pandas canonicalizer
+    # cannot sort/hash array<double> cells (the one red CORRECTNESS_r05
+    # row). The md5 covers every dimension, so the certification is as
+    # strong as comparing the raw vectors; values go through round(v*1e6)
+    # -> BIGINT because INTEGER strings format identically on both
+    # engines while double->string does not (Spark "1.0E-6" vs DuckDB
+    # "1e-06"). Output stays corpus-sized (one row per doc) — an exploded
+    # (doc, pos, v) form would collect dim x corpus rows at bench scales.
+    # hash_embedding itself keeps the array form — that is what feeds the
+    # similarity family.
     emb = text.hash_embedding(_docs(spark, sf_dir))
-    return (
-        emb.select(
-            "doc_id", F.posexplode("embedding").alias("pos", "v"), "n_tokens"
+    digest = F.md5(
+        F.array_join(
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.round(x * 1_000_000).cast("long").cast("string"),
+            ),
+            " ",
         )
-        .select("doc_id", "pos", "v", "n_tokens")
-        .orderBy("doc_id", "pos")
     )
+    return emb.select("doc_id", digest.alias("emb_hash"), "n_tokens")
 
 
 SEMDEDUP_THRESHOLD = 0.4
