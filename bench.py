@@ -169,6 +169,16 @@ def main() -> None:
         # Drop any blocks the query persisted (dedup candidate sets etc.) so
         # later queries aren't measured under earlier queries' cache residue.
         spark.catalog.clearCache()
+        # Nudge the ContextCleaner: shuffle files and checkpoint blocks of
+        # dead plans are only reclaimed after driver GC notices the RDDs
+        # are unreachable. At scale-up factors a suite accumulates tens of
+        # GB of dead spill between natural GCs — the r6 100x sweep filled
+        # the work disk exactly this way. Outside the timed loop: zero
+        # timing impact.
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:  # noqa: BLE001 - cleanup is best-effort
+            pass
 
     sf = args.sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else args.sf_dir

@@ -316,69 +316,88 @@ def ngram_jaccard_pairs(
     The exact counterpart to MinHash: recall 1.0 at the threshold. A naive
     blocked self-join is O(block²) pairs with an array intersection each —
     20+ s at sf0.1 and hopeless at 100 TB. This uses the AllPairs/PPJoin
-    **prefix filter** instead, all of it lossless for the
-    ``jaccard >= threshold`` output:
+    **prefix filter**, all of it lossless for the ``jaccard >= threshold``
+    output:
 
     - J(A,B) >= t requires |A∩B| >= t·|A| (given the size-ratio condition
       below), so A and B must share at least one shingle among the FIRST
-      ``|A| - ceil(t·|A|) + 1`` shingles in any fixed global order
-      (lexicographic here). Candidate pairs are generated by an
-      inverted-index join on (block, prefix-shingle) — work is proportional
-      to shingles emitted, never to block².
-    - **size-ratio pruning**: J(A,B) <= min/max of the sizes, applied as two
-      integer comparisons during pair expansion.
-    - Exact jaccard is then verified only for surviving candidates.
+      ``|A| - ceil(t·|A|) + 1`` shingles in any fixed global order.
+      The order is **ascending document frequency** (PPJoin proper, the
+      same ordering ``containment_pairs`` uses): prefixes hold each doc's
+      RAREST shingles, so posting lists the join touches stay short. Any
+      fixed total order is lossless; lexicographic (the previous choice)
+      made prefixes as common as the corpus's hottest phrases.
+    - **size-ratio pruning**: J(A,B) <= min/max of the sizes, applied as
+      two integer comparisons during pair expansion.
+    - Jaccard is verified INLINE in the candidate join: each inverted-
+      index row carries its doc's full xxhash64'd shingle set, so
+      intersection sizes come from one ``array_intersect`` on the joined
+      row and only the output-sized survivor set is deduplicated. The
+      two-phase shape this replaces (materialize distinct candidates,
+      then re-attach both shingle arrays via two joins) reshuffled the
+      (pair + array) stream between the re-attach joins — ~100 GB at the
+      100x scale fixture; it filled the work disk and killed the sweep.
+      Hashed-set intersections equal raw-set intersections absent an
+      intra-pair xxhash64 collision (P < 1e-15 per pair; the oracle
+      certifies the result set, not the machinery).
 
     Returns (doc_a, doc_b, jaccard) for pairs meeting the threshold.
     """
+    from pyspark.sql import Window
+
     sh = (
         df.select(
             F.col(block_col).alias("blk"),
             "doc_id",
-            F.array_sort(shingles(text_col)).alias("sh"),
+            shingles(text_col).alias("sh"),
         )
         .where(F.size("sh") > 0)
-        .withColumn("sz", F.size("sh"))
+    )
+    tok = sh.select(
+        "blk", "doc_id", F.size("sh").alias("sz"), F.explode("sh").alias("tok")
+    )
+    # Global document frequency via one window pass (same idiom + rationale
+    # as containment_pairs), then each doc's shingles re-assembled
+    # rarest-first and hashed to int64. Checkpoint: the window+regroup
+    # pipeline is the expensive stage and BOTH join legs read it.
+    ordered = (
+        tok.withColumn(
+            "tdf", F.count("*").over(Window.partitionBy("tok")).cast("long")
+        )
+        .groupBy("blk", "doc_id", "sz")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tdf", "tok"))),
+                lambda s: F.xxhash64(s["tok"]),
+            ).alias("hs")
+        )
+        .localCheckpoint(eager=False)
     )
     prefix_len = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")).cast("int") + 1
-    # Candidate generation is a pure inverted-index SELF-JOIN on
-    # (block, prefix-token) rows — no collect_list anywhere. An earlier
-    # shape grouped posting lists into arrays and expanded pairs in-task;
-    # the 100x sweep killed it with SparkOutOfMemory twice: first the
-    # bucket²-struct expansion, then (after capping that) the collect_list
-    # aggregation buffers themselves on hot lists (closed vocabularies
-    # make prefix-token lists grow ~n/V). A row join has no per-group
-    # state: SMJ streams/spills and AQE skew-splits hot tokens. The
-    # checkpoint materializes the narrow (blk, tok, id, sz) index once so
-    # the two join legs don't re-run the shingle pipeline.
-    inverted = sh.select(
-        "blk",
-        "doc_id",
-        "sz",
-        F.explode(F.slice("sh", 1, prefix_len)).alias("tok"),
-    ).localCheckpoint(eager=False)
-    ia = inverted.select(
-        "blk", "tok", F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")
+    inv = ordered.select(
+        "blk", "doc_id", "sz", "hs",
+        F.explode(F.slice("hs", 1, prefix_len)).alias("tokh"),
     )
-    ib = inverted.select(
-        "blk", "tok", F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")
+    ia = inv.select(
+        "blk", "tokh", F.col("doc_id").alias("doc_a"),
+        F.col("sz").alias("sz_a"), F.col("hs").alias("hs_a"),
     )
-    cand = (
-        ia.join(ib, ["blk", "tok"])
+    ib = inv.select(
+        "blk", "tokh", F.col("doc_id").alias("doc_b"),
+        F.col("sz").alias("sz_b"), F.col("hs").alias("hs_b"),
+    )
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    union = F.col("sz_a") + F.col("sz_b") - inter
+    return (
+        ia.join(ib, ["blk", "tokh"])
         .where(F.col("doc_a") < F.col("doc_b"))
         .where(
             F.least("sz_a", "sz_b")
             >= F.lit(threshold) * F.greatest("sz_a", "sz_b")
         )
-        .select("doc_a", "doc_b")
-        .distinct()
-        .persist()
-    )
-    cand.count()
-    joined, inter, union = _verify_jaccard(df, cand, text_col)
-    return (
-        joined.select("doc_a", "doc_b", F.round(inter / union, 6).alias("jaccard"))
+        .select("doc_a", "doc_b", F.round(inter / union, 6).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
+        .distinct()  # a pair may share several prefix tokens; emit once
     )
 
 

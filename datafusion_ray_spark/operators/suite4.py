@@ -245,6 +245,19 @@ def containment_pairs(
     # one hash shuffle on tok, same exact counts.
     from pyspark.sql import Window
 
+    # Each doc's shingles re-assembled rarest-first and xxhash64'd; the
+    # checkpoint materializes the expensive window+regroup stage once for
+    # both join legs. Containment is then verified INLINE in the
+    # probe-index join — each row carries its doc's full hashed set, one
+    # array_intersect per collision, and only the output-sized survivor
+    # set is deduplicated. The two-phase shape this replaces (distinct
+    # candidate materialization + dedup._verify_jaccard re-attaching both
+    # shingle arrays through two joins) reshuffled the (pair + array)
+    # stream between the re-attach joins — the 100x sweep's disk/OOM
+    # killer (see ngram_jaccard_pairs for the full account). Hashed-set
+    # intersections equal raw-set intersections absent an intra-pair
+    # xxhash64 collision (P < 1e-15 per pair); the oracle certifies the
+    # result set, not the machinery.
     ordered = (
         tok.withColumn(
             "tdf", F.count("*").over(Window.partitionBy("tok")).cast("long")
@@ -253,45 +266,38 @@ def containment_pairs(
         .agg(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("tdf", "tok"))),
-                lambda s: s["tok"],
-            ).alias("osh")
+                lambda s: F.xxhash64(s["tok"]),
+            ).alias("hs")
         )
+        .localCheckpoint(eager=False)
     )
     plen = F.col("sz") - F.ceil(F.lit(t) * F.col("sz")).cast("int") + 1
     probe = ordered.select(
-        "blk", "doc_id", "sz", F.explode(F.slice("osh", 1, plen)).alias("tok")
+        "blk", "doc_id", "sz", "hs",
+        F.explode(F.slice("hs", 1, plen)).alias("tokh"),
     )
     index = ordered.select(
         "blk",
         F.col("doc_id").alias("doc_i"),
         F.col("sz").alias("sz_i"),
-        F.explode("osh").alias("tok"),
+        F.col("hs").alias("hs_i"),
+        F.explode("hs").alias("tokh"),
     )
-    cand = (
-        probe.join(index, ["blk", "tok"])
+    inter = F.size(F.array_intersect("hs", "hs_i"))
+    ppm = (inter.cast("long") * 1_000_000) / F.col("sz")
+    return (
+        probe.join(index, ["blk", "tokh"])
         .where(
             (F.col("sz") < F.col("sz_i"))
             | ((F.col("sz") == F.col("sz_i")) & (F.col("doc_id") < F.col("doc_i")))
         )
         .select(
-            F.col("doc_id").alias("doc_a"), F.col("doc_i").alias("doc_b")
-        )
-        .distinct()
-        # localCheckpoint (not persist): materializes once for the verify
-        # fan-out below AND lets the ContextCleaner drop the blocks when
-        # this frame is unreachable — a bare persist() pins executor memory
-        # across the whole 170-query suite until LRU eviction.
-        .localCheckpoint(eager=True)
-    )
-    joined, inter, _union = dedup._verify_jaccard(df, cand, text_col)
-    ppm = (inter.cast("long") * 1_000_000) / F.size("sh_a")
-    return (
-        joined.select(
-            F.col("doc_a").alias("doc_small"),
-            F.col("doc_b").alias("doc_big"),
+            F.col("doc_id").alias("doc_small"),
+            F.col("doc_i").alias("doc_big"),
             F.floor(ppm).cast("long").alias("containment_ppm"),
         )
         .where(F.col("containment_ppm") >= threshold_ppm)
+        .distinct()  # a pair may share several probe-prefix tokens
     )
 
 
