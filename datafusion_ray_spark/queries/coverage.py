@@ -139,10 +139,11 @@ _q(
     """
 SELECT c_nationkey AS nk FROM customer
 EXCEPT
-SELECT s_nationkey AS nk FROM supplier
+SELECT s_nationkey AS nk FROM supplier WHERE s_suppkey <= 20
 ORDER BY nk
 """,
-    "except: distinct set difference",
+    "except: distinct set difference (supplier side bounded so the result "
+    "is non-empty at every test SF — an empty EXCEPT certifies nothing)",
 )
 
 # DISTINCT projection.

@@ -35,6 +35,33 @@ def test_minhash_pairs_flags_exact_and_near_dup(docs):
         assert 0 < pairs[(1, 3)]["jaccard"] < 1
 
 
+def test_minhash_hot_bucket_path_is_lossless(spark, monkeypatch):
+    """The spillable hot-bucket self-join leg (the 100x OOM fix) never
+    fires at test corpus sizes — buckets stay under HOT_BUCKET_CAP and
+    the probe short-circuits to the single in-task expansion path. Force
+    it: 12 identical docs put 12 ids in every LSH bucket; with the cap
+    monkeypatched to 4 those buckets take the join leg, while the two
+    distinct docs exercise the small leg. The candidate set must equal
+    the pure in-task expansion (cap = huge) exactly — the split is an
+    execution-shape choice, never a semantic one."""
+    rows = [(i, "alpha beta gamma delta epsilon zeta eta theta", "en", "s0", 44)
+            for i in range(1, 13)]
+    rows += [(21, "one two three four five six seven eight nine", "en", "s0", 44),
+             (22, "one two three four five six seven eight ten", "en", "s0", 43)]
+    docs = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"])
+
+    baseline = {(r["doc_a"], r["doc_b"])
+                for r in dedup.minhash_candidates(docs).collect()}
+    monkeypatch.setattr(dedup, "HOT_BUCKET_CAP", 4)
+    forced = {(r["doc_a"], r["doc_b"])
+              for r in dedup.minhash_candidates(docs).collect()}
+    assert forced == baseline
+    # the 12 identical docs must all pair up
+    expected_clique = {(a, b) for a in range(1, 13) for b in range(a + 1, 13)}
+    assert expected_clique <= forced
+
+
 def test_simhash_identical_texts_equal(docs):
     fp = {r["doc_id"]: r["simhash"] for r in dedup.simhash16(docs).collect()}
     assert fp[1] == fp[2]
