@@ -35,7 +35,7 @@ sf = "/root/testdata/sf0.001"
 con = duckdb.connect()
 duckdb_register(con, sf)
 reg = build_registry()
-for name in ["q1", "ev_session_window", "ev_daily_pivot", "join_range", "ev_sessionize", "ev_gap_histogram", "ev_seq_match"]:
+for name in ["q1", "ev_session_window", "ev_daily_pivot", "join_range", "ev_sessionize", "ev_gap_histogram", "ev_seq_match", "sink_partitioned_prune", "join_dpp", "sink_compact", "text_hash_embed", "mm_phash_dedup"]:
     assert_frames_match(
         reg[name].run(spark, sf).toPandas(), con.sql(reg[name].oracle).df(), name=name
     )
@@ -53,6 +53,12 @@ def test_queries_green_under_truly_vanilla_session():
         cwd=REPO,
     )
     assert proc.returncode == 0, f"stdout:\n{proc.stdout[-2000:]}\nstderr:\n{proc.stderr[-2000:]}"
+    # Timezone-sensitive queries PLUS the round-6 driver-window additions
+    # that write files (partitioned sink / DPP / compaction) and the two
+    # driver-canon schema fixes — the surfaces most likely to depend on an
+    # engine-session conf by accident.
     for name in ("q1", "ev_session_window", "ev_daily_pivot", "join_range",
-                 "ev_sessionize", "ev_gap_histogram", "ev_seq_match"):
+                 "ev_sessionize", "ev_gap_histogram", "ev_seq_match",
+                 "sink_partitioned_prune", "join_dpp", "sink_compact",
+                 "text_hash_embed", "mm_phash_dedup"):
         assert f"OK {name}" in proc.stdout
