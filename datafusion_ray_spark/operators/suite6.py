@@ -736,6 +736,97 @@ FROM scored ORDER BY pmi DESC, bigram LIMIT {PMI_TOP_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# Join-key skew profile — the operational diagnostic behind every salted
+# join / AQE skew-split decision at 100 TB: BEFORE running the big join,
+# one map-side-combinable pass per key column reports how hot the hottest
+# key is relative to the mean and what salt factor would flatten it.
+
+#: (label, table, key column) edges profiled — the engine's own join keys.
+_SKEW_EDGES = [
+    ("events.user_id", "events", "user_id"),
+    ("lineitem.l_partkey", "lineitem", "l_partkey"),
+    ("lineitem.l_suppkey", "lineitem", "l_suppkey"),
+    ("orders.o_custkey", "orders", "o_custkey"),
+]
+
+#: target for the salt suggestion: split the hottest key into chunks of at
+#: most SKEW_SALT_TARGET x the mean key size.
+SKEW_SALT_TARGET = 4
+
+
+def run_profile_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per join-key skew report: rows, distinct keys, hottest-key rows,
+    the hot key itself (min key among ties — deterministic), skew ratio
+    (hottest/mean, integer permille) and the salt factor that would cap
+    the hottest key's partitions at SKEW_SALT_TARGET x the mean.
+
+    All-integer arithmetic end to end so the row is engine-exact; one
+    groupBy per edge (map-side combinable count), then a single-row
+    aggregate — the whole report shuffles (key, count) pairs only, never
+    data rows. The hot-key argmax is ``max(struct(cnt, -key))`` (one
+    aggregate, no second pass); ``join_salted`` is the consuming
+    operator and ``tests/test_skew.py`` certifies the engine under the
+    zipfian distribution this report would flag."""
+    out = None
+    for label, table, col in _SKEW_EDGES:
+        counts = (
+            load_table(spark, sf_dir, table)
+            .groupBy(F.col(col).cast("long").alias("k"))
+            .agg(F.count("*").cast("long").alias("cnt"))
+        )
+        row = (
+            counts.agg(
+                F.sum("cnt").cast("long").alias("n_rows"),
+                F.count("*").cast("long").alias("n_keys"),
+                F.max(F.struct(F.col("cnt"), (-F.col("k")).alias("nk"))).alias("m"),
+            )
+            .select(
+                F.lit(label).alias("key"),
+                "n_rows",
+                "n_keys",
+                F.col("m.cnt").alias("max_key_rows"),
+                (-F.col("m.nk")).cast("long").alias("hot_key"),
+                # hottest/mean in permille: max * n_keys * 1000 DIV n_rows
+                F.expr("m.cnt * n_keys * 1000 DIV n_rows").alias("skew_permille"),
+                F.greatest(
+                    F.lit(1).cast("long"),
+                    F.expr(
+                        f"(m.cnt * n_keys + {SKEW_SALT_TARGET}L * n_rows - 1L)"
+                        f" DIV ({SKEW_SALT_TARGET}L * n_rows)"
+                    ),
+                ).alias("suggested_salt"),
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("key")
+
+
+def profile_skew_oracle() -> str:
+    parts = []
+    for label, table, col in _SKEW_EDGES:
+        counts = (
+            f"(SELECT CAST({col} AS BIGINT) AS k, COUNT(*) AS cnt"
+            f" FROM {table} GROUP BY 1)"
+        )
+        parts.append(f"""
+SELECT '{label}' AS key, s.n_rows, s.n_keys, s.max_key_rows, h.hot_key,
+       CAST(s.max_key_rows * s.n_keys * 1000 // s.n_rows AS BIGINT)
+           AS skew_permille,
+       CAST(GREATEST(1, (s.max_key_rows * s.n_keys
+                         + {SKEW_SALT_TARGET} * s.n_rows - 1)
+                        // ({SKEW_SALT_TARGET} * s.n_rows)) AS BIGINT)
+           AS suggested_salt
+FROM (SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(MAX(cnt) AS BIGINT) AS max_key_rows
+      FROM {counts} c) s,
+     (SELECT CAST(MIN(k) AS BIGINT) AS hot_key
+      FROM {counts} c
+      WHERE cnt = (SELECT MAX(cnt) FROM {counts} m)) h""")
+    return " UNION ALL ".join(parts) + " ORDER BY key"
+
+
 def extension_entries6() -> list:
     from ..queries.registry import SuiteEntry
 
@@ -785,5 +876,13 @@ def extension_entries6() -> list:
             text_collocations_oracle(),
             "top-k bigram collocations by PMI over the corpus (min-count "
             "pruned, exact integer ratio, one ln)",
+        ),
+        SuiteEntry(
+            "profile_skew",
+            run_profile_skew,
+            profile_skew_oracle(),
+            "join-key skew profile: hottest key, skew permille vs mean, "
+            "and the salt factor that flattens it — one (key,count) "
+            "aggregate per edge, all-integer",
         ),
     ]
