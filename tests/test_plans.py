@@ -75,6 +75,36 @@ def test_minhash_pipeline_stays_jvm_side(spark, sf_dir):
     assert "ArrowEvalPython" not in plan
 
 
+def test_exact_pair_family_verifies_inline(spark, sf_dir):
+    """Regression pin for the round-6 100x disk-death fix: the exact-pair
+    operators must verify IN the candidate join (hashed shingle sets
+    carried on the index rows), never via the two-phase shape that
+    materialized a distinct candidate set (InMemoryRelation from
+    persist()) and re-attached both shingle arrays through two more
+    joins — that reshuffled a (pair + array) stream (~100 GB at 100x).
+    One SortMergeJoin/ShuffledHashJoin self-join, no cached candidate
+    relation, everything JVM-side."""
+    from datafusion_ray_spark.operators import dedup
+    from datafusion_ray_spark.operators.suite4 import containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    for df in (dedup.ngram_jaccard_pairs(docs), containment_pairs(docs)):
+        plan = _plan(df)
+        assert "InMemoryRelation" not in plan and "InMemoryTableScan" not in plan
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        # inline verify = exactly one join node in the whole plan (count
+        # the numbered detail headers: formatted explain prints each node
+        # once in the tree AND once as "(N) <Node>")
+        import re
+
+        n_joins = len(re.findall(
+            r"\(\d+\) (?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)",
+            plan,
+        ))
+        assert n_joins == 1, plan
+
+
 def test_similarity_pipeline_stays_jvm_side(spark, sf_dir):
     from datafusion_ray_spark.operators import similarity
 
