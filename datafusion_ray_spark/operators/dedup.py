@@ -155,87 +155,47 @@ def lsh_buckets(df: DataFrame, text_col: str = "text") -> DataFrame:
     ).select("doc_id", "_shingles", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
 
-#: Buckets/posting lists above this size take the spillable self-join
-#: pair-expansion path instead of the in-task array expansion (which
-#: materializes a bucket²-struct array in one task — the 100x sweep
-#: measured SparkOutOfMemory on exactly that for the exact-pair family).
-HOT_BUCKET_CAP = 1024
-
-
 def minhash_candidates(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Candidate near-dup pairs (doc_a < doc_b sharing ≥1 LSH bucket).
 
-    Implemented as groupBy(bucket) + collect_list + array-side pair
+    Implemented as groupBy(bucket) + collect_list + STREAMING pair
     expansion instead of a self-join: a self-join would recompute the whole
     signature pipeline for both sides (Spark does not share scans between
     the two legs of a self-join), and at 100 TB it would also shuffle the
     bucket table twice. Here signatures are computed once, one narrow
-    (band, bucket, doc_id) shuffle groups the buckets, and pairs are
-    expanded JVM-side from each bucket's sorted id list.
+    (band, bucket, doc_id) shuffle groups the buckets, and pairs stream
+    out of two chained Generate nodes JVM-side.
+
+    The two-step expansion (posexplode each bucket's id list, then explode
+    each member's ascending suffix) is the hot-bucket OOM fix, structurally:
+    each Generate is pipelined, so live memory per task is O(bucket), never
+    the O(bucket²) struct array the previous single-``flatten`` form
+    materialized (the r5 100x sweep measured SparkOutOfMemory exactly
+    there). That also retires the r5/r6 remedies this family carried —
+    the spillable self-join leg and the max-bucket-size probe action —
+    whose extra jobs and checkpoint were the measured ~2x fixed overhead
+    on the sf0.1 bench (r7 per-job profile) without ever firing. The
+    function is fully lazy again: building the plan runs no Spark job.
     """
     b = lsh_buckets(df, text_col).select("band", "bucket", "doc_id")
-    # Materialized once (localCheckpoint): the probe below and the pair
-    # expansion(s) both read the grouped bucket table; without pinning,
-    # each consumer re-runs the whole signature pipeline.
     grouped = (
         b.groupBy("band", "bucket")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
         .where(F.size("ids") > 1)
-        .localCheckpoint(eager=False)
     )
-    # Pay-as-you-go hot-bucket handling (round-5 verdict: the always-on
-    # two-branch shape cost the dedup family ~2x at sf0.1 with ZERO hot
-    # buckets). One cheap max-aggregate on the already-checkpointed
-    # grouped table decides the shape: at healthy bucket-size
-    # distributions (every 1x/10x run, and any real corpus below the
-    # closed-vocab pathology) the hot leg + union + widened distinct are
-    # skipped entirely. The probe is an action, consistent with this
-    # family's design (minhash_dedup_pairs already persists + counts the
-    # candidate set at construction time).
-    max_sz = grouped.agg(F.max(F.size("ids"))).first()[0]
-    pairs = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
+    return (
+        grouped.select(F.posexplode("ids").alias("i", "doc_a"), "ids")
+        .select(
+            "doc_a",
+            F.explode(
+                # ids[i+1:] — every later member pairs with doc_a once;
+                # slice is 1-based, posexplode 0-based, hence i + 2.
+                F.slice(F.col("ids"), F.col("i") + 2,
+                        F.size("ids") - F.col("i") - 1)
+            ).alias("doc_b"),
         )
+        .distinct()  # a pair may collide in several bands; emit once
     )
-    if max_sz is None or max_sz <= HOT_BUCKET_CAP:
-        return (
-            grouped.select(F.explode(pairs).alias("p"))
-            .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
-            .distinct()  # a pair may collide in several bands; emit once
-        )
-    small_pairs = (
-        grouped.where(F.size("ids") <= HOT_BUCKET_CAP)
-        .select(F.explode(pairs).alias("p"))
-        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
-    )
-    # HOT buckets (> HOT_BUCKET_CAP members): the array expansion above
-    # would materialize a bucket²-struct array inside ONE task — the 100x
-    # scale sweep measured SparkOutOfMemory exactly there. Re-explode hot
-    # buckets to rows and expand pairs with a bucket-keyed self-JOIN
-    # instead: same pairs (lossless), but SMJ streams/spills instead of
-    # building in-task arrays, and AQE skew-splits the hottest keys.
-    # localCheckpoint: both join legs read one materialization instead of
-    # re-running the signature pipeline per leg.
-    hrows = (
-        grouped.where(F.size("ids") > HOT_BUCKET_CAP)
-        .select("band", "bucket", F.explode("ids").alias("doc_id"))
-        .localCheckpoint(eager=False)
-    )
-    hot_pairs = (
-        hrows.select("band", "bucket", F.col("doc_id").alias("doc_a"))
-        .join(
-            hrows.select("band", "bucket", F.col("doc_id").alias("doc_b")),
-            ["band", "bucket"],
-        )
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-    )
-    return small_pairs.unionByName(hot_pairs).distinct()
 
 
 def _verify_jaccard(df: DataFrame, cand: DataFrame, text_col: str):
@@ -293,9 +253,14 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text") -> DataFrame:
     CacheManager's canonicalized-plan substitution is safe here since the
     star-CC rewrite removed the self-union shapes whose constraint
     rewriting it used to trip (SCALE.md round-5 notes).
+
+    The persist is LAZY (no count() action): all three consumers (the id
+    list and both verify legs) sit inside the caller's one final plan, so
+    the first executed stage fills the single InMemoryRelation and the
+    rest reuse it — an eager count only added one more job chain + AQE
+    re-optimization pass (r7 per-job profile: ~5 jobs, ~0.4 s at sf0.1).
     """
     cand = minhash_candidates(df, text_col).persist()
-    cand.count()
     joined, inter, union = _verify_jaccard(df, cand, text_col)
     return joined.select(
         "doc_a",
@@ -623,7 +588,7 @@ def duplicate_groups(pairs: DataFrame, max_iterations: int = 60) -> DataFrame:
             F.greatest(F.col("doc_a"), F.col("doc_b")).cast("long").alias("t"),
         )
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)  # materializes inside round 1's job
     )
     e = e0.where(F.col("s") != F.col("t"))
     # no pre-check: pair detectors essentially never emit a ready star
@@ -631,7 +596,11 @@ def duplicate_groups(pairs: DataFrame, max_iterations: int = 60) -> DataFrame:
     # AFTER each round saves a job on every call
     converged = False
     for _ in range(max_iterations):
-        e = _small_star(_large_star(e)).localCheckpoint()
+        # eager=False: the round's checkpoint blocks materialize INSIDE the
+        # star-forest test's count job (one action per round, not two) —
+        # measured ~1 job + scheduler gap saved per round at sf0.1 with
+        # identical work; later rounds/labels read the pinned blocks.
+        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         if _is_star_forest(e):
             converged = True
             break
@@ -761,8 +730,7 @@ def incremental_dedup_pairs(corpus: DataFrame, new_docs: DataFrame,
         .where(F.col("doc_a") != F.col("doc_b"))
     )
     nn = minhash_candidates(new_docs, text_col)
-    cand = on.union(nn).distinct().persist()
-    cand.count()
+    cand = on.union(nn).distinct().persist()  # lazy; see minhash_dedup_pairs
     everything = corpus.unionByName(new_docs)
     joined, inter, union = _verify_jaccard(everything, cand, text_col)
     return joined.select(

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..sources.tables import load_table
+from ..sources.tables import load_table, spread
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -25,7 +25,9 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents")
+    # spread(): per-row expensive text kernels on an unsplittable
+    # single-row-group input would run on one core (see tables.spread).
+    return spread(load_table(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------

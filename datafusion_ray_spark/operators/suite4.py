@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.tables import load_table
+from ..sources.tables import load_table, spread
 from . import dedup
 from .suite import (
     _SHINGLES,
@@ -28,7 +28,12 @@ from .suite import (
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents")
+    # spread(): every consumer here runs the shingle/md5 pipelines, which
+    # are per-row compute-bound; the testdata is one unsplittable row group
+    # so without it the whole kernel runs on ONE core (r7 per-job profile:
+    # a 2.2 s single-task stage inside dedup_lsh_eval). No-op on real
+    # multi-split inputs.
+    return spread(load_table(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------

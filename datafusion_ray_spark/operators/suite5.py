@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.tables import load_table
+from ..sources.tables import load_table, spread
 from . import dedup
 from .similarity import _as_double, dot, norm
 from .suite import minhash_pairs_oracle
@@ -100,8 +100,10 @@ def run_dedup_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: (doc_id, group_id, n_members) for every doc in any component."""
     from . import similarity
 
-    docs = load_table(spark, sf_dir, "documents")
-    emb = load_table(spark, sf_dir, "embeddings")
+    # spread(): both legs run per-row compute-bound kernels (shingle/md5,
+    # vector math) and the testdata is one unsplittable row group.
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
     lex = (
         dedup.minhash_dedup_pairs(docs)
         .where("is_near_dup")

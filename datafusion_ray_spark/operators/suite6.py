@@ -44,7 +44,7 @@ import math
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.tables import load_table
+from ..sources.tables import load_table, spread
 from .similarity import with_cosine
 from .text import tokens
 
@@ -259,7 +259,7 @@ def run_text_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     (broadcast), one (source, term) shuffle for per-source counts, then a
     |sources|×V grid left-joined to the counts — every stage is
     map-side-combinable and the grid is bounded by construction."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     tok = docs.select("source", F.explode(tokens("text")).alias("term"))
     vocab = (
         tok.groupBy("term")
@@ -645,7 +645,7 @@ def run_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     unigram lookups join on term — narrow keyed joins that scale with
     vocabulary, never corpus². The PMI argument is an exact integer
     ratio; one ln + round(6) certifies cross-engine."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     toks = docs.select(tokens("text").alias("w"))
     uni = (
         toks.select(F.explode("w").alias("term"))

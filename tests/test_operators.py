@@ -35,15 +35,12 @@ def test_minhash_pairs_flags_exact_and_near_dup(docs):
         assert 0 < pairs[(1, 3)]["jaccard"] < 1
 
 
-def test_minhash_hot_bucket_path_is_lossless(spark, monkeypatch):
-    """The spillable hot-bucket self-join leg (the 100x OOM fix) never
-    fires at test corpus sizes — buckets stay under HOT_BUCKET_CAP and
-    the probe short-circuits to the single in-task expansion path. Force
-    it: 12 identical docs put 12 ids in every LSH bucket; with the cap
-    monkeypatched to 4 those buckets take the join leg, while the two
-    distinct docs exercise the small leg. The candidate set must equal
-    the pure in-task expansion (cap = huge) exactly — the split is an
-    execution-shape choice, never a semantic one."""
+def test_minhash_large_bucket_expansion_is_complete(spark):
+    """The streaming two-Generate pair expansion (the hot-bucket OOM fix:
+    live memory O(bucket) per task, never a bucket²-struct array) must be
+    lossless on oversized buckets: 12 identical docs put 12 ids in every
+    LSH bucket, and every one of the 66 ordered pairs must come out
+    exactly once, alongside the pairs from the two merely-similar docs."""
     rows = [(i, "alpha beta gamma delta epsilon zeta eta theta", "en", "s0", 44)
             for i in range(1, 13)]
     rows += [(21, "one two three four five six seven eight nine", "en", "s0", 44),
@@ -51,15 +48,30 @@ def test_minhash_hot_bucket_path_is_lossless(spark, monkeypatch):
     docs = spark.createDataFrame(
         rows, ["doc_id", "text", "lang", "source", "n_chars"])
 
-    baseline = {(r["doc_a"], r["doc_b"])
-                for r in dedup.minhash_candidates(docs).collect()}
-    monkeypatch.setattr(dedup, "HOT_BUCKET_CAP", 4)
-    forced = {(r["doc_a"], r["doc_b"])
-              for r in dedup.minhash_candidates(docs).collect()}
-    assert forced == baseline
+    out = [(r["doc_a"], r["doc_b"])
+           for r in dedup.minhash_candidates(docs).collect()]
+    assert len(out) == len(set(out))  # distinct: one row per pair
+    forced = set(out)
+    assert all(a < b for a, b in forced)
     # the 12 identical docs must all pair up
     expected_clique = {(a, b) for a in range(1, 13) for b in range(a + 1, 13)}
     assert expected_clique <= forced
+
+
+def test_minhash_candidates_is_lazy(spark):
+    """Plan construction must run ZERO Spark jobs (the r6 probe action made
+    callers pay the whole signature pipeline at build time — ADVICE r6)."""
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f", "en", "s0", 11)],
+        ["doc_id", "text", "lang", "source", "n_chars"])
+    sc = spark.sparkContext
+    sc.setJobGroup("lazy-probe-check", "minhash_candidates construction")
+    try:
+        dedup.minhash_candidates(docs)
+        jobs = sc.statusTracker().getJobIdsForGroup("lazy-probe-check")
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert list(jobs) == []
 
 
 def test_simhash_identical_texts_equal(docs):
