@@ -34,6 +34,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .util import materialize_and_probe
+
 #: MinHash configuration: 12 hashes in 4 bands of 3 rows. With Jaccard
 #: similarity s the candidate probability is 1-(1-s^3)^4 — steep around
 #: s≈0.6, the usual near-dup knee. The 12 hash functions are derived from
@@ -596,12 +598,14 @@ def duplicate_groups(pairs: DataFrame, max_iterations: int = 60) -> DataFrame:
     # AFTER each round saves a job on every call
     converged = False
     for _ in range(max_iterations):
-        # eager=False: the round's checkpoint blocks materialize INSIDE the
-        # star-forest test's count job (one action per round, not two) —
-        # measured ~1 job + scheduler gap saved per round at sf0.1 with
-        # identical work; later rounds/labels read the pinned blocks.
-        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
-        if _is_star_forest(e):
+        # One action per round, not two: the round's checkpoint blocks
+        # materialize INSIDE the star-forest test's count job — measured
+        # ~1 job + scheduler gap saved per round at sf0.1 with identical
+        # work; later rounds/labels read the pinned blocks.
+        e, is_forest = materialize_and_probe(
+            _small_star(_large_star(e)), _is_star_forest
+        )
+        if is_forest:
             converged = True
             break
     if not converged:

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .util import materialize_and_probe
+
 #: damping factor 0.85 in micro-units, and (1-d)/N base mass for N=25.
 DAMP_MICRO = 850_000
 SCALE = 1_000_000
@@ -91,7 +93,10 @@ def pagerank_fixed_point(
     (each eager checkpoint is one job) at iters/checkpoint_every — the
     same amortization dedup_groups uses.
     """
-    n_nodes = nodes.count()
+    # One action pins the vertex table AND reads the size gate (the probe
+    # pattern shared with dedup's star loop — operators/util.py); both the
+    # driver and distributed paths below reuse the pinned blocks.
+    nodes, n_nodes = materialize_and_probe(nodes, lambda d: d.count())
     base = ((SCALE - DAMP_MICRO) * SCALE // n_nodes) // SCALE
     out_w = edges.groupBy("src").agg(F.sum("w").alias("outw"))
     if max_driver_edges and n_nodes * n_nodes <= max_driver_edges:
@@ -111,7 +116,7 @@ def pagerank_fixed_point(
         .select("src", "dst", "w", "outw")
         .localCheckpoint(eager=True)
     )
-    nodes_c = nodes.localCheckpoint(eager=True)
+    nodes_c = nodes  # already pinned by the probe above
     ranks = nodes_c.select(
         F.col("node"), F.lit(SCALE // n_nodes).cast("long").alias("r")
     )

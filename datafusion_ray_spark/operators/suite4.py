@@ -1052,6 +1052,12 @@ def run_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("eus").over(w).isNull()
         | (F.col("eus") - F.lag("eus").over(w) >= gap_us)
     ).cast("int")
+    # No cosmetic global ORDER BY on the corpus-sized output: range
+    # partitioning's sampling pass re-executes the child — here the two
+    # window passes over every event — and the correctness gates sort
+    # canonically anyway (same rule as text_winnow/text_normalize; the
+    # r6 100x sweep measured ev_sessionize at 43.5x wall largely on the
+    # doubled window work).
     return (
         ev.withColumn("_brk", brk)
         .withColumn(
@@ -1061,7 +1067,6 @@ def run_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("int"),
         )
         .select("user_id", "event_id", "eus", "session_idx")
-        .orderBy("user_id", "eus", "event_id")
     )
 
 

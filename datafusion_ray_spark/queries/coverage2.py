@@ -23,19 +23,28 @@ def _q(name: str, sql: str, description: str, oracle: str | None = None) -> None
                         oracle=oracle.strip() if oracle else None)
 
 
-# FULL OUTER join with both-null-side aggregation.
+# FULL OUTER join with both-null-side aggregation. Each side is
+# pre-aggregated to one row per nation BEFORE the join: the previous form
+# full-outer-joined the BASE tables on the 25-value nationkey, which makes
+# |customers_n| x |suppliers_n| intermediate rows per nation — quadratic in
+# scale factor (the r6 100x sweep measured 63x wall on exactly that). The
+# aggregate-then-join shape is the plan you'd want at 100 TB (two
+# map-side-combinable shuffles + a 25x25 join) and still exercises
+# null-preservation on both sides: the acctbal filter can empty a nation's
+# customer side entirely.
 _q(
     "join_full_outer",
     """
 SELECT COALESCE(cn, sn) AS nk,
-       CAST(COUNT(c_custkey) AS BIGINT) AS n_cust,
-       CAST(COUNT(s_suppkey) AS BIGINT) AS n_supp
-FROM (SELECT c_nationkey AS cn, c_custkey FROM customer WHERE c_acctbal > 9000) c
-FULL OUTER JOIN (SELECT s_nationkey AS sn, s_suppkey FROM supplier) s ON cn = sn
-GROUP BY COALESCE(cn, sn)
+       CAST(COALESCE(n_cust, 0) AS BIGINT) AS n_cust,
+       CAST(COALESCE(n_supp, 0) AS BIGINT) AS n_supp
+FROM (SELECT c_nationkey AS cn, COUNT(*) AS n_cust
+      FROM customer WHERE c_acctbal > 9000 GROUP BY c_nationkey) c
+FULL OUTER JOIN (SELECT s_nationkey AS sn, COUNT(*) AS n_supp
+                 FROM supplier GROUP BY s_nationkey) s ON cn = sn
 ORDER BY nk
 """,
-    "full outer join: null-preserving both sides",
+    "full outer join: null-preserving both sides (pre-aggregated inputs)",
 )
 
 # RIGHT OUTER join (datafusion_common.proto:81).

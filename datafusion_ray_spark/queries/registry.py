@@ -54,9 +54,10 @@ def _sql_entry(qdef: QueryDef) -> SuiteEntry:
 # Each round the rotating slots move to registry entries that have not yet
 # earned a driver-side CORRECTNESS row (the union of CORRECTNESS_r*.json
 # keys), oldest-certified last — so every entry earns the harder driver
-# oracle within a few rounds while the flagships stay pinned.  127/184 had
-# driver rows entering round 6; this round's 20 picks are all from the
-# never-certified set (57 remaining -> 37 after this window certifies).
+# oracle within a few rounds while the flagships stay pinned.  147/185 had
+# driver rows entering round 7; this round's 20 picks are all from the
+# never-certified set (38 remaining -> 18 after this window certifies;
+# r8's window = those 18 + this round's two new operators = exactly 20).
 _FIXED_FLAGSHIPS = [
     "dedup_minhash_lsh", "dedup_groups",      # near-dup pipeline + groups
     "sim_knn_graph",                          # ANN batch workload
@@ -66,27 +67,24 @@ _FIXED_FLAGSHIPS = [
     "sketch_count_min",                       # mergeable-sketch anchor
     "mm_decode_features",                     # multimodal anchor
 ]
-_ROTATING_R6 = [
-    # The two round-5 driver-canon schema fixes go first: text_hash_embed
-    # was the ONE red CORRECTNESS_r05 row (array<double> output, now
-    # exploded to scalar rows) and array_map_funcs carried the identical
-    # latent bug (six array<int> columns, now CSV strings).
-    "text_hash_embed", "array_map_funcs",
-    # round-5 additions never driver-certified: coordinated sampling,
-    # weighted median (cents idiom fixed this round), PMI collocations,
-    # and the partitioned-table lifecycle trio.
-    "sample_coordinated", "agg_weighted_median", "text_collocations",
-    "sink_partitioned_prune", "join_dpp", "sink_compact",
-    # SQL-surface entries deferred from earlier windows
-    "json_funcs", "agg_filter_clause", "null_semantics", "str_regex_funcs",
-    "agg_approx_distinct", "agg_approx_percentile", "agg_corr_covar",
-    # scale-watch entries from the 100x diagnostic (phash banding audit,
-    # text_normalize 70x investigation) — certify alongside the audits
-    "mm_phash_dedup", "text_normalize",
-    # remaining family breadth
-    "join_value_band", "sample_uniform", "ev_resample_fill",
+_ROTATING_R7 = [
+    # The dedup/profile entries touched by this round's perf work go first
+    # so the driver re-certifies them hardest: the composing dedup queries
+    # (apply/apply_quality) exercise the new streaming pair expansion +
+    # lazy persist end to end, and profile_skew is the newest operator.
+    "dedup_apply", "dedup_apply_quality", "profile_skew",
+    # event-ops breadth never driver-certified
+    "ev_attribution", "ev_attribution_linear", "ev_retention_cohorts",
+    "ev_upsert_merge", "ev_daily_pivot", "ev_ewma", "ev_winsorize",
+    # profiling / sketch / similarity breadth
+    "profile_fk", "sketch_bloom", "sketch_hist_quantile", "sim_ann_sq8",
+    "emb_covariance",
+    # text/multimodal breadth
+    "text_entropy", "text_repetition", "text_fingerprint", "mm_byte_stats",
+    # SQL-surface
+    "agg_mode_median",
 ]
-_PRIORITY_AFTER_TPCH = _FIXED_FLAGSHIPS + _ROTATING_R6
+_PRIORITY_AFTER_TPCH = _FIXED_FLAGSHIPS + _ROTATING_R7
 
 
 def build_registry() -> dict[str, SuiteEntry]:
