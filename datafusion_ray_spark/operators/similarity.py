@@ -219,6 +219,29 @@ def ivf_assign(
     return base.mapInPandas(gen, out_schema)
 
 
+def ivf_probe_cells(
+    query_vec: list[float],
+    centroids: list[tuple[int, list[float]]],
+    nprobe: int = N_PROBE,
+) -> list[int]:
+    """The ``nprobe`` centroid ids nearest the query (cosine, 6-dp rounded,
+    ties to the smaller id) — the driver-side probe decision shared by the
+    in-plan IVF search and the persisted-index path. Centroid lists are
+    bounded by construction (k << corpus), so this is driver math."""
+    import math
+
+    qn = math.sqrt(sum(float(v) * float(v) for v in query_vec))
+    scored = sorted(
+        (
+            -round(sum(float(a) * float(b) for a, b in zip(query_vec, vec))
+                   / (qn * math.sqrt(sum(float(v) * float(v) for v in vec))), 6),
+            cid,
+        )
+        for cid, vec in centroids
+    )
+    return [cid for _, cid in scored[:nprobe]]
+
+
 def ivf_ann_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -237,18 +260,7 @@ def ivf_ann_topk(
     ~nprobe/n_cells of the data — and the top-k is a TakeOrderedAndProject
     with no shuffle of vector data.
     """
-    import math
-
-    qn = math.sqrt(sum(float(v) * float(v) for v in query_vec))
-    scored = sorted(
-        (
-            -round(sum(float(a) * float(b) for a, b in zip(query_vec, vec))
-                   / (qn * math.sqrt(sum(float(v) * float(v) for v in vec))), 6),
-            cid,
-        )
-        for cid, vec in centroids
-    )
-    probe = [cid for _, cid in scored[:nprobe]]
+    probe = ivf_probe_cells(query_vec, centroids, nprobe)
     out = ivf_assign(df, centroids).where(F.col("cell").isin(probe))
     out = with_cosine(out, query_vec)
     if exclude_vec_id is not None:

@@ -2116,6 +2116,7 @@ def _round3_entries():
     from .suite4 import extension_entries4
     from .suite5 import extension_entries5
     from .suite6 import extension_entries6
+    from .suite7 import extension_entries7
 
     return (
         extension_entries2()
@@ -2126,5 +2127,6 @@ def _round3_entries():
         + extension_entries4()
         + extension_entries5()
         + extension_entries6()
+        + extension_entries7()
         + extension_entries_sinks()
     )

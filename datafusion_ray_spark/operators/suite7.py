@@ -1,0 +1,261 @@
+"""Round-7 extension batch: URL/registered-domain exact dedup and
+persisted-ANN-index search — the two production shapes the r6 audit still
+found missing from the pipeline surface.
+
+Same contract as ``suite.py``..``suite6.py``: every entry pairs a Spark
+callable with an independently-written DuckDB oracle recomputing identical
+semantics; outputs are scalar-typed (BIGINT/VARCHAR/BOOLEAN/6-dp DOUBLE)
+so the driver's value-hash comparison certifies them exactly.
+
+URL dedup (``dedup_url``) is the standard FIRST pass of web-corpus
+pipelines (cheaper than any content hash: kill recrawls/mirrors before
+MinHash ever runs). The documents testdata carries no URL column, so a
+deterministic synthetic URL is derived per document — with the dup
+structure real crawls have (same page reached via www./cdn. subdomains,
+tracking params, fragments) — and BOTH engines derive it identically; the
+OPERATOR under test is the canonicalization + keep-list machinery, which
+is real: ``parse_url`` extraction, PSL-style registered-domain reduction,
+tracking-param stripping, first-occurrence winner per canonical key.
+
+Persisted ANN index (``sim_ivf_persist``) ties together two already-
+certified components: the IVF assignment kernel and the partitioned-sink
+machinery. The index (embeddings + cell) is WRITTEN partitioned by cell,
+and the search runs against the read-back table — certified byte-equal to
+the in-plan IVF search, with the scan provably pruned to the probed cells
+(plan-asserted in tests). At 100 TB this is the shape that makes repeated
+ANN queries cheap: pay the assignment once at ingest, then every query
+reads ~nprobe/n_cells of the data.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table, spread
+
+# ---------------------------------------------------------------------------
+# URL / registered-domain exact dedup
+
+
+#: Multi-part public suffixes recognized by the registered-domain rule
+#: (PSL-lite: real pipelines ship the full Public Suffix List; the RULE —
+#: last three labels under a multi-part suffix, last two otherwise — is
+#: identical, and the list is data, not code).
+MULTI_PART_SUFFIXES = ("co.uk", "org.uk", "com.au", "co.jp")
+#: Tracking-parameter prefixes stripped during canonicalization.
+TRACKING_PREFIXES = ("utm_", "fbclid", "gclid")
+#: Path-key modulus for the synthetic URLs: docs in the same source with
+#: equal doc_id % URL_PATH_KEYS share a page (the planted dup structure).
+URL_PATH_KEYS = 13
+
+
+def _url_expr() -> str:
+    """Deterministic synthetic URL per document (SQL, valid in BOTH Spark
+    and DuckDB): per-source registered domain + multi-part/simple TLD mix,
+    rotating www./cdn./bare subdomains, md5 path keyed by
+    (source, doc_id % URL_PATH_KEYS), tracking params on even doc_ids and
+    a fragment on every fifth — the shapes canonicalization must erase."""
+    return f"""
+    'https://' ||
+    CASE doc_id % 3 WHEN 0 THEN 'www.' WHEN 1 THEN 'cdn.' ELSE '' END ||
+    substring(md5('d:' || source), 1, 8) ||
+    CASE CAST(substring(source, 4) AS INT) % 4
+        WHEN 0 THEN '.co.uk' WHEN 1 THEN '.com'
+        WHEN 2 THEN '.org' ELSE '.io' END ||
+    '/p/' || substring(md5('p:' || source || ':' ||
+                           CAST(doc_id % {URL_PATH_KEYS} AS STRING)), 1, 6) ||
+    CASE WHEN doc_id % 2 = 0
+         THEN '?utm_source=feed&id=' || CAST(doc_id % {URL_PATH_KEYS} AS STRING)
+         ELSE '?id=' || CAST(doc_id % {URL_PATH_KEYS} AS STRING) END ||
+    CASE WHEN doc_id % 5 = 0 THEN '#top' ELSE '' END
+    """
+
+
+def url_dedup(docs: DataFrame) -> DataFrame:
+    """Exact URL dedup: canonicalize each document's URL and keep its
+    first occurrence (min doc_id per canonical key).
+
+    Canonicalization (each step is what real crawl dedup does):
+    - ``parse_url`` HOST/PATH/QUERY extraction (fragment discarded),
+    - registered domain: strip subdomains with the PSL-lite rule (last
+      three labels when the host ends in a multi-part suffix, else two) —
+      ``www.x.co.uk`` and ``cdn.x.co.uk`` are the same site,
+    - drop tracking params (``utm_*``/``fbclid``/``gclid``), sort the
+      rest so param order never splits a group,
+    - strip the trailing path slash; md5 the canonical string.
+
+    Keep-list shape (100 TB): canonical keys are md5-uniform, so the
+    winner pass is ONE map-side-combinable groupBy(min) plus an equi-join
+    back — deliberately NOT a window: a viral URL duplicated millions of
+    times would funnel its whole group through one window task, while
+    partial aggregation reduces it map-side and AQE skew-splits the join.
+    """
+    d = docs.selectExpr("doc_id", f"({_url_expr()}) AS url")
+    host = F.expr("parse_url(url, 'HOST')")
+    multi = None
+    for s in MULTI_PART_SUFFIXES:
+        cond = F.col("_host").endswith("." + s)
+        multi = cond if multi is None else (multi | cond)
+    labels = F.split(F.col("_host"), r"\.")
+    last_n = lambda n: F.concat_ws(  # noqa: E731 - local expression helper
+        ".", F.slice(labels, F.greatest(F.size(labels) - (n - 1), F.lit(1)), n)
+    )
+    canon = d.withColumn("_host", host).select(
+        "doc_id",
+        "url",
+        F.when(multi, last_n(3)).otherwise(last_n(2)).alias("registered_domain"),
+        F.regexp_replace(F.expr("parse_url(url, 'PATH')"), "/$", "").alias("_path"),
+        F.concat_ws(
+            "&",
+            F.array_sort(
+                F.filter(
+                    F.split(F.coalesce(F.expr("parse_url(url, 'QUERY')"), F.lit("")), "&"),
+                    lambda x: (x != "") & ~x.startswith("utm_")
+                    & ~x.startswith("fbclid") & ~x.startswith("gclid"),
+                )
+            ),
+        ).alias("_params"),
+    )
+    canon = canon.select(
+        "doc_id",
+        "registered_domain",
+        F.md5(
+            F.concat_ws("|", "registered_domain", "_path", "_params")
+        ).alias("canon_hash"),
+    )
+    winners = canon.groupBy("canon_hash").agg(F.min("doc_id").alias("keep_id"))
+    return canon.join(winners, "canon_hash").select(
+        "doc_id",
+        "registered_domain",
+        "canon_hash",
+        "keep_id",
+        (F.col("doc_id") == F.col("keep_id")).alias("is_kept"),
+    )
+
+
+def run_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # no spread(): the kernel is a handful of string expressions per row
+    # (cheap scan->project->agg; see tables.spread's counter-indication).
+    return url_dedup(load_table(spark, sf_dir, "documents"))
+
+
+def url_dedup_oracle() -> str:
+    multi_like = " OR ".join(
+        f"host LIKE '%.{s}'" for s in MULTI_PART_SUFFIXES
+    )
+    return f"""
+WITH u AS (
+    SELECT doc_id, ({_url_expr()}) AS url FROM documents
+),
+parts AS (
+    SELECT doc_id,
+           regexp_extract(url, '^https://([^/]+)', 1) AS host,
+           regexp_replace(regexp_extract(url, '^https://[^/]+([^?#]*)', 1),
+                          '/$', '') AS path,
+           regexp_extract(url, '\\?([^#]*)', 1) AS query
+    FROM u
+),
+canon AS (
+    SELECT doc_id,
+           CASE WHEN {multi_like}
+                THEN array_to_string(str_split(host, '.')[-3:], '.')
+                ELSE array_to_string(str_split(host, '.')[-2:], '.')
+           END AS registered_domain,
+           path,
+           array_to_string(
+               list_sort(list_filter(str_split(query, '&'),
+                   x -> x <> '' AND NOT starts_with(x, 'utm_')
+                        AND NOT starts_with(x, 'fbclid')
+                        AND NOT starts_with(x, 'gclid'))),
+               '&') AS params
+    FROM parts
+),
+hashed AS (
+    SELECT doc_id, registered_domain,
+           md5(registered_domain || '|' || path || '|' || params) AS canon_hash
+    FROM canon
+)
+SELECT h.doc_id, h.registered_domain, h.canon_hash,
+       w.keep_id, h.doc_id = w.keep_id AS is_kept
+FROM hashed h
+JOIN (SELECT canon_hash, CAST(MIN(doc_id) AS BIGINT) AS keep_id
+      FROM hashed GROUP BY canon_hash) w USING (canon_hash)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF index search
+
+
+def _index_scratch(sf_dir: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return os.path.join(tempfile.gettempdir(), "dfrs_ann_index", tag)
+
+
+def run_ivf_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search against a PERSISTED index: assign cells once, write the
+    index partitioned by cell (one file per cell — the sinks rule), then
+    answer the query from the read-back table with the scan pruned to the
+    ``nprobe`` probed cells (PartitionFilters; plan-asserted in
+    tests/test_plans.py). Result is identical to the in-plan
+    ``sim_ann_ivf`` — index persistence must never change answers — so
+    the oracle is the same exhaustive DuckDB recomputation.
+    """
+    from . import similarity
+    from .suite import _query_vec
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    rows = (
+        emb.where(F.col("vec_id").isin(list(similarity.CENTROID_VEC_IDS)))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    centroids = sorted((r["vec_id"], list(r["embedding"])) for r in rows)
+    path = _index_scratch(sf_dir)
+    # Ingest-time cost, paid once per corpus version: at 100 TB,
+    # repartition("cell") gives one writer task per cell directory
+    # (files scale with cells, not tasks x cells).
+    (
+        similarity.ivf_assign(emb, centroids)
+        .repartition("cell")
+        .write.partitionBy("cell")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    qv = _query_vec(spark, sf_dir)
+    probe = similarity.ivf_probe_cells(qv, centroids, nprobe=similarity.N_PROBE)
+    index = spark.read.parquet(path).where(F.col("cell").isin(probe))
+    out = similarity.with_cosine(index, qv).where(F.col("vec_id") != 0)
+    return (
+        out.select("vec_id", F.col("cell").cast("int").alias("cell"), "cosine")
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(10)
+    )
+
+
+def extension_entries7():
+    from ..queries.registry import SuiteEntry
+    from .suite import ivf_oracle
+
+    return [
+        SuiteEntry(
+            "dedup_url",
+            run_url_dedup,
+            url_dedup_oracle(),
+            "URL/registered-domain exact dedup: parse_url + PSL-lite "
+            "domain reduction + tracking-param strip + first-occurrence "
+            "keep list (the standard pre-MinHash pass for web corpora)",
+        ),
+        SuiteEntry(
+            "sim_ivf_persist",
+            run_ivf_persist,
+            ivf_oracle(),
+            "ANN search against a PERSISTED cell-partitioned IVF index "
+            "(write once, probe-pruned scans thereafter); certified equal "
+            "to the in-plan IVF search",
+        ),
+    ]

@@ -1,0 +1,89 @@
+"""Round-7 extension batch (operators/suite7.py): URL dedup semantics and
+the persisted-IVF-index scale properties.
+
+Value correctness for both registry entries is covered by the oracle gate
+(test_suite_oracle.py); these tests pin the SEMANTIC edges of URL
+canonicalization (the things a wrong regex would silently break) and the
+plan/layout properties that make the persisted index right at 100 TB.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import re
+
+from datafusion_ray_spark.operators import suite7
+
+
+def test_url_dedup_collapses_subdomain_and_tracking(spark):
+    """Docs 0 and 4 in source 'src0': same path key (0%13 == 4%13? no) —
+    craft ids whose path keys collide: 0 and 13 share doc_id%13 == 0, and
+    differ in subdomain (0%3=0 -> www., 13%3=1 -> cdn.), tracking params
+    (0 even -> utm_source, 13 odd -> none) and fragment (0%5=0 -> #top).
+    Canonicalization must land both on ONE key with keeper 0."""
+    docs = spark.createDataFrame(
+        [(0, "t", "en", "src0", 1), (13, "t", "en", "src0", 1)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    out = {r["doc_id"]: r for r in suite7.url_dedup(docs).collect()}
+    assert out[0]["canon_hash"] == out[13]["canon_hash"]
+    assert out[0]["is_kept"] and not out[13]["is_kept"]
+    assert out[13]["keep_id"] == 0
+
+
+def test_url_dedup_distinct_paths_stay_distinct(spark):
+    docs = spark.createDataFrame(
+        [(1, "t", "en", "src1", 1), (2, "t", "en", "src1", 1)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    out = {r["doc_id"]: r for r in suite7.url_dedup(docs).collect()}
+    assert out[1]["canon_hash"] != out[2]["canon_hash"]
+    assert out[1]["is_kept"] and out[2]["is_kept"]
+
+
+def test_url_registered_domain_psl_rule(spark):
+    """source src0 -> tld index 0%4 = .co.uk (multi-part suffix: last THREE
+    labels); src1 -> .com (last two). Subdomains never survive."""
+    docs = spark.createDataFrame(
+        [(3, "t", "en", "src0", 1), (4, "t", "en", "src1", 1)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    doms = {r["doc_id"]: r["registered_domain"]
+            for r in suite7.url_dedup(docs).collect()}
+    assert doms[3].endswith(".co.uk") and doms[3].count(".") == 2
+    assert doms[4].endswith(".com") and doms[4].count(".") == 1
+    assert not doms[3].startswith(("www.", "cdn."))
+    assert not doms[4].startswith(("www.", "cdn."))
+
+
+def test_ivf_persist_layout_and_prune(spark, sf_dir):
+    """The persisted index must be one file per cell directory, and the
+    search scan must carry cell PartitionFilters (directory pruning) —
+    the property that makes repeated ANN queries ~nprobe/n_cells cost."""
+    df = suite7.run_ivf_persist(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[[^\]]*\]", plan)
+    assert m and "cell" in m.group(0), (
+        f"index scan must prune on cell; got {m.group(0) if m else plan[:400]}"
+    )
+    path = suite7._index_scratch(sf_dir)
+    cell_dirs = glob.glob(os.path.join(path, "cell=*"))
+    assert cell_dirs, "index write must produce cell=... directories"
+    for d in cell_dirs:
+        files = glob.glob(os.path.join(d, "*.parquet"))
+        assert len(files) == 1, (
+            f"{d}: {len(files)} files — repartition-before-partitionBy "
+            "must yield one file per cell"
+        )
+
+
+def test_ivf_persist_equals_inplan_ivf(spark, sf_dir):
+    """Index persistence must never change answers: byte-equal to the
+    in-plan IVF search on the same parameters."""
+    from datafusion_ray_spark.operators.suite import run_ann_ivf
+
+    a = [tuple(r) for r in suite7.run_ivf_persist(spark, sf_dir).collect()]
+    b = [tuple(r) for r in run_ann_ivf(spark, sf_dir).collect()]
+    assert a == b
