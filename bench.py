@@ -89,7 +89,9 @@ def main() -> None:
     # by a judge rerun). Record host load into the artifact so a loaded
     # run is self-identifying, and when the host is already busy at start,
     # wait once for it to drain before measuring.
-    host_start = _host_load()
+    host_prewait = _host_load()
+    host_start = host_prewait
+    waited = False
     if host_start["load1_per_cpu"] > LOAD_WARN_THRESHOLD:
         print(
             f"bench: WARNING host is loaded at start "
@@ -98,6 +100,7 @@ def main() -> None:
             file=sys.stderr,
         )
         time.sleep(LOAD_RETRY_WAIT_S)
+        waited = True
         host_start = _host_load()
         if host_start["load1_per_cpu"] > LOAD_WARN_THRESHOLD:
             print(
@@ -197,10 +200,14 @@ def main() -> None:
         # Host state brackets: load1 at start is OTHER work (taken before
         # the session spins up); at end it includes this bench's own tail.
         # contended_at_start marks artifacts whose numbers should not be
-        # compared across rounds without a rerun.
+        # compared across rounds without a rerun. start_prewait/waited
+        # preserve the pre-drain-wait probe: a run that started loaded but
+        # drained during the wait stays self-identifying (ADVICE r6).
         "host": {
+            "start_prewait": host_prewait,
             "start": host_start,
             "end": host_end,
+            "waited": waited,
             "contended_at_start":
                 host_start["load1_per_cpu"] > LOAD_WARN_THRESHOLD,
         },

@@ -781,19 +781,28 @@ def run_profile_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.count("*").cast("long").alias("n_keys"),
                 F.max(F.struct(F.col("cnt"), (-F.col("k")).alias("nk"))).alias("m"),
             )
+            # Integer mean FIRST (n_rows >= n_keys, so mean >= 1), then
+            # ratios against it: the previous m.cnt * n_keys * 1000 form
+            # silently wraps int64 at reachable 100 TB cardinalities (a
+            # 1e10-row hot key x 1e6 keys x 1000 > 2^63) — and wraps
+            # DIFFERENTLY from DuckDB, which raises (ADVICE r6). Every
+            # product below is bounded by max_key_rows * 1000 (int64-safe
+            # for any real table); the oracle uses the identical
+            # reassociation.
+            .withColumn("mean_rows", F.expr("n_rows DIV n_keys"))
             .select(
                 F.lit(label).alias("key"),
                 "n_rows",
                 "n_keys",
                 F.col("m.cnt").alias("max_key_rows"),
                 (-F.col("m.nk")).cast("long").alias("hot_key"),
-                # hottest/mean in permille: max * n_keys * 1000 DIV n_rows
-                F.expr("m.cnt * n_keys * 1000 DIV n_rows").alias("skew_permille"),
+                # hottest/mean in permille
+                F.expr("m.cnt * 1000 DIV mean_rows").alias("skew_permille"),
                 F.greatest(
                     F.lit(1).cast("long"),
                     F.expr(
-                        f"(m.cnt * n_keys + {SKEW_SALT_TARGET}L * n_rows - 1L)"
-                        f" DIV ({SKEW_SALT_TARGET}L * n_rows)"
+                        f"(m.cnt + {SKEW_SALT_TARGET}L * mean_rows - 1L)"
+                        f" DIV ({SKEW_SALT_TARGET}L * mean_rows)"
                     ),
                 ).alias("suggested_salt"),
             )
@@ -811,11 +820,12 @@ def profile_skew_oracle() -> str:
         )
         parts.append(f"""
 SELECT '{label}' AS key, s.n_rows, s.n_keys, s.max_key_rows, h.hot_key,
-       CAST(s.max_key_rows * s.n_keys * 1000 // s.n_rows AS BIGINT)
+       CAST(s.max_key_rows * 1000 // (s.n_rows // s.n_keys) AS BIGINT)
            AS skew_permille,
-       CAST(GREATEST(1, (s.max_key_rows * s.n_keys
-                         + {SKEW_SALT_TARGET} * s.n_rows - 1)
-                        // ({SKEW_SALT_TARGET} * s.n_rows)) AS BIGINT)
+       CAST(GREATEST(1, (s.max_key_rows
+                         + {SKEW_SALT_TARGET} * (s.n_rows // s.n_keys) - 1)
+                        // ({SKEW_SALT_TARGET} * (s.n_rows // s.n_keys)))
+            AS BIGINT)
            AS suggested_salt
 FROM (SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
              CAST(COUNT(*) AS BIGINT) AS n_keys,
