@@ -1748,7 +1748,9 @@ def run_ev_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 def run_ev_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming import windows as W
 
-    return W.session_agg(_events(spark, sf_dir)).orderBy("user_id", "session_start_us")
+    # unordered: per-session output scales with the corpus and the child
+    # is a two-pass window pipeline (SCALE.md round-6 cosmetic-sort rule)
+    return W.session_agg(_events(spark, sf_dir))
 
 
 def run_ev_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:

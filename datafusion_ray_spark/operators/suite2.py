@@ -139,7 +139,10 @@ def run_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .eventops import scd2_snapshot
 
     ev = _events(spark, sf_dir).where(F.col("event_type") == "purchase")
-    return scd2_snapshot(ev).orderBy("user_id", "version")
+    # no cosmetic global sort on the corpus-scaled snapshot (SCALE.md
+    # round-6 rule: range-partition sampling re-executes the two-window
+    # child; gates sort canonically)
+    return scd2_snapshot(ev)
 
 
 SCD2_ORACLE = """
@@ -183,7 +186,7 @@ def run_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .eventops import ewma_feature
 
     ev = _events(spark, sf_dir).where(F.col("event_type") == "purchase")
-    return ewma_feature(ev).orderBy("user_id", "event_id")
+    return ewma_feature(ev)  # unordered: corpus-scaled output (r6 rule)
 
 
 _W_LIST = "[" + ", ".join(str(w) for w in EWMA_WEIGHTS) + "]"

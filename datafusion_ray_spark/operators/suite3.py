@@ -74,12 +74,13 @@ def rolling_median_x2(
 
 
 def run_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # No cosmetic global ORDER BY on the corpus-sized output: range
+    # partitioning's sampling pass re-executes the child — here the
+    # per-row collect_list+array_sort window, the most expensive window
+    # kernel in the registry (53.5 s at 100x before) — and the
+    # correctness gates sort canonically anyway (SCALE.md round-6 rule).
     ev = _events(spark, sf_dir)
-    return (
-        rolling_median_x2(ev)
-        .select("event_id", "user_id", "med_x2_us")
-        .orderBy("event_id")
-    )
+    return rolling_median_x2(ev).select("event_id", "user_id", "med_x2_us")
 
 
 ROLLING_MEDIAN_ORACLE = f"""
