@@ -700,7 +700,8 @@ def paragraph_dedup(df: DataFrame, text_col: str = "text",
 
 
 def incremental_dedup_pairs(corpus: DataFrame, new_docs: DataFrame,
-                            text_col: str = "text") -> DataFrame:
+                            text_col: str = "text",
+                            corpus_index: DataFrame | None = None) -> DataFrame:
     """Near-dup pairs for an INCREMENTAL ingest batch: verified pairs that
     involve at least one new document — never re-expanding old-vs-old.
 
@@ -720,8 +721,14 @@ def incremental_dedup_pairs(corpus: DataFrame, new_docs: DataFrame,
     Equivalence: bucketing is per-document and deterministic, so this
     equals the full-corpus ``minhash_dedup_pairs`` restricted to pairs
     with a new member (tested + oracle-certified).
+
+    ``corpus_index``: a pre-materialized (band, bucket, doc_id) index for
+    the corpus — e.g. the bucketed table ``dedup_index_persist`` writes —
+    so repeated ingests skip re-deriving corpus signatures entirely; when
+    None the index is derived in-plan.
     """
-    ob = lsh_buckets(corpus, text_col).select(
+    ob = (corpus_index if corpus_index is not None
+          else lsh_buckets(corpus, text_col)).select(
         "band", "bucket", F.col("doc_id").alias("old_id")
     )
     nb = lsh_buckets(new_docs, text_col).select("band", "bucket", "doc_id")

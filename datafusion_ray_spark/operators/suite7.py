@@ -237,11 +237,61 @@ def run_ivf_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Persisted LSH dedup index (the documents-side twin of sim_ivf_persist)
+
+
+def run_dedup_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup ingest against a PERSISTED corpus LSH index.
+
+    The corpus's (band, bucket, doc_id) rows — the index
+    ``incremental_dedup_pairs``' design doc promises should be persisted —
+    are written ONCE as a bucketed+sorted table on (band, bucket) via
+    ``sources.bucketing.write_bucketed``. The new batch's buckets then
+    equi-join against the table: the planner proves the index side
+    co-partitioned (its scan carries ``Bucketed: true`` with NO Exchange
+    above it — plan-asserted in tests/test_suite7.py), so at 100 TB the
+    corpus-scale index is never reshuffled; only the small ingest batch
+    moves. Output is certified equal to the in-plan ``dedup_incremental``
+    (same oracle): index persistence must never change answers.
+    """
+    from ..sources.bucketing import write_bucketed
+    from . import dedup
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    corpus = docs.where(F.col("source") != "src0")
+    new = docs.where(F.col("source") == "src0")
+    tag = (os.path.basename(os.path.normpath(sf_dir)) or "sf").replace(
+        ".", "_"
+    ).replace("-", "_")
+    table = f"dfrs_lsh_index_{tag}"
+    path = os.path.join(tempfile.gettempdir(), "dfrs_lsh_index", tag)
+    write_bucketed(
+        dedup.lsh_buckets(corpus).select("band", "bucket", "doc_id"),
+        table,
+        key=["band", "bucket"],
+        n_buckets=32,
+        path=path,
+    )
+    index = spark.table(table)
+    return dedup.incremental_dedup_pairs(
+        corpus, new, corpus_index=index
+    ).orderBy("doc_a", "doc_b")
+
+
 def extension_entries7():
     from ..queries.registry import SuiteEntry
-    from .suite import ivf_oracle
+    from .suite import incremental_dedup_oracle, ivf_oracle
 
     return [
+        SuiteEntry(
+            "dedup_index_persist",
+            run_dedup_index_persist,
+            incremental_dedup_oracle(),
+            "incremental near-dup ingest against a PERSISTED bucketed LSH "
+            "index table (corpus side never reshuffled; plan-asserted); "
+            "certified equal to the in-plan dedup_incremental",
+        ),
         SuiteEntry(
             "dedup_url",
             run_url_dedup,

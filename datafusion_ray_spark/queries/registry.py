@@ -57,7 +57,8 @@ def _sql_entry(qdef: QueryDef) -> SuiteEntry:
 # oracle within a few rounds while the flagships stay pinned.  147/185 had
 # driver rows entering round 7; this round's 20 picks are all from the
 # never-certified set (38 remaining -> 18 after this window certifies;
-# r8's window = those 18 + this round's two new operators = exactly 20).
+# r8's window = those 18 + two of this round's three new operators, the
+# third rotating in the round after).
 _FIXED_FLAGSHIPS = [
     "dedup_minhash_lsh", "dedup_groups",      # near-dup pipeline + groups
     "sim_knn_graph",                          # ANN batch workload

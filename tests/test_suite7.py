@@ -79,6 +79,36 @@ def test_ivf_persist_layout_and_prune(spark, sf_dir):
         )
 
 
+def test_dedup_index_persist_bucketed_scan_no_exchange(spark, sf_dir):
+    """The persisted LSH index must join WITHOUT reshuffling: its scan is
+    bucket-aware (Bucketed: true) and no Exchange sits between that scan
+    and the probe join — the property that makes ingest cost independent
+    of corpus size at 100 TB."""
+    df = suite7.run_dedup_index_persist(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Bucketed: true" in plan, "index scan must be bucket-aware"
+    # the index-side scan subtree must not be fed through an Exchange:
+    # every Exchange in the plan must be above the PROBE side (whose scan
+    # is the parquet documents read), never above the bucketed table scan.
+    import re as _re
+
+    for m in _re.finditer(r"Exchange hashpartitioning\(band", plan):
+        ctx = plan[m.start():m.start() + 2000]
+        assert "Bucketed: true" not in ctx.split("Exchange", 2)[1], (
+            "found an Exchange re-shuffling the bucketed index side"
+        )
+
+
+def test_dedup_index_persist_equals_inplan(spark, sf_dir):
+    from datafusion_ray_spark.operators.suite import run_incremental_dedup
+
+    a = [tuple(r) for r in
+         suite7.run_dedup_index_persist(spark, sf_dir).collect()]
+    b = [tuple(r) for r in run_incremental_dedup(spark, sf_dir).collect()]
+    assert a == b and len(a) > 0
+
+
 def test_ivf_persist_equals_inplan_ivf(spark, sf_dir):
     """Index persistence must never change answers: byte-equal to the
     in-plan IVF search on the same parameters."""
