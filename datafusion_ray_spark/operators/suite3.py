@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..sources.tables import load_table, spread
+from ..sources.tables import load_table
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -25,9 +25,14 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # spread(): per-row expensive text kernels on an unsplittable
-    # single-row-group input would run on one core (see tables.spread).
-    return spread(load_table(spark, sf_dir, "documents"))
+    # Deliberately NOT spread(): this module's document consumers (mm
+    # payload kernels, char entropy, bigram LM) feed an immediate shuffle
+    # or cheap Arrow batch, and the r7 isolated re-measurement showed the
+    # extra repartition costs 0.2-0.7 s per query at sf0.1 with no gain
+    # (spread() no-ops on real multi-file inputs, so there is no scale
+    # upside either). The shingle-pipeline modules (suite4/suite5) DO
+    # spread — their kernels are the measured serial bottleneck.
+    return load_table(spark, sf_dir, "documents")
 
 
 # ---------------------------------------------------------------------------

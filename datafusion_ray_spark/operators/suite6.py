@@ -44,7 +44,7 @@ import math
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.tables import load_table, spread
+from ..sources.tables import load_table
 from .similarity import with_cosine
 from .text import tokens
 
@@ -259,7 +259,9 @@ def run_text_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     (broadcast), one (source, term) shuffle for per-source counts, then a
     |sources|×V grid left-joined to the counts — every stage is
     map-side-combinable and the grid is bounded by construction."""
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    # not spread(): the explode feeds a (source, term) shuffle directly —
+    # the extra repartition measured +0.7 s at sf0.1 for no gain (r7)
+    docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("source", F.explode(tokens("text")).alias("term"))
     vocab = (
         tok.groupBy("term")
@@ -645,7 +647,8 @@ def run_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     unigram lookups join on term — narrow keyed joins that scale with
     vocabulary, never corpus². The PMI argument is an exact integer
     ratio; one ln + round(6) certifies cross-engine."""
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    # not spread(): same rationale as run_kl_divergence above
+    docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(tokens("text").alias("w"))
     uni = (
         toks.select(F.explode("w").alias("term"))
