@@ -374,6 +374,38 @@ FRAME_LUMA_SCHEMA = T.StructType(
 )
 
 
+PAYLOAD_TOTALS_SCHEMA = T.StructType(
+    [
+        T.StructField("luma", T.LongType()),
+        T.StructField("flen", T.LongType()),
+    ]
+)
+
+
+def payload_totals(binary_df: DataFrame) -> DataFrame:
+    """Corpus byte-value total + byte count, ONE partial row per Arrow
+    batch (callers ``agg(sum, sum)`` the partials).
+
+    Because fixed-size frames partition each payload exactly, these equal
+    ``frame_lumas``' ``(sum(luma), sum(flen))`` for ANY frame size — but
+    skip the whole frame-table build (one ``np.sum`` per batch instead of
+    prefix-sum gathers + per-frame rows). ``silence_trim``'s global-mean
+    pass uses this so the expensive frame kernel runs exactly once.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            buf = np.frombuffer(b"".join(pdf["payload"]), dtype=np.uint8)
+            yield pd.DataFrame(
+                {"luma": [int(buf.sum(dtype=np.int64))],
+                 "flen": [int(len(buf))]}
+            )
+
+    return binary_df.select("payload").mapInPandas(gen, PAYLOAD_TOTALS_SCHEMA)
+
+
 def frame_lumas(binary_df: DataFrame, frame_bytes: int = 256) -> DataFrame:
     """Per-frame 'luma' (byte sum) for every fixed-size frame of every
     payload — the feature a scene-cut / shot-boundary detector thresholds.

@@ -28,12 +28,22 @@ from .suite import (
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # spread(): every consumer here runs the shingle/md5 pipelines, which
-    # are per-row compute-bound; the testdata is one unsplittable row group
-    # so without it the whole kernel runs on ONE core (r7 per-job profile:
-    # a 2.2 s single-task stage inside dedup_lsh_eval). No-op on real
-    # multi-split inputs.
+    # spread(): the SHINGLE consumers here (group_holdout, lsh_eval,
+    # containment, ngram_novelty) are per-row compute-bound; the testdata
+    # is one unsplittable row group so without it the whole kernel runs on
+    # ONE core (r7 per-job profile: a 2.2 s single-task stage inside
+    # dedup_lsh_eval). No-op on real multi-split inputs.
     return spread(load_table(spark, sf_dir, "documents"))
+
+
+def _docs_unspread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The MULTIMODAL consumers (scene_cuts, silence_trim) must NOT share
+    # the spread loader: their Arrow prefix-sum kernel is cheap relative
+    # to a full-table round-robin exchange of the binary payloads, so the
+    # r7 spread() cost them +76% (mm_silence_trim 0.63 -> 1.11 s committed;
+    # r7 verdict What's-wrong #2). At 100 TB real framed payloads arrive
+    # multi-split and the exchange buys nothing there either.
+    return load_table(spark, sf_dir, "documents")
 
 
 # ---------------------------------------------------------------------------
@@ -582,7 +592,7 @@ ORDER BY from_type, to_type
 def run_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import multimodal as mm
 
-    return mm.scene_cuts(mm.with_binary_payload(_docs(spark, sf_dir)))
+    return mm.scene_cuts(mm.with_binary_payload(_docs_unspread(spark, sf_dir)))
 
 
 SCENE_CUTS_ORACLE = """
@@ -635,8 +645,14 @@ FROM c GROUP BY doc_id ORDER BY doc_id
 def run_silence_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import multimodal as mm
 
-    fl = mm.frame_lumas(mm.with_binary_payload(_docs(spark, sf_dir)))
-    tot = fl.agg(
+    binary = mm.with_binary_payload(_docs_unspread(spark, sf_dir))
+    fl = mm.frame_lumas(binary)
+    # Global mean from payload_totals, NOT a second frame_lumas pass:
+    # frames partition each payload exactly, so (sum luma, sum flen) ==
+    # (sum of all payload bytes, total byte count) — one np.sum per batch
+    # instead of re-running the frame-table kernel (r8; the expensive
+    # kernel now executes exactly once per query).
+    tot = mm.payload_totals(binary).agg(
         F.sum("luma").alias("tl"), F.sum("flen").alias("tf")
     )
     flagged = fl.crossJoin(F.broadcast(tot)).withColumn(

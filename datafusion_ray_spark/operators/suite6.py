@@ -784,14 +784,19 @@ def run_profile_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.count("*").cast("long").alias("n_keys"),
                 F.max(F.struct(F.col("cnt"), (-F.col("k")).alias("nk"))).alias("m"),
             )
-            # Integer mean FIRST (n_rows >= n_keys, so mean >= 1), then
-            # ratios against it: the previous m.cnt * n_keys * 1000 form
-            # silently wraps int64 at reachable 100 TB cardinalities (a
-            # 1e10-row hot key x 1e6 keys x 1000 > 2^63) — and wraps
-            # DIFFERENTLY from DuckDB, which raises (ADVICE r6). Every
-            # product below is bounded by max_key_rows * 1000 (int64-safe
-            # for any real table); the oracle uses the identical
-            # reassociation.
+            # skew_permille divides by the UNFLOORED mean: the full
+            # m.cnt * 1000 * n_keys product in DECIMAL(38,0) (int64 wraps at
+            # reachable 100 TB cardinalities — a 1e10-row hot key x 1e6 keys
+            # x 1000 > 2^63, and wraps DIFFERENTLY from DuckDB, which raises;
+            # ADVICE r6), floor-divided by n_rows. The r7 int64-safe
+            # reassociation (m.cnt*1000 DIV (n_rows DIV n_keys)) floored the
+            # mean FIRST, biasing the statistic up to ~2x upward when the
+            # mean is small (ADVICE r7, low). DECIMAL(38,0) DIV is exact and
+            # engine-identical (DuckDB evaluates the same product in
+            # HUGEINT); verified 3*1000*10 DIV 19 = 1578 on both.
+            # suggested_salt keeps the floored mean: it is a partition-count
+            # heuristic where the +-1 bias is immaterial and all-int64 math
+            # is cheaper than decimal at profile volume.
             .withColumn("mean_rows", F.expr("n_rows DIV n_keys"))
             .select(
                 F.lit(label).alias("key"),
@@ -799,8 +804,11 @@ def run_profile_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_keys",
                 F.col("m.cnt").alias("max_key_rows"),
                 (-F.col("m.nk")).cast("long").alias("hot_key"),
-                # hottest/mean in permille
-                F.expr("m.cnt * 1000 DIV mean_rows").alias("skew_permille"),
+                # hottest/mean in permille, unfloored mean
+                F.expr(
+                    "CAST(CAST(m.cnt AS DECIMAL(38,0)) * 1000 * n_keys"
+                    " DIV n_rows AS BIGINT)"
+                ).alias("skew_permille"),
                 F.greatest(
                     F.lit(1).cast("long"),
                     F.expr(
@@ -823,7 +831,8 @@ def profile_skew_oracle() -> str:
         )
         parts.append(f"""
 SELECT '{label}' AS key, s.n_rows, s.n_keys, s.max_key_rows, h.hot_key,
-       CAST(s.max_key_rows * 1000 // (s.n_rows // s.n_keys) AS BIGINT)
+       CAST(CAST(s.max_key_rows AS HUGEINT) * 1000 * s.n_keys // s.n_rows
+            AS BIGINT)
            AS skew_permille,
        CAST(GREATEST(1, (s.max_key_rows
                          + {SKEW_SALT_TARGET} * (s.n_rows // s.n_keys) - 1)

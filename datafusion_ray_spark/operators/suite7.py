@@ -58,12 +58,18 @@ def _url_expr() -> str:
     and DuckDB): per-source registered domain + multi-part/simple TLD mix,
     rotating www./cdn./bare subdomains, md5 path keyed by
     (source, doc_id % URL_PATH_KEYS), tracking params on even doc_ids and
-    a fragment on every fifth — the shapes canonicalization must erase."""
+    a fragment on every fifth — the shapes canonicalization must erase.
+
+    The TLD index hashes the source (``ascii(md5(...)) % 4``) rather than
+    parsing digits out of it, so the expression is TOTAL over arbitrary
+    source strings — the previous ``CAST(substring(source, 4) AS INT)``
+    threw on any source not shaped ``src<int>`` (e.g. the skewed fixture's
+    ``hotsrc``) in BOTH engines (advisor round-7, medium)."""
     return f"""
     'https://' ||
     CASE doc_id % 3 WHEN 0 THEN 'www.' WHEN 1 THEN 'cdn.' ELSE '' END ||
     substring(md5('d:' || source), 1, 8) ||
-    CASE CAST(substring(source, 4) AS INT) % 4
+    CASE ascii(substring(md5('t:' || source), 1, 1)) % 4
         WHEN 0 THEN '.co.uk' WHEN 1 THEN '.com'
         WHEN 2 THEN '.org' ELSE '.io' END ||
     '/p/' || substring(md5('p:' || source || ':' ||
@@ -191,9 +197,18 @@ JOIN (SELECT canon_hash, CAST(MIN(doc_id) AS BIGINT) AS keep_id
 # Persisted IVF index search
 
 
+def _scratch_tag(sf_dir: str) -> str:
+    """Scratch key for run-time persisted indexes: sf_dir basename PLUS the
+    process id, so two concurrent processes on the same scale factor (e.g.
+    bench + a correctness rerun) never share an overwrite-vs-read path
+    (advisor round-7, low). Within one process the path is stable, so
+    repeated runs still exercise mode=overwrite."""
+    base = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return f"{base}_p{os.getpid()}"
+
+
 def _index_scratch(sf_dir: str) -> str:
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    return os.path.join(tempfile.gettempdir(), "dfrs_ann_index", tag)
+    return os.path.join(tempfile.gettempdir(), "dfrs_ann_index", _scratch_tag(sf_dir))
 
 
 def run_ivf_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -261,9 +276,7 @@ def run_dedup_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents"))
     corpus = docs.where(F.col("source") != "src0")
     new = docs.where(F.col("source") == "src0")
-    tag = (os.path.basename(os.path.normpath(sf_dir)) or "sf").replace(
-        ".", "_"
-    ).replace("-", "_")
+    tag = _scratch_tag(sf_dir).replace(".", "_").replace("-", "_")
     table = f"dfrs_lsh_index_{tag}"
     path = os.path.join(tempfile.gettempdir(), "dfrs_lsh_index", tag)
     write_bucketed(

@@ -54,11 +54,11 @@ def _sql_entry(qdef: QueryDef) -> SuiteEntry:
 # Each round the rotating slots move to registry entries that have not yet
 # earned a driver-side CORRECTNESS row (the union of CORRECTNESS_r*.json
 # keys), oldest-certified last — so every entry earns the harder driver
-# oracle within a few rounds while the flagships stay pinned.  147/185 had
-# driver rows entering round 7; this round's 20 picks are all from the
-# never-certified set (38 remaining -> 18 after this window certifies;
-# r8's window = those 18 + two of this round's three new operators, the
-# third rotating in the round after).
+# oracle within a few rounds while the flagships stay pinned.  167/188 had
+# driver rows entering round 8; this round's 20 picks are all from the
+# 21-entry never-certified remainder, so after this window certifies the
+# r9 window is just `dedup_fuzzy_prefix` plus whatever operators round 8
+# adds — the rotation closes.
 _FIXED_FLAGSHIPS = [
     "dedup_minhash_lsh", "dedup_groups",      # near-dup pipeline + groups
     "sim_knn_graph",                          # ANN batch workload
@@ -68,24 +68,25 @@ _FIXED_FLAGSHIPS = [
     "sketch_count_min",                       # mergeable-sketch anchor
     "mm_decode_features",                     # multimodal anchor
 ]
-_ROTATING_R7 = [
-    # The dedup/profile entries touched by this round's perf work go first
-    # so the driver re-certifies them hardest: the composing dedup queries
-    # (apply/apply_quality) exercise the new streaming pair expansion +
-    # lazy persist end to end, and profile_skew is the newest operator.
-    "dedup_apply", "dedup_apply_quality", "profile_skew",
-    # event-ops breadth never driver-certified
-    "ev_attribution", "ev_attribution_linear", "ev_retention_cohorts",
-    "ev_upsert_merge", "ev_daily_pivot", "ev_ewma", "ev_winsorize",
-    # profiling / sketch / similarity breadth
-    "profile_fk", "sketch_bloom", "sketch_hist_quantile", "sim_ann_sq8",
-    "emb_covariance",
-    # text/multimodal breadth
-    "text_entropy", "text_repetition", "text_fingerprint", "mm_byte_stats",
-    # SQL-surface
-    "agg_mode_median",
+_ROTATING_R8 = [
+    # Round-7's three new operators go first — two of them (dedup_url,
+    # the persisted indexes) were touched by this round's ADVICE fixes
+    # (total TLD cast, per-process scratch paths), so the driver certifies
+    # the FIXED code.
+    "dedup_url", "dedup_index_persist", "sim_ivf_persist",
+    # event-ops / rollup breadth never driver-certified
+    "ev_multi_rollup", "ev_user_rfm", "ev_mad_outliers",
+    # set-op / scalar SQL surface
+    "setop_bag_all", "math_bit_funcs",
+    # training-data pipeline breadth (sampling / mixing / sharding)
+    "contamination_check", "sample_stratified", "sample_weighted",
+    "doc_chunk", "len_histogram", "source_mix", "source_cap",
+    "vocab_stats", "lang_temperature_mix", "shuffle_shard",
+    "ppl_bucket_sample",
+    # temporal-join direction variant
+    "join_asof_forward",
 ]
-_PRIORITY_AFTER_TPCH = _FIXED_FLAGSHIPS + _ROTATING_R7
+_PRIORITY_AFTER_TPCH = _FIXED_FLAGSHIPS + _ROTATING_R8
 
 
 def build_registry() -> dict[str, SuiteEntry]:

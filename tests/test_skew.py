@@ -46,7 +46,13 @@ def skew_oracle(skew_dir):
     con.close()
 
 
-@pytest.mark.parametrize("name", ["join_range", "ev_sessionize", "dedup_groups"])
+# dedup_url: regression for the advisor-r7 totality bug — its synthetic URL
+# expression CAST a digit parsed out of `source`, so this fixture's `hotsrc`
+# crashed BOTH engines; the TLD index now hashes the source (suite7._url_expr)
+# and this case certifies it on exactly the data that used to throw.
+@pytest.mark.parametrize(
+    "name", ["join_range", "ev_sessionize", "dedup_groups", "dedup_url"]
+)
 def test_oracle_certified_on_skewed_data(name, spark, skew_dir, skew_oracle):
     entry = build_registry()[name]
     spark_pdf = entry.run(spark, skew_dir).toPandas()

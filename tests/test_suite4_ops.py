@@ -434,7 +434,7 @@ def test_silence_trim_finds_active_span(spark, monkeypatch):
     payloads = spark.createDataFrame(
         [(1, bytearray(p1)), (2, bytearray(p2))], "doc_id long, payload binary"
     )
-    monkeypatch.setattr(s4, "_docs", lambda _s, _d: docs)
+    monkeypatch.setattr(s4, "_docs_unspread", lambda _s, _d: docs)
     monkeypatch.setattr(mm, "with_binary_payload", lambda _d: payloads)
     got = {r["doc_id"]: (r["n_frames"], r["n_active"], r["first_active"],
                          r["last_active"], r["kept_span"])

@@ -43,10 +43,12 @@ def test_url_dedup_distinct_paths_stay_distinct(spark):
 
 
 def test_url_registered_domain_psl_rule(spark):
-    """source src0 -> tld index 0%4 = .co.uk (multi-part suffix: last THREE
-    labels); src1 -> .com (last two). Subdomains never survive."""
+    """The TLD index is ascii(md5('t:'||source)[0]) % 4 (total over any
+    source string — advisor r7): 'src4' hashes to 0 -> .co.uk (multi-part
+    suffix: last THREE labels); 'src3' hashes to 1 -> .com (last two).
+    Subdomains never survive."""
     docs = spark.createDataFrame(
-        [(3, "t", "en", "src0", 1), (4, "t", "en", "src1", 1)],
+        [(3, "t", "en", "src4", 1), (4, "t", "en", "src3", 1)],
         ["doc_id", "text", "lang", "source", "n_chars"],
     )
     doms = {r["doc_id"]: r["registered_domain"]
