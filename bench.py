@@ -23,6 +23,21 @@ import time
 LOAD_WARN_THRESHOLD = 0.25
 LOAD_RETRY_WAIT_S = 30
 
+#: Queries whose OUTPUT is corpus-sized (one row per input row/event): their
+#: collect() wall is dominated by driver output transfer, not by the plan —
+#: measured 94% driver-collect for ev_sessionize at 100x (SCALE.md r7
+#: adjudication). For these, BENCH_DETAIL records BOTH walls per query:
+#: `collect_s` (the headline number, comparable across rounds) and
+#: `compute_s` (a noop-sink run of the same plan — what a production job
+#: that WRITES its output would pay), so a sweep can separate plan
+#: regressions from output-transfer cost automatically. A noop WRITE is
+#: used, not count(): count() lets Catalyst prune the expensive
+#: projections the query exists to compute (the text_normalize 2x lesson).
+CORPUS_SIZED_OUTPUT = {
+    "ev_sessionize", "ev_session_window", "ev_scd2", "ev_ewma",
+    "win_rolling_median", "text_normalize",
+}
+
 
 def _host_load() -> dict:
     """One-line host-contention snapshot for the bench artifact."""
@@ -140,6 +155,7 @@ def main() -> None:
     # its entire bench artifact (round 1 lost it to an oversized line, round
     # 2 to a crash-on-first-error — the summary line is now unconditional).
     per_query: dict[str, float] = {}
+    compute_only: dict[str, float] = {}
     shuffle: dict[str, dict[str, int]] = {}
     errors: dict[str, str] = {}
     from datafusion_ray_spark.plans import runtime_shuffle_metrics
@@ -155,6 +171,16 @@ def main() -> None:
                 elapsed = time.perf_counter() - start
                 best = elapsed if best is None else min(best, elapsed)
             per_query[name] = round(best, 4)
+            if name in CORPUS_SIZED_OUTPUT:
+                best_c = None
+                for _ in range(args.runs):
+                    start = time.perf_counter()
+                    entry.run(spark, args.sf_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    c = time.perf_counter() - start
+                    best_c = c if best_c is None else min(best_c, c)
+                compute_only[name] = round(best_c, 4)
             # Shuffle-volume baseline next to the time baseline (read from
             # the last executed plan, after timing — zero timing impact):
             # a plan regression (new Expand, lost broadcast, extra
@@ -197,6 +223,11 @@ def main() -> None:
         "n_queries": len(per_query),
         "errors": errors,
         "shuffle": shuffle,
+        # collect_s == queries[name]; compute_s is the noop-sink wall of the
+        # same plan (see CORPUS_SIZED_OUTPUT). collect_s - compute_s ~ driver
+        # output-transfer cost; compare compute_s across rounds for plan
+        # health of corpus-sized-output queries.
+        "compute_s": compute_only,
         # Host state brackets: load1 at start is OTHER work (taken before
         # the session spins up); at end it includes this bench's own tail.
         # contended_at_start marks artifacts whose numbers should not be
