@@ -1,0 +1,234 @@
+"""Distributed S3 parquet source — a Spark 4 Python Data Source that closes
+the reference's s3 object-store capability (``/root/reference/src/util.rs:
+523-580`` builds an AmazonS3 object store from the URL scheme and registers
+it for scans) when the JVM-side ``s3a://`` connector jars are absent.
+
+The production path for S3 remains Hadoop's ``s3a`` connector (jars +
+IAM); ``DFRayContext.register_parquet("s3://...")`` tries that first and
+falls back here, so a bare-Python environment (boto3 only, no hadoop-aws)
+can still read S3 tables DISTRIBUTED rather than not at all.
+
+How it distributes (the same split Spark's own parquet source makes):
+
+- The PLANNER (driver) lists the prefix (one ``list_objects_v2`` page
+  walk), range-reads each file's FOOTER only, and emits one input
+  partition per contiguous run of row groups, packed to
+  ``partition_bytes`` (default 128 MB) — so a 100 TB prefix plans into
+  ~800k independent partitions without the driver ever touching data
+  bytes, and a single huge file still fans out across executors by row
+  group.
+- EVERY EXECUTOR opens its own ranged reader over exactly its row groups
+  (boto3 ``Range:`` GETs behind a seekable file object; pyarrow reads only
+  the byte ranges those row groups cover) and yields ARROW BATCHES — the
+  Python Data Source Arrow fast path, no per-row Python.
+
+Schema comes from the first footer (parquet is self-describing, matching
+``spark.read.parquet``). Column pruning/predicate pushdown inside a row
+group is not attempted (the Python DataSource API does not expose the
+scan's required schema); the unit of skipping is the row group, which is
+also the unit the s3a path prunes by default.
+
+Credentials: the boto3 default chain (env/instance profile), overridable
+per-read with ``option("access_key"/"secret_key"/"region"/
+"endpoint_url")`` — the endpoint override is what the moto-backed e2e
+tests (tests/test_s3store.py) exercise.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+#: target bytes of row-group content per input partition. 128 MB matches
+#: spark.sql.files.maxPartitionBytes' default, the size the rest of the
+#: engine's memory budgeting assumes.
+DEFAULT_PARTITION_BYTES = 128 << 20
+
+_FOOTER_PROBE = 64 << 10  # tail bytes fetched to parse most footers in one GET
+
+
+def _client(opts: dict):
+    import boto3
+    from botocore.config import Config
+
+    kwargs: dict = {}
+    if opts.get("endpoint_url"):
+        kwargs["endpoint_url"] = opts["endpoint_url"]
+    elif os.environ.get("AWS_ENDPOINT_URL"):
+        kwargs["endpoint_url"] = os.environ["AWS_ENDPOINT_URL"]
+    if opts.get("region"):
+        kwargs["region_name"] = opts["region"]
+    if opts.get("access_key"):
+        kwargs["aws_access_key_id"] = opts["access_key"]
+        kwargs["aws_secret_access_key"] = opts.get("secret_key", "")
+    if str(opts.get("anon", "")).lower() in ("1", "true"):
+        from botocore import UNSIGNED
+
+        kwargs["config"] = Config(signature_version=UNSIGNED)
+    return boto3.client("s3", **kwargs)
+
+
+def _split_url(url: str) -> tuple[str, str]:
+    if url.startswith("s3a://"):
+        url = "s3://" + url[len("s3a://"):]
+    if not url.startswith("s3://"):
+        raise ValueError(f"not an s3 url: {url}")
+    bucket, _, key = url[len("s3://"):].partition("/")
+    return bucket, key
+
+
+class _RangedS3File(io.RawIOBase):
+    """Minimal seekable read-only file over one S3 object via Range GETs.
+
+    pyarrow calls read() for exactly the byte ranges the requested row
+    groups/footer cover, so the transfer volume is what the scan needs —
+    the object is never downloaded whole.
+    """
+
+    def __init__(self, client, bucket: str, key: str, size: int):
+        self._c, self._b, self._k, self._size = client, bucket, key, size
+        self._pos = 0
+
+    def seekable(self) -> bool:
+        return True
+
+    def readable(self) -> bool:
+        return True
+
+    def seek(self, pos: int, whence: int = 0) -> int:
+        self._pos = (
+            pos if whence == 0
+            else self._pos + pos if whence == 1
+            else self._size + pos
+        )
+        return self._pos
+
+    def tell(self) -> int:
+        return self._pos
+
+    def read(self, n: int = -1) -> bytes:
+        if n is None or n < 0:
+            end = self._size - 1
+        else:
+            end = min(self._pos + n, self._size) - 1
+        if end < self._pos:
+            return b""
+        resp = self._c.get_object(
+            Bucket=self._b, Key=self._k,
+            Range=f"bytes={self._pos}-{end}",
+        )
+        data = resp["Body"].read()
+        self._pos += len(data)
+        return data
+
+
+def _list_parquet_objects(client, bucket: str, key: str) -> list[tuple[str, int]]:
+    """(key, size) for `key` itself or every *.parquet under the prefix."""
+    out: list[tuple[str, int]] = []
+    if key and not key.endswith("/"):
+        try:
+            head = client.head_object(Bucket=bucket, Key=key)
+            return [(key, head["ContentLength"])]
+        except Exception:  # noqa: BLE001 - not an object: fall through to prefix
+            key = key + "/"
+    token = None
+    while True:
+        kwargs = {"Bucket": bucket, "Prefix": key}
+        if token:
+            kwargs["ContinuationToken"] = token
+        page = client.list_objects_v2(**kwargs)
+        for obj in page.get("Contents", []):
+            k = obj["Key"]
+            if k.endswith(".parquet") or k.endswith(".pq"):
+                out.append((k, obj["Size"]))
+        if not page.get("IsTruncated"):
+            break
+        token = page["NextContinuationToken"]
+    if not out:
+        raise FileNotFoundError(f"no parquet objects under s3://{bucket}/{key}")
+    return sorted(out)
+
+
+def _row_group_plan(client, bucket: str, objects, part_bytes: int):
+    """[(key, size, [rg, ...]), ...] — contiguous row-group runs packed to
+    ~part_bytes each, planned from footers only."""
+    import pyarrow.parquet as pq
+
+    parts = []
+    for key, size in objects:
+        pf = pq.ParquetFile(_RangedS3File(client, bucket, key, size))
+        meta = pf.metadata
+        run: list[int] = []
+        run_bytes = 0
+        for rg in range(meta.num_row_groups):
+            rg_bytes = meta.row_group(rg).total_byte_size
+            if run and run_bytes + rg_bytes > part_bytes:
+                parts.append((key, size, run))
+                run, run_bytes = [], 0
+            run.append(rg)
+            run_bytes += rg_bytes
+        if run:
+            parts.append((key, size, run))
+    return parts
+
+
+class S3ParquetDataSource(DataSource):
+    """``spark.read.format("s3parquet").option("path", "s3://b/prefix")``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "s3parquet"
+
+    def _opts(self) -> dict:
+        return dict(self.options)
+
+    def schema(self):
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        opts = self._opts()
+        client = _client(opts)
+        bucket, key = _split_url(opts["path"])
+        objects = _list_parquet_objects(client, bucket, key)
+        import pyarrow.parquet as pq
+
+        k, size = objects[0]
+        pf = pq.ParquetFile(_RangedS3File(client, bucket, k, size))
+        return from_arrow_schema(pf.schema_arrow)
+
+    def reader(self, schema):
+        return _S3ParquetReader(schema, self._opts())
+
+
+class _S3ParquetReader(DataSourceReader):
+    def __init__(self, schema, options: dict):
+        self.schema = schema
+        self.options = options
+        self.part_bytes = int(
+            options.get("partition_bytes", DEFAULT_PARTITION_BYTES)
+        )
+
+    def partitions(self):
+        opts = self.options
+        client = _client(opts)
+        bucket, key = _split_url(opts["path"])
+        objects = _list_parquet_objects(client, bucket, key)
+        plan = _row_group_plan(client, bucket, objects, self.part_bytes)
+        return [InputPartition(p) for p in plan]
+
+    def read(self, partition):
+        import pyarrow.parquet as pq
+
+        key, size, row_groups = partition.value
+        opts = self.options
+        client = _client(opts)
+        bucket, _ = _split_url(opts["path"])
+        pf = pq.ParquetFile(_RangedS3File(client, bucket, key, size))
+        # Arrow fast path: yield RecordBatches, never per-row Python.
+        yield from pf.iter_batches(row_groups=row_groups)
+
+
+def register_s3_parquet(spark) -> None:
+    """Idempotently register the ``s3parquet`` format on a session."""
+    spark.dataSource.register(S3ParquetDataSource)

@@ -1,0 +1,171 @@
+"""End-to-end S3 object-store reads against a LIVE (moto) S3 endpoint.
+
+Round-8: the environment probe found boto3 + moto present, which opens the
+gate the roadmap carried since round 4 ("exercised s3/gs object stores").
+These tests run a real ThreadedMotoServer, upload real parquet bytes, and
+read them back through the distributed Python Data Source
+(``sources/s3store.py``) and through the facade
+(``DFRayContext.register_parquet("s3://...")`` — the reference's
+scheme-based registration, ``/root/reference/src/util.rs:523-580``).
+
+The s3a fallback chain is exercised implicitly: this sandbox has no
+hadoop-aws jars, so the facade path proves tier-2 engages when tier-1
+fails — exactly the degraded environment the source exists for.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+try:
+    import boto3
+    from moto.server import ThreadedMotoServer
+except ImportError:  # pragma: no cover - capability gate
+    boto3 = None
+
+pytestmark = pytest.mark.skipif(
+    boto3 is None, reason="boto3/moto not installed (capability gate)"
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_SMALL", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def s3_endpoint():
+    server = ThreadedMotoServer(port=0)
+    server.start()
+    host, port = server.get_host_and_port()
+    url = f"http://{host}:{port}"
+    old = {
+        k: os.environ.get(k)
+        for k in ("AWS_ACCESS_KEY_ID", "AWS_SECRET_ACCESS_KEY",
+                  "AWS_DEFAULT_REGION")
+    }
+    os.environ.update(
+        AWS_ACCESS_KEY_ID="testing",
+        AWS_SECRET_ACCESS_KEY="testing",
+        AWS_DEFAULT_REGION="us-east-1",
+    )
+    yield url
+    for k, v in old.items():
+        if v is None:
+            os.environ.pop(k, None)
+        else:
+            os.environ[k] = v
+    server.stop()
+
+
+@pytest.fixture(scope="module")
+def bucket(s3_endpoint):
+    client = boto3.client("s3", endpoint_url=s3_endpoint)
+    client.create_bucket(Bucket="graft")
+    # single object
+    with open(os.path.join(SF_DIR, "nation.parquet"), "rb") as f:
+        client.put_object(Bucket="graft", Key="tables/nation.parquet",
+                          Body=f.read())
+    # directory-of-files prefix: supplier split into two same-schema parts
+    import io
+
+    import pyarrow.parquet as pq
+
+    sup = pq.read_table(os.path.join(SF_DIR, "supplier.parquet"))
+    half = sup.num_rows // 2
+    for i, part in enumerate((sup.slice(0, half), sup.slice(half))):
+        buf = io.BytesIO()
+        pq.write_table(part, buf)
+        client.put_object(Bucket="graft", Key=f"dir/part-{i}.parquet",
+                          Body=buf.getvalue())
+    # a multi-row-group object, to prove row-group splitting
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(SF_DIR, "customer.parquet"))
+    import io
+
+    buf = io.BytesIO()
+    pq.write_table(t, buf, row_group_size=max(1, t.num_rows // 7))
+    client.put_object(Bucket="graft", Key="multi/customer.parquet",
+                      Body=buf.getvalue())
+    return "graft"
+
+
+def _read(spark, s3_endpoint, path, **opts):
+    from datafusion_ray_spark.sources.s3store import register_s3_parquet
+
+    register_s3_parquet(spark)
+    # Credentials as explicit OPTIONS, not env: Spark's Python workers were
+    # spawned before this module's fixtures ran, so env mutations here
+    # never reach them. moto accepts any key pair.
+    reader = (
+        spark.read.format("s3parquet")
+        .option("path", path)
+        .option("endpoint_url", s3_endpoint)
+        .option("access_key", "testing")
+        .option("secret_key", "testing")
+        .option("region", "us-east-1")
+    )
+    for k, v in opts.items():
+        reader = reader.option(k, str(v))
+    return reader.load()
+
+
+def test_single_object_matches_local(spark, s3_endpoint, bucket):
+    got = _read(spark, s3_endpoint, "s3://graft/tables/nation.parquet")
+    want = spark.read.parquet(os.path.join(SF_DIR, "nation.parquet"))
+    assert got.schema == want.schema
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+def test_prefix_listing_reads_all_files(spark, s3_endpoint, bucket):
+    """A prefix of N same-schema objects reads as one table (the
+    reference's ListingTable over an object store)."""
+    got = _read(spark, s3_endpoint, "s3://graft/dir")
+    want = spark.read.parquet(os.path.join(SF_DIR, "supplier.parquet"))
+    assert got.schema == want.schema
+    assert got.count() == want.count()
+    assert sorted(r["s_suppkey"] for r in got.collect()) == sorted(
+        r["s_suppkey"] for r in want.collect()
+    )
+
+
+def test_row_group_splitting_fans_out(spark, s3_endpoint, bucket):
+    # partition_bytes=1: every row group becomes its own input partition.
+    got = _read(
+        spark, s3_endpoint, "s3://graft/multi/customer.parquet",
+        partition_bytes=1,
+    )
+    nparts = got.rdd.getNumPartitions()
+    assert nparts >= 7, f"expected >=7 row-group partitions, got {nparts}"
+    want = spark.read.parquet(os.path.join(SF_DIR, "customer.parquet"))
+    assert got.count() == want.count()
+    # values survive the split exactly
+    assert (
+        sorted(map(tuple, got.select("c_custkey", "c_name").collect()))
+        == sorted(map(tuple, want.select("c_custkey", "c_name").collect()))
+    )
+
+
+def test_facade_register_parquet_s3_fallback(spark, s3_endpoint, bucket):
+    """DFRayContext.register_parquet('s3://...') must engage tier 2 (the
+    boto3 source) in this jar-less sandbox and serve SQL over the table."""
+    from datafusion_ray_spark.context import DFRayContext
+
+    ctx = DFRayContext(spark=spark)
+    ctx.register_parquet(
+        "nation_s3", "s3://graft/tables/nation.parquet",
+        endpoint_url=s3_endpoint, access_key="testing",
+        secret_key="testing", region="us-east-1",
+    )
+    batches = ctx.sql(
+        "SELECT COUNT(*) AS n, MIN(n_nationkey) AS mn FROM nation_s3"
+    ).collect()
+    row = batches[0].to_pydict()
+    assert row["n"] == [25] and row["mn"] == [0]
+
+
+def test_missing_prefix_raises_cleanly(spark, s3_endpoint, bucket):
+    with pytest.raises(Exception, match="no parquet objects|PATH_NOT_FOUND"):
+        _read(spark, s3_endpoint, "s3://graft/nope").limit(1).collect()
