@@ -292,6 +292,59 @@ def run_dedup_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_a", "doc_b")
 
 
+def run_dedup_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot MAINTENANCE of the persisted LSH index: append an
+    ingest batch's buckets to the existing index table, then probe the
+    NEXT batch against the updated index — the shape a real pipeline
+    runs nightly (the r7 operator wrote once and probed once; a 100 TB
+    corpus is never rebuilt per ingest).
+
+    Timeline: snapshot-0 corpus (sources beyond src0/src1) is indexed
+    with ``write_bucketed``; batch src1 arrives and its (band, bucket,
+    doc_id) rows are APPENDED via ``sources.bucketing.append_bucketed`` —
+    n_buckets new files, existing files untouched (append-only is
+    file-level asserted in tests/test_suite7.py), so maintenance cost is
+    O(batch) regardless of corpus size; batch src0 then probes the
+    updated index. Correctness bar: the probe against the appended index
+    must equal the probe against a FULL REBUILD over corpus ∪ src1 —
+    which is exactly ``dedup_index_persist``'s certified answer, so this
+    operator shares its oracle (``incremental_dedup_oracle``). The
+    co-partitioning guarantee survives the append (bucketed scan, no
+    Exchange above it — same plan assertion); only the within-bucket
+    sort becomes per-file, which SMJ recovers with a local Sort. After K
+    appends a compaction rewrite (``write_bucketed`` over a self-read —
+    the sink_compact rule) restores one file per bucket.
+    """
+    from ..sources.bucketing import append_bucketed, write_bucketed
+    from . import dedup
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    snap0 = docs.where(~F.col("source").isin("src0", "src1"))
+    batch1 = docs.where(F.col("source") == "src1")
+    new = docs.where(F.col("source") == "src0")
+    tag = _scratch_tag(sf_dir).replace(".", "_").replace("-", "_")
+    table = f"dfrs_lsh_index_app_{tag}"
+    path = os.path.join(tempfile.gettempdir(), "dfrs_lsh_index_app", tag)
+    write_bucketed(
+        dedup.lsh_buckets(snap0).select("band", "bucket", "doc_id"),
+        table,
+        key=["band", "bucket"],
+        n_buckets=32,
+        path=path,
+    )
+    append_bucketed(
+        dedup.lsh_buckets(batch1).select("band", "bucket", "doc_id"),
+        table,
+        key=["band", "bucket"],
+        n_buckets=32,
+    )
+    index = spark.table(table)
+    corpus = docs.where(F.col("source") != "src0")  # snap0 ∪ batch1
+    return dedup.incremental_dedup_pairs(
+        corpus, new, corpus_index=index
+    ).orderBy("doc_a", "doc_b")
+
+
 def extension_entries7():
     from ..queries.registry import SuiteEntry
     from .suite import incremental_dedup_oracle, ivf_oracle
@@ -312,6 +365,15 @@ def extension_entries7():
             "URL/registered-domain exact dedup: parse_url + PSL-lite "
             "domain reduction + tracking-param strip + first-occurrence "
             "keep list (the standard pre-MinHash pass for web corpora)",
+        ),
+        SuiteEntry(
+            "dedup_index_append",
+            run_dedup_index_append,
+            incremental_dedup_oracle(),
+            "cross-snapshot maintenance of the persisted LSH index: "
+            "append an ingest batch's buckets (O(batch) new files, "
+            "existing files untouched), probe the next batch against the "
+            "updated index; certified equal to a full index rebuild",
         ),
         SuiteEntry(
             "sim_ivf_persist",

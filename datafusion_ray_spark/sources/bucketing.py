@@ -56,6 +56,38 @@ def write_bucketed(
     writer.mode("overwrite").format(file_format).saveAsTable(table)
 
 
+def append_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str | list[str],
+    n_buckets: int = 32,
+    sort: bool = True,
+    file_format: str = "parquet",
+) -> None:
+    """APPEND a batch into an existing bucketed table (same bucket spec).
+
+    The incremental-maintenance half of the bucketed-index story: ingest
+    batches land as n_buckets NEW files per append — existing files are
+    never rewritten (append-only, asserted in tests/test_suite7.py), so
+    maintaining a corpus-scale index costs O(batch), not O(corpus).
+    Spark's bucketed scan unions the per-bucket file groups, so the
+    co-partitioning guarantee (joins on the bucket key plan with NO
+    Exchange above the index scan) survives appends; only the
+    within-bucket SORT guarantee is per-file after an append, which a
+    SortMergeJoin recovers with a local Sort, never a shuffle. Periodic
+    compaction back to one file per bucket is a rewrite via
+    :func:`write_bucketed` (the sink_compact rule: files scale with
+    buckets, not appends x buckets, after each compaction)."""
+    keys = [key] if isinstance(key, str) else list(key)
+    from pyspark.sql import functions as F
+
+    df = df.repartition(n_buckets, *[F.col(k) for k in keys])
+    writer = df.write.bucketBy(n_buckets, *keys)
+    if sort:
+        writer = writer.sortBy(*keys)
+    writer.mode("append").format(file_format).saveAsTable(table)
+
+
 def bucketed_join(
     spark: SparkSession,
     left_table: str,

@@ -119,3 +119,82 @@ def test_ivf_persist_equals_inplan_ivf(spark, sf_dir):
     a = [tuple(r) for r in suite7.run_ivf_persist(spark, sf_dir).collect()]
     b = [tuple(r) for r in run_ann_ivf(spark, sf_dir).collect()]
     assert a == b
+
+
+def test_dedup_index_append_only_and_equal_to_rebuild(spark, sf_dir):
+    """The r8 maintenance operator, all three contract points:
+    1. APPEND-ONLY — the snapshot-0 index files are untouched by the
+       append (same names, same sizes); the append adds files instead of
+       rewriting, so maintenance is O(batch) at any corpus size.
+    2. Bucketed co-partitioning survives the append — the probe plan
+       scans the index with Bucketed: true and no Exchange re-shuffles it.
+    3. EQUAL TO FULL REBUILD — probing the appended index returns exactly
+       dedup_index_persist's certified answer (whose index is built in
+       one shot over the same corpus)."""
+    import glob as _glob
+    import os as _os
+
+    from datafusion_ray_spark.operators import suite7 as s7
+
+    # Run once to create+append; capture the file inventory between the
+    # two writes by re-deriving the path the operator uses.
+    tag = s7._scratch_tag(sf_dir).replace(".", "_").replace("-", "_")
+    path = _os.path.join(
+        __import__("tempfile").gettempdir(), "dfrs_lsh_index_app", tag
+    )
+    df = s7.run_dedup_index_append(spark, sf_dir)
+    rows = [tuple(r) for r in df.collect()]
+
+    files = sorted(_glob.glob(_os.path.join(path, "*.parquet")))
+    assert len(files) > 32, (
+        "append must ADD files beyond the snapshot-0 bucket files"
+    )
+    # determinism: a full rerun (overwrite + append) returns identical rows
+    df2 = s7.run_dedup_index_append(spark, sf_dir)
+    rows2 = [tuple(r) for r in df2.collect()]
+    assert rows == rows2
+    # append-only, asserted directly: snapshot the file inventory, append
+    # one more batch, and require every prior file to survive unmodified
+    # (same name, same size) with new files added.
+    from datafusion_ray_spark.operators import dedup
+    from datafusion_ray_spark.sources.bucketing import append_bucketed
+    from datafusion_ray_spark.sources.tables import load_table, spread
+    from pyspark.sql import functions as F
+
+    files_before = {
+        f: _os.path.getsize(f)
+        for f in _glob.glob(_os.path.join(path, "*.parquet"))
+    }
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    batch = docs.where(F.col("source") == "src2")
+    append_bucketed(
+        dedup.lsh_buckets(batch).select("band", "bucket", "doc_id"),
+        f"dfrs_lsh_index_app_{tag}",
+        key=["band", "bucket"],
+        n_buckets=32,
+    )
+    files_after = {
+        f: _os.path.getsize(f)
+        for f in _glob.glob(_os.path.join(path, "*.parquet"))
+    }
+    assert set(files_before) <= set(files_after), "append deleted files"
+    for f, size in files_before.items():
+        assert files_after[f] == size, f"append rewrote {f}"
+    assert len(files_after) > len(files_before), "append added no files"
+
+    # plan: bucketed scan, no Exchange above the index side
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Bucketed: true" in plan
+    import re as _re
+
+    for m in _re.finditer(r"Exchange hashpartitioning\(band", plan):
+        assert "Bucketed: true" not in plan[m.start():m.start() + 2000].split(
+            "Exchange", 2
+        )[1]
+
+    # equal to the one-shot rebuild (dedup_index_persist, same corpus/new)
+    want = [
+        tuple(r)
+        for r in suite7.run_dedup_index_persist(spark, sf_dir).collect()
+    ]
+    assert rows == want and len(rows) > 0
