@@ -88,6 +88,43 @@ def append_bucketed(
     writer.mode("append").format(file_format).saveAsTable(table)
 
 
+def compact_bucketed(
+    spark: SparkSession,
+    table: str,
+    key: str | list[str],
+    n_buckets: int = 32,
+    sort: bool = True,
+) -> int:
+    """Compact an appended-to bucketed table back to ONE file per bucket
+    (and restore the full within-bucket sort the appends fragmented).
+
+    Returns the number of files before compaction. Locally the rewrite
+    pins the table's rows (localCheckpoint) and overwrites in place; at
+    100 TB run the same ``write_bucketed`` into a NEW table/location and
+    swap the catalog entry atomically — the rewrite itself is one
+    bucket-aligned shuffle-free pass either way (the scan is already
+    hash-partitioned on the key). Pair with :func:`append_bucketed`:
+    appends are O(batch) all week, one compaction restores the
+    one-file-per-bucket + sorted-scan invariants."""
+    location = (
+        spark.sql(f"DESCRIBE FORMATTED {table}")
+        .where("col_name = 'Location'")
+        .collect()[0]["data_type"]
+    )
+    import glob
+    import os
+
+    n_before = len(
+        glob.glob(os.path.join(location.replace("file:", ""), "*.parquet"))
+    )
+    pinned = spark.table(table).localCheckpoint(eager=True)
+    write_bucketed(
+        pinned, table, key=key, n_buckets=n_buckets, sort=sort,
+        path=location.replace("file:", ""),
+    )
+    return n_before
+
+
 def bucketed_join(
     spark: SparkSession,
     left_table: str,

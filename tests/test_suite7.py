@@ -198,3 +198,55 @@ def test_dedup_index_append_only_and_equal_to_rebuild(spark, sf_dir):
         for r in suite7.run_dedup_index_persist(spark, sf_dir).collect()
     ]
     assert rows == want and len(rows) > 0
+
+
+def test_compact_bucketed_restores_one_file_per_bucket(spark, sf_dir):
+    """After appends fragment the index, one compaction restores the
+    one-file-per-bucket invariant, preserves every row, and the probe
+    join still plans Exchange-free over the compacted table."""
+    import glob as _glob
+    import os as _os
+    import tempfile as _tf
+
+    from datafusion_ray_spark.operators import dedup, suite7 as s7
+    from datafusion_ray_spark.sources.bucketing import compact_bucketed
+    from datafusion_ray_spark.sources.tables import load_table, spread
+    from pyspark.sql import functions as F
+
+    # build + append (reuses the operator's own table for this sf/pid)
+    s7.run_dedup_index_append(spark, sf_dir).collect()
+    tag = s7._scratch_tag(sf_dir).replace(".", "_").replace("-", "_")
+    table = f"dfrs_lsh_index_app_{tag}"
+    path = _os.path.join(_tf.gettempdir(), "dfrs_lsh_index_app", tag)
+    rows_before = spark.table(table).count()
+    files_before = len(_glob.glob(_os.path.join(path, "*.parquet")))
+    assert files_before > 32  # fragmented by the append
+
+    n = compact_bucketed(spark, table, key=["band", "bucket"], n_buckets=32)
+    assert n == files_before
+    files_after = len(_glob.glob(_os.path.join(path, "*.parquet")))
+    assert files_after == 32, f"{files_after} files after compaction"
+    assert spark.table(table).count() == rows_before
+
+    # the operator's real probe against the COMPACTED index returns the
+    # same certified answer, and nothing reshuffles the index side (the
+    # plan either keeps the bucket-aware scan or broadcasts the small
+    # probe — both Exchange-free over the index).
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    corpus = docs.where(F.col("source") != "src0")
+    new = docs.where(F.col("source") == "src0")
+    probe = dedup.incremental_dedup_pairs(
+        corpus, new, corpus_index=spark.table(table)
+    ).orderBy("doc_a", "doc_b")
+    want = [
+        tuple(r)
+        for r in suite7.run_dedup_index_persist(spark, sf_dir).collect()
+    ]
+    assert [tuple(r) for r in probe.collect()] == want
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    import re as _re
+
+    for m in _re.finditer(r"Exchange hashpartitioning\(band", plan):
+        assert "Bucketed: true" not in plan[m.start():m.start() + 2000].split(
+            "Exchange", 2
+        )[1], "compacted index side was reshuffled"
