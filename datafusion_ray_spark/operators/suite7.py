@@ -252,6 +252,71 @@ def run_ivf_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def run_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot MAINTENANCE of the persisted IVF index: append an
+    ingest batch of embeddings into the cell-partitioned index, then
+    answer the query from the updated index — the embeddings-side twin of
+    ``dedup_index_append`` (the r7 ``sim_ivf_persist`` wrote once and
+    searched once; a production vector store ingests continuously and
+    must never rebuild the corpus index per batch).
+
+    The batch is assigned with the FROZEN centroid codebook (trained at
+    snapshot time; incremental maintenance must not move cell boundaries,
+    or every prior assignment would be invalidated) and written with
+    ``mode("append")`` under the same ``partitionBy("cell")`` layout:
+    each append adds at most one NEW file per touched cell directory,
+    existing files byte-untouched (file-level asserted in
+    tests/test_suite7.py), so maintenance costs O(batch) at any corpus
+    size. Probe-pruned scans (PartitionFilters on cell) survive the
+    append because pruning is directory-level. Correctness bar: the
+    search against the appended index must equal ``sim_ivf_persist``'s
+    one-shot index over snapshot ∪ batch — so this operator shares its
+    exhaustive DuckDB oracle. After K appends, the sinks-rule compaction
+    (rewrite each cell's files to one, or at 100 TB rewrite to a new
+    location + atomic swap) restores one file per cell.
+    """
+    from . import similarity
+    from .suite import _query_vec
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    # Frozen codebook: in production this is read back from the index's
+    # metadata, trained once at snapshot time; centroid rows by fixed id.
+    rows = (
+        emb.where(F.col("vec_id").isin(list(similarity.CENTROID_VEC_IDS)))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    centroids = sorted((r["vec_id"], list(r["embedding"])) for r in rows)
+    path = _index_scratch(sf_dir) + "_app"
+    snapshot = emb.where(F.col("vec_id") % 7 != 3)
+    batch = emb.where(F.col("vec_id") % 7 == 3)
+    (
+        similarity.ivf_assign(snapshot, centroids)
+        .repartition("cell")
+        .write.partitionBy("cell")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    # The append: one writer task per touched cell (repartition aligns
+    # tasks with directories), new files only.
+    (
+        similarity.ivf_assign(batch, centroids)
+        .repartition("cell")
+        .write.partitionBy("cell")
+        .mode("append")
+        .parquet(path)
+    )
+    qv = _query_vec(spark, sf_dir)
+    probe = similarity.ivf_probe_cells(qv, centroids, nprobe=similarity.N_PROBE)
+    index = spark.read.parquet(path).where(F.col("cell").isin(probe))
+    out = similarity.with_cosine(index, qv).where(F.col("vec_id") != 0)
+    return (
+        out.select("vec_id", F.col("cell").cast("int").alias("cell"), "cosine")
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(10)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Persisted LSH dedup index (the documents-side twin of sim_ivf_persist)
 
@@ -382,5 +447,14 @@ def extension_entries7():
             "ANN search against a PERSISTED cell-partitioned IVF index "
             "(write once, probe-pruned scans thereafter); certified equal "
             "to the in-plan IVF search",
+        ),
+        SuiteEntry(
+            "sim_ivf_append",
+            run_ivf_append,
+            ivf_oracle(),
+            "cross-snapshot maintenance of the persisted IVF index: "
+            "append an embedding batch assigned with the frozen codebook "
+            "(new files only, existing cells untouched), search the "
+            "updated index; certified equal to a one-shot index build",
         ),
     ]

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import glob
 import os
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -1062,4 +1063,51 @@ def anomaly_score_stream(
         anomaly_zscore(
             F.col("c"), F.col("n"), F.col("s"), F.col("q")
         ).alias("z_score"),
+    )
+
+
+def index_ingest_stream(
+    docs: DataFrame,
+    table: str,
+    n_buckets: int = 32,
+) -> "object":
+    """Continuous maintenance of the persisted bucketed LSH index — the
+    streaming twin of ``operators.suite7.run_dedup_index_append``.
+
+    Each arriving micro-batch of documents is shingled/minhashed/banded by
+    the same pure projection as batch (``dedup.lsh_buckets``), then landed
+    into the bucketed index table via ``sources.bucketing.append_bucketed``
+    inside ``foreachBatch`` — so every trigger appends n_buckets NEW files
+    and never rewrites existing ones, the identical O(batch) maintenance
+    contract the nightly batch operator certifies, just at trigger cadence.
+    Probes against ``spark.table(table)`` between triggers keep the
+    Exchange-free bucketed scan (co-partitioning is a property of the
+    layout, which appends preserve).
+
+    foreachBatch is the right tool (not a stateful operator): the "state"
+    IS the on-disk index, shared with the batch path; Structured
+    Streaming's checkpoint gives at-least-once batch delivery, and
+    re-delivered batches re-append identical (band, bucket, doc_id) rows,
+    which the probe's DISTINCT candidate set makes idempotent for answers.
+
+    Returns the started StreamingQuery (caller awaits termination).
+    """
+    from ..operators.dedup import lsh_buckets
+    from ..sources.bucketing import append_bucketed
+
+    b = lsh_buckets(docs).select("band", "bucket", "doc_id")
+
+    def land(batch_df: DataFrame, _batch_id: int) -> None:
+        append_bucketed(
+            batch_df, table, key=["band", "bucket"], n_buckets=n_buckets
+        )
+
+    return (
+        b.writeStream.foreachBatch(land)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix="dfrs_idx_ingest_ckpt_"),
+        )
+        .start()
     )

@@ -595,3 +595,84 @@ def test_streaming_anomaly_scores_match_batch(spark, sf_dir, events_dir):
     }
     assert len(streamed) > 0
     assert streamed == batch
+
+
+def test_streaming_index_ingest_matches_batch_maintenance(
+    spark, sf_dir, tmp_path
+):
+    """The streaming index-maintenance twin: micro-batches of documents
+    appended into the persisted bucketed LSH index via foreachBatch must
+    leave (1) an index row-equal to the batch-built one over the same
+    documents, (2) snapshot files byte-untouched (append-only at trigger
+    cadence), and (3) a probe answer equal to dedup_index_persist's
+    certified result for the same corpus/new split."""
+    import glob as _glob
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from datafusion_ray_spark.operators import dedup, suite7
+    from datafusion_ray_spark.sources.bucketing import write_bucketed
+    from datafusion_ray_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    snap0 = docs.where(~F.col("source").isin("src0", "src1"))
+    new = docs.where(F.col("source") == "src0")
+
+    table = "dfrs_stream_lsh_index"
+    path = str(tmp_path / "stream_lsh_index")
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    write_bucketed(
+        dedup.lsh_buckets(snap0).select("band", "bucket", "doc_id"),
+        table, key=["band", "bucket"], n_buckets=32, path=path,
+    )
+    files_before = {
+        f: _os.path.getsize(f)
+        for f in _glob.glob(_os.path.join(path, "*.parquet"))
+    }
+    assert len(files_before) == 32
+
+    # src1 split across 3 files + maxFilesPerTrigger=1 -> 3 micro-batches,
+    # each landing an append at trigger cadence.
+    src_dir = str(tmp_path / "arriving_docs")
+    docs.where(F.col("source") == "src1").repartition(3).write.parquet(src_dir)
+    stream = (
+        spark.readStream.schema(structured.DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    assert stream.isStreaming
+    q = structured.index_ingest_stream(stream, table, n_buckets=32)
+    q.awaitTermination()
+    assert q.lastProgress is not None
+
+    files_after = {
+        f: _os.path.getsize(f)
+        for f in _glob.glob(_os.path.join(path, "*.parquet"))
+    }
+    assert set(files_before) <= set(files_after)
+    for f, size in files_before.items():
+        assert files_after[f] == size, f"stream append rewrote {f}"
+    assert len(files_after) > len(files_before)
+
+    # (1) index contents equal the batch-built index over snap0 ∪ src1
+    want_rows = sorted(
+        tuple(r)
+        for r in dedup.lsh_buckets(docs.where(F.col("source") != "src0"))
+        .select("band", "bucket", "doc_id")
+        .collect()
+    )
+    got_rows = sorted(tuple(r) for r in spark.table(table).collect())
+    assert got_rows == want_rows
+
+    # (3) probe equals the certified one-shot rebuild answer
+    corpus = docs.where(F.col("source") != "src0")
+    probe = dedup.incremental_dedup_pairs(
+        corpus, new, corpus_index=spark.table(table)
+    ).orderBy("doc_a", "doc_b")
+    want = [
+        tuple(r)
+        for r in suite7.run_dedup_index_persist(spark, sf_dir).collect()
+    ]
+    assert [tuple(r) for r in probe.collect()] == want and len(want) > 0
+    spark.sql(f"DROP TABLE IF EXISTS {table}")

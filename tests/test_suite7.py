@@ -250,3 +250,80 @@ def test_compact_bucketed_restores_one_file_per_bucket(spark, sf_dir):
         assert "Bucketed: true" not in plan[m.start():m.start() + 2000].split(
             "Exchange", 2
         )[1], "compacted index side was reshuffled"
+
+
+def test_ivf_append_only_prune_and_equal_to_rebuild(spark, sf_dir):
+    """The embeddings-side maintenance operator, same three contract
+    points as the LSH twin:
+    1. APPEND-ONLY — snapshot cell files survive the append with the same
+       name and size; the batch lands as NEW files in touched cell dirs.
+    2. Directory pruning survives the append — the search scan still
+       carries cell PartitionFilters.
+    3. EQUAL TO ONE-SHOT BUILD — byte-equal to sim_ivf_persist (whose
+       index covers the same snapshot ∪ batch in one write)."""
+    import glob as _glob
+    import os as _os
+
+    from datafusion_ray_spark.operators import similarity, suite7 as s7
+    from datafusion_ray_spark.sources.tables import load_table, spread
+    from pyspark.sql import functions as F
+
+    path = s7._index_scratch(sf_dir) + "_app"
+
+    # Reproduce the operator's snapshot write to capture the between-write
+    # inventory, then run the full operator (which overwrites + appends).
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    rows = (
+        emb.where(F.col("vec_id").isin(list(similarity.CENTROID_VEC_IDS)))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    centroids = sorted((r["vec_id"], list(r["embedding"])) for r in rows)
+    snapshot = emb.where(F.col("vec_id") % 7 != 3)
+    (
+        similarity.ivf_assign(snapshot, centroids)
+        .repartition("cell")
+        .write.partitionBy("cell")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    files_before = {
+        f: _os.path.getsize(f)
+        for f in _glob.glob(_os.path.join(path, "cell=*", "*.parquet"))
+    }
+    batch = emb.where(F.col("vec_id") % 7 == 3)
+    (
+        similarity.ivf_assign(batch, centroids)
+        .repartition("cell")
+        .write.partitionBy("cell")
+        .mode("append")
+        .parquet(path)
+    )
+    files_after = {
+        f: _os.path.getsize(f)
+        for f in _glob.glob(_os.path.join(path, "cell=*", "*.parquet"))
+    }
+    assert set(files_before) <= set(files_after), "append deleted files"
+    for f, size in files_before.items():
+        assert files_after[f] == size, f"append rewrote {f}"
+    assert len(files_after) > len(files_before), "append added no files"
+    # at most one NEW file lands per touched cell directory
+    for d in _glob.glob(_os.path.join(path, "cell=*")):
+        new = [
+            f
+            for f in _glob.glob(_os.path.join(d, "*.parquet"))
+            if f not in files_before
+        ]
+        assert len(new) <= 1, f"{d}: {len(new)} new files from one append"
+
+    # The operator end-to-end: pruned scan + equality to one-shot build.
+    df = s7.run_ivf_append(spark, sf_dir)
+    got = [tuple(r) for r in df.collect()]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[[^\]]*\]", plan)
+    assert m and "cell" in m.group(0), (
+        f"appended-index scan must still prune on cell; "
+        f"got {m.group(0) if m else plan[:400]}"
+    )
+    want = [tuple(r) for r in suite7.run_ivf_persist(spark, sf_dir).collect()]
+    assert got == want and len(got) == 10
