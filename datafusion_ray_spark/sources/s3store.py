@@ -90,6 +90,13 @@ class _RangedS3File(io.RawIOBase):
     def __init__(self, client, bucket: str, key: str, size: int):
         self._c, self._b, self._k, self._size = client, bucket, key, size
         self._pos = 0
+        # Footer parsing clusters its reads (magic+length probe, then the
+        # footer itself) in the object's tail; one cached tail GET serves
+        # them all, so PLANNING cost is one round trip per object instead
+        # of 2-3 tiny GETs — the cost the driver pays per file when it
+        # plans a large prefix.
+        self._tail_start = max(0, size - _FOOTER_PROBE)
+        self._tail: bytes | None = None
 
     def seekable(self) -> bool:
         return True
@@ -115,6 +122,17 @@ class _RangedS3File(io.RawIOBase):
             end = min(self._pos + n, self._size) - 1
         if end < self._pos:
             return b""
+        if self._pos >= self._tail_start and self._size > 0:
+            if self._tail is None:
+                resp = self._c.get_object(
+                    Bucket=self._b, Key=self._k,
+                    Range=f"bytes={self._tail_start}-{self._size - 1}",
+                )
+                self._tail = resp["Body"].read()
+            off = self._pos - self._tail_start
+            data = self._tail[off : end - self._tail_start + 1]
+            self._pos += len(data)
+            return data
         resp = self._c.get_object(
             Bucket=self._b, Key=self._k,
             Range=f"bytes={self._pos}-{end}",

@@ -169,3 +169,49 @@ def test_facade_register_parquet_s3_fallback(spark, s3_endpoint, bucket):
 def test_missing_prefix_raises_cleanly(spark, s3_endpoint, bucket):
     with pytest.raises(Exception, match="no parquet objects|PATH_NOT_FOUND"):
         _read(spark, s3_endpoint, "s3://graft/nope").limit(1).collect()
+
+
+def test_ranged_file_tail_cache_one_get_per_footer():
+    """Planner cost contract: parsing one object's parquet FOOTER costs
+    exactly ONE Range GET (the cached tail), not one per pyarrow read —
+    the round trips the driver pays per file while planning a prefix.
+    Data-page reads outside the tail still issue their own ranged GETs."""
+    import io as _io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datafusion_ray_spark.sources.s3store import (
+        _FOOTER_PROBE,
+        _RangedS3File,
+    )
+
+    sink = pa.BufferOutputStream()
+    pq.write_table(
+        pa.table({"a": list(range(200_000)), "b": ["x"] * 200_000}),
+        sink,
+        row_group_size=50_000,
+    )
+    blob = sink.getvalue().to_pybytes()
+    assert len(blob) > _FOOTER_PROBE  # data pages live outside the tail
+
+    class CountingClient:
+        def __init__(self, payload: bytes):
+            self.payload = payload
+            self.calls: list[str] = []
+
+        def get_object(self, Bucket, Key, Range):
+            self.calls.append(Range)
+            lo, hi = Range[len("bytes="):].split("-")
+            return {"Body": _io.BytesIO(self.payload[int(lo): int(hi) + 1])}
+
+    client = CountingClient(blob)
+    pf = pq.ParquetFile(_RangedS3File(client, "b", "k", len(blob)))
+    assert pf.metadata.num_row_groups == 4
+    assert len(client.calls) == 1, f"footer parse issued {client.calls}"
+
+    # reading a row group fetches data bytes with fresh GETs and matches
+    # the original table's rows
+    got = pf.read_row_group(0)
+    assert got.num_rows == 50_000
+    assert len(client.calls) > 1
