@@ -41,7 +41,7 @@ def main() -> int:
             entry = reg[name]
             spark_pdf = entry.run(spark, sf).toPandas()
             if entry.oracle is None:
-                assert len(spark_pdf) >= 0
+                assert len(spark_pdf) > 0, f"{name}: rows-only entry returned 0 rows"
                 print(f"[{i+1:2}/50] OK(rows-only) {name}", flush=True)
                 continue
             oracle_pdf = con.sql(entry.oracle).df()

@@ -292,7 +292,20 @@ class DFRayContext:
                 df.limit(0).collect()  # surface missing-connector NOW
                 self._register(name, df, path)
                 return
-            except Exception:
+            except Exception as exc:
+                # Fall back ONLY when the connector itself is absent. Any
+                # other tier-1 failure (IAM denied, throttling, bad
+                # endpoint) must surface as-is: silently rerouting a
+                # production-scale table through the pure-Python reader
+                # would bury the real cause AND the real performance.
+                msg = f"{type(exc).__name__}: {exc}"
+                missing_connector = (
+                    "No FileSystem for scheme" in msg
+                    or "ClassNotFoundException" in msg
+                    or "UnsupportedFileSystemException" in msg
+                )
+                if not missing_connector:
+                    raise
                 logger.info(
                     "s3a connector unavailable; distributed boto3 source"
                 )

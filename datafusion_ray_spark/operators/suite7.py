@@ -207,8 +207,96 @@ def _scratch_tag(sf_dir: str) -> str:
     return f"{base}_p{os.getpid()}"
 
 
+def _sql_tag(sf_dir: str) -> str:
+    """``_scratch_tag`` made safe for SQL identifiers (table names)."""
+    return _scratch_tag(sf_dir).replace(".", "_").replace("-", "_")
+
+
+#: per-pid scratch dirs this process created; removed at interpreter exit.
+_SCRATCH_DIRS: set[str] = set()
+
+
+def _register_scratch(path: str) -> str:
+    """Track a per-pid scratch dir for exit-time removal, and reap scratch
+    left by DEAD sibling processes under the same parent (atexit never
+    fires on SIGKILL; at --copies 100 one abandoned index is corpus-scale,
+    the disk-fill mode the r6 sweep hit with dead shuffle spill)."""
+    import atexit
+    import re
+    import shutil
+
+    if not _SCRATCH_DIRS:
+        atexit.register(
+            lambda: [shutil.rmtree(p, ignore_errors=True) for p in _SCRATCH_DIRS]
+        )
+    if path not in _SCRATCH_DIRS:
+        _SCRATCH_DIRS.add(path)
+        parent = os.path.dirname(path)
+        if os.path.isdir(parent):
+            for entry in os.listdir(parent):
+                m = re.search(r"_p(\d+)(?:_|$)", entry)
+                if not m or int(m.group(1)) == os.getpid():
+                    continue
+                try:
+                    os.kill(int(m.group(1)), 0)  # raises if pid is gone
+                except ProcessLookupError:
+                    shutil.rmtree(os.path.join(parent, entry), ignore_errors=True)
+                except PermissionError:
+                    pass  # pid alive under another user: leave it
+    return path
+
+
 def _index_scratch(sf_dir: str) -> str:
-    return os.path.join(tempfile.gettempdir(), "dfrs_ann_index", _scratch_tag(sf_dir))
+    return _register_scratch(
+        os.path.join(tempfile.gettempdir(), "dfrs_ann_index", _scratch_tag(sf_dir))
+    )
+
+
+def _ivf_codebook(emb: DataFrame) -> list[tuple]:
+    """The frozen centroid codebook, by fixed vec_id (trained once at
+    snapshot time; in production read back from the index's metadata)."""
+    from . import similarity
+
+    rows = (
+        emb.where(F.col("vec_id").isin(list(similarity.CENTROID_VEC_IDS)))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    return sorted((r["vec_id"], list(r["embedding"])) for r in rows)
+
+
+def _ivf_write(df: DataFrame, centroids: list[tuple], path: str, mode: str) -> None:
+    """Assign + land under ``partitionBy(cell)``. repartition("cell")
+    gives one writer task per touched cell directory (files scale with
+    cells, not tasks x cells — the sinks rule); ``mode="append"`` adds at
+    most one NEW file per touched cell, existing files byte-untouched."""
+    from . import similarity
+
+    (
+        similarity.ivf_assign(df, centroids)
+        .repartition("cell")
+        .write.partitionBy("cell")
+        .mode(mode)
+        .parquet(path)
+    )
+
+
+def _ivf_search(spark: SparkSession, sf_dir: str, path: str,
+                centroids: list[tuple]) -> DataFrame:
+    """Answer the query from the read-back index with the scan pruned to
+    the ``nprobe`` probed cells (PartitionFilters; plan-asserted)."""
+    from . import similarity
+    from .suite import _query_vec
+
+    qv = _query_vec(spark, sf_dir)
+    probe = similarity.ivf_probe_cells(qv, centroids, nprobe=similarity.N_PROBE)
+    index = spark.read.parquet(path).where(F.col("cell").isin(probe))
+    out = similarity.with_cosine(index, qv).where(F.col("vec_id") != 0)
+    return (
+        out.select("vec_id", F.col("cell").cast("int").alias("cell"), "cosine")
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(10)
+    )
 
 
 def run_ivf_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -220,36 +308,12 @@ def run_ivf_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``sim_ann_ivf`` — index persistence must never change answers — so
     the oracle is the same exhaustive DuckDB recomputation.
     """
-    from . import similarity
-    from .suite import _query_vec
-
     emb = spread(load_table(spark, sf_dir, "embeddings"))
-    rows = (
-        emb.where(F.col("vec_id").isin(list(similarity.CENTROID_VEC_IDS)))
-        .select("vec_id", "embedding")
-        .collect()
-    )
-    centroids = sorted((r["vec_id"], list(r["embedding"])) for r in rows)
+    centroids = _ivf_codebook(emb)
     path = _index_scratch(sf_dir)
-    # Ingest-time cost, paid once per corpus version: at 100 TB,
-    # repartition("cell") gives one writer task per cell directory
-    # (files scale with cells, not tasks x cells).
-    (
-        similarity.ivf_assign(emb, centroids)
-        .repartition("cell")
-        .write.partitionBy("cell")
-        .mode("overwrite")
-        .parquet(path)
-    )
-    qv = _query_vec(spark, sf_dir)
-    probe = similarity.ivf_probe_cells(qv, centroids, nprobe=similarity.N_PROBE)
-    index = spark.read.parquet(path).where(F.col("cell").isin(probe))
-    out = similarity.with_cosine(index, qv).where(F.col("vec_id") != 0)
-    return (
-        out.select("vec_id", F.col("cell").cast("int").alias("cell"), "cosine")
-        .orderBy(F.col("cosine").desc(), "vec_id")
-        .limit(10)
-    )
+    # Ingest-time cost, paid once per corpus version.
+    _ivf_write(emb, centroids, path, "overwrite")
+    return _ivf_search(spark, sf_dir, path, centroids)
 
 
 def run_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -275,46 +339,14 @@ def run_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     (rewrite each cell's files to one, or at 100 TB rewrite to a new
     location + atomic swap) restores one file per cell.
     """
-    from . import similarity
-    from .suite import _query_vec
-
     emb = spread(load_table(spark, sf_dir, "embeddings"))
-    # Frozen codebook: in production this is read back from the index's
-    # metadata, trained once at snapshot time; centroid rows by fixed id.
-    rows = (
-        emb.where(F.col("vec_id").isin(list(similarity.CENTROID_VEC_IDS)))
-        .select("vec_id", "embedding")
-        .collect()
-    )
-    centroids = sorted((r["vec_id"], list(r["embedding"])) for r in rows)
-    path = _index_scratch(sf_dir) + "_app"
+    centroids = _ivf_codebook(emb)
+    path = _register_scratch(_index_scratch(sf_dir) + "_app")
     snapshot = emb.where(F.col("vec_id") % 7 != 3)
     batch = emb.where(F.col("vec_id") % 7 == 3)
-    (
-        similarity.ivf_assign(snapshot, centroids)
-        .repartition("cell")
-        .write.partitionBy("cell")
-        .mode("overwrite")
-        .parquet(path)
-    )
-    # The append: one writer task per touched cell (repartition aligns
-    # tasks with directories), new files only.
-    (
-        similarity.ivf_assign(batch, centroids)
-        .repartition("cell")
-        .write.partitionBy("cell")
-        .mode("append")
-        .parquet(path)
-    )
-    qv = _query_vec(spark, sf_dir)
-    probe = similarity.ivf_probe_cells(qv, centroids, nprobe=similarity.N_PROBE)
-    index = spark.read.parquet(path).where(F.col("cell").isin(probe))
-    out = similarity.with_cosine(index, qv).where(F.col("vec_id") != 0)
-    return (
-        out.select("vec_id", F.col("cell").cast("int").alias("cell"), "cosine")
-        .orderBy(F.col("cosine").desc(), "vec_id")
-        .limit(10)
-    )
+    _ivf_write(snapshot, centroids, path, "overwrite")
+    _ivf_write(batch, centroids, path, "append")
+    return _ivf_search(spark, sf_dir, path, centroids)
 
 
 # ---------------------------------------------------------------------------
@@ -341,9 +373,11 @@ def run_dedup_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents"))
     corpus = docs.where(F.col("source") != "src0")
     new = docs.where(F.col("source") == "src0")
-    tag = _scratch_tag(sf_dir).replace(".", "_").replace("-", "_")
+    tag = _sql_tag(sf_dir)
     table = f"dfrs_lsh_index_{tag}"
-    path = os.path.join(tempfile.gettempdir(), "dfrs_lsh_index", tag)
+    path = _register_scratch(
+        os.path.join(tempfile.gettempdir(), "dfrs_lsh_index", tag)
+    )
     write_bucketed(
         dedup.lsh_buckets(corpus).select("band", "bucket", "doc_id"),
         table,
@@ -387,9 +421,11 @@ def run_dedup_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     snap0 = docs.where(~F.col("source").isin("src0", "src1"))
     batch1 = docs.where(F.col("source") == "src1")
     new = docs.where(F.col("source") == "src0")
-    tag = _scratch_tag(sf_dir).replace(".", "_").replace("-", "_")
+    tag = _sql_tag(sf_dir)
     table = f"dfrs_lsh_index_app_{tag}"
-    path = os.path.join(tempfile.gettempdir(), "dfrs_lsh_index_app", tag)
+    path = _register_scratch(
+        os.path.join(tempfile.gettempdir(), "dfrs_lsh_index_app", tag)
+    )
     write_bucketed(
         dedup.lsh_buckets(snap0).select("band", "bucket", "doc_id"),
         table,

@@ -22,6 +22,37 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _save_bucketed(
+    df: DataFrame,
+    table: str,
+    keys: list[str],
+    n_buckets: int,
+    sort: bool,
+    mode: str,
+    path: str | None,
+    file_format: str,
+) -> None:
+    """Shared writer for :func:`write_bucketed` / :func:`append_bucketed`.
+
+    Aligns task partitioning with bucket assignment before the write:
+    both use HashPartitioning on the bucket keys, so each task holds
+    exactly ONE bucket's rows -> n_buckets output files. Without this,
+    every task writes a sliver into every bucket (tasks x buckets small
+    files — measured 1024 files / 1.7 s on a 32-task write of the LSH
+    index; the same small-files rule as repartition-before-partitionBy
+    in operators/sinks.py).
+    """
+    from pyspark.sql import functions as F
+
+    df = df.repartition(n_buckets, *[F.col(k) for k in keys])
+    writer = df.write.bucketBy(n_buckets, *keys)
+    if sort:
+        writer = writer.sortBy(*keys)
+    if path:
+        writer = writer.option("path", path)
+    writer.mode(mode).format(file_format).saveAsTable(table)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,
@@ -38,22 +69,7 @@ def write_bucketed(
     output order is the join order.
     """
     keys = [key] if isinstance(key, str) else list(key)
-    # Align task partitioning with bucket assignment before the write:
-    # both use HashPartitioning on the bucket keys, so each task holds
-    # exactly ONE bucket's rows -> n_buckets output files. Without this,
-    # every task writes a sliver into every bucket (tasks x buckets small
-    # files — measured 1024 files / 1.7 s on a 32-task write of the LSH
-    # index; the same small-files rule as repartition-before-partitionBy
-    # in operators/sinks.py).
-    from pyspark.sql import functions as F
-
-    df = df.repartition(n_buckets, *[F.col(k) for k in keys])
-    writer = df.write.bucketBy(n_buckets, *keys)
-    if sort:
-        writer = writer.sortBy(*keys)
-    if path:
-        writer = writer.option("path", path)
-    writer.mode("overwrite").format(file_format).saveAsTable(table)
+    _save_bucketed(df, table, keys, n_buckets, sort, "overwrite", path, file_format)
 
 
 def append_bucketed(
@@ -79,13 +95,7 @@ def append_bucketed(
     :func:`write_bucketed` (the sink_compact rule: files scale with
     buckets, not appends x buckets, after each compaction)."""
     keys = [key] if isinstance(key, str) else list(key)
-    from pyspark.sql import functions as F
-
-    df = df.repartition(n_buckets, *[F.col(k) for k in keys])
-    writer = df.write.bucketBy(n_buckets, *keys)
-    if sort:
-        writer = writer.sortBy(*keys)
-    writer.mode("append").format(file_format).saveAsTable(table)
+    _save_bucketed(df, table, keys, n_buckets, sort, "append", None, file_format)
 
 
 def compact_bucketed(

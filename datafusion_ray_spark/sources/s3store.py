@@ -149,7 +149,16 @@ def _list_parquet_objects(client, bucket: str, key: str) -> list[tuple[str, int]
         try:
             head = client.head_object(Bucket=bucket, Key=key)
             return [(key, head["ContentLength"])]
-        except Exception:  # noqa: BLE001 - not an object: fall through to prefix
+        except Exception as exc:
+            # Only "no such object" means "treat it as a prefix". An auth
+            # or network failure must surface, not be masked as an empty
+            # directory (the eventual FileNotFoundError would point at a
+            # path that exists).
+            code = str(
+                getattr(exc, "response", {}).get("Error", {}).get("Code", "")
+            )
+            if code not in ("404", "NoSuchKey", "NotFound"):
+                raise
             key = key + "/"
     token = None
     while True:
@@ -171,13 +180,29 @@ def _list_parquet_objects(client, bucket: str, key: str) -> list[tuple[str, int]
 
 def _row_group_plan(client, bucket: str, objects, part_bytes: int):
     """[(key, size, [rg, ...]), ...] — contiguous row-group runs packed to
-    ~part_bytes each, planned from footers only."""
+    ~part_bytes each, planned from footers only.
+
+    Footers are fetched CONCURRENTLY (thread pool; boto3 clients are
+    thread-safe): planning a many-object prefix costs ~one round-trip
+    latency, not one serial GET per object on the driver."""
+    from concurrent.futures import ThreadPoolExecutor
+
     import pyarrow.parquet as pq
 
+    def footer(obj):
+        key, size = obj
+        return key, size, pq.ParquetFile(
+            _RangedS3File(client, bucket, key, size)
+        ).metadata
+
+    if len(objects) > 1:
+        with ThreadPoolExecutor(max_workers=min(16, len(objects))) as pool:
+            metas = list(pool.map(footer, objects))
+    else:
+        metas = [footer(obj) for obj in objects]
+
     parts = []
-    for key, size in objects:
-        pf = pq.ParquetFile(_RangedS3File(client, bucket, key, size))
-        meta = pf.metadata
+    for key, size, meta in metas:
         run: list[int] = []
         run_bytes = 0
         for rg in range(meta.num_row_groups):
@@ -226,14 +251,20 @@ class _S3ParquetReader(DataSourceReader):
         self.part_bytes = int(
             options.get("partition_bytes", DEFAULT_PARTITION_BYTES)
         )
+        self._parts: list | None = None
 
     def partitions(self):
-        opts = self.options
-        client = _client(opts)
-        bucket, key = _split_url(opts["path"])
-        objects = _list_parquet_objects(client, bucket, key)
-        plan = _row_group_plan(client, bucket, objects, self.part_bytes)
-        return [InputPartition(p) for p in plan]
+        # Cache the listing + row-group plan on the reader: repeated
+        # planner calls within one scan's lifetime must not re-pay the
+        # O(files) listing/footer round trips.
+        if self._parts is None:
+            opts = self.options
+            client = _client(opts)
+            bucket, key = _split_url(opts["path"])
+            objects = _list_parquet_objects(client, bucket, key)
+            plan = _row_group_plan(client, bucket, objects, self.part_bytes)
+            self._parts = [InputPartition(p) for p in plan]
+        return self._parts
 
     def read(self, partition):
         import pyarrow.parquet as pq

@@ -1070,6 +1070,7 @@ def index_ingest_stream(
     docs: DataFrame,
     table: str,
     n_buckets: int = 32,
+    checkpoint_dir: str | None = None,
 ) -> "object":
     """Continuous maintenance of the persisted bucketed LSH index — the
     streaming twin of ``operators.suite7.run_dedup_index_append``.
@@ -1090,6 +1091,13 @@ def index_ingest_stream(
     re-delivered batches re-append identical (band, bucket, doc_id) rows,
     which the probe's DISTINCT candidate set makes idempotent for answers.
 
+    ``checkpoint_dir`` is where the at-least-once contract LIVES: a
+    production deployment MUST pass a durable location and reuse it across
+    restarts, or every restart replays the whole source and re-appends all
+    historical rows (unbounded index growth). The default mkdtemp is only
+    for one-shot availableNow drains (tests, backfills) where the query is
+    never restarted.
+
     Returns the started StreamingQuery (caller awaits termination).
     """
     from ..operators.dedup import lsh_buckets
@@ -1107,7 +1115,7 @@ def index_ingest_stream(
         .trigger(availableNow=True)
         .option(
             "checkpointLocation",
-            tempfile.mkdtemp(prefix="dfrs_idx_ingest_ckpt_"),
+            checkpoint_dir or tempfile.mkdtemp(prefix="dfrs_idx_ingest_ckpt_"),
         )
         .start()
     )

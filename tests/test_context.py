@@ -153,10 +153,17 @@ def test_s3_register_falls_through_to_boto3_tier(spark):
 
     assert DFRayContext._normalize_path("s3://b/k.parquet") == "s3a://b/k.parquet"
     ctx = DFRayContext(spark=spark)
-    with pytest.raises(
-        Exception, match="(?i)credential|endpoint|s3|connect"
-    ):
+    with pytest.raises(Exception) as excinfo:
         ctx.register_parquet("s3t", "s3://no-such-bucket/data.parquet")
+    # The failure must be tier 2's (credentials/listing/endpoint), NOT the
+    # tier-1 missing-connector error leaking through — that exact text
+    # propagating would mean the fallback never engaged.
+    msg = str(excinfo.value)
+    assert "No FileSystem for scheme" not in msg
+    assert __import__("re").search(
+        "(?i)credential|unable to locate|endpoint|connect|forbidden|denied|"
+        "no parquet objects", msg
+    ), f"unexpected tier-2 failure text: {msg[:400]}"
 
 
 def test_split_statements_ignores_comment_semicolons():

@@ -636,13 +636,20 @@ def test_streaming_index_ingest_matches_batch_maintenance(
     # each landing an append at trigger cadence.
     src_dir = str(tmp_path / "arriving_docs")
     docs.where(F.col("source") == "src1").repartition(3).write.parquet(src_dir)
-    stream = (
-        spark.readStream.schema(structured.DOCS_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src_dir)
-    )
+    ckpt = str(tmp_path / "ingest_ckpt")
+
+    def make_stream():
+        return (
+            spark.readStream.schema(structured.DOCS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+
+    stream = make_stream()
     assert stream.isStreaming
-    q = structured.index_ingest_stream(stream, table, n_buckets=32)
+    q = structured.index_ingest_stream(
+        stream, table, n_buckets=32, checkpoint_dir=ckpt
+    )
     q.awaitTermination()
     assert q.lastProgress is not None
 
@@ -664,6 +671,16 @@ def test_streaming_index_ingest_matches_batch_maintenance(
     )
     got_rows = sorted(tuple(r) for r in spark.table(table).collect())
     assert got_rows == want_rows
+
+    # RESTART with the SAME durable checkpoint: the offset log proves the
+    # source fully processed, so no batch replays and no rows re-append —
+    # the at-least-once contract a production deployment relies on. (A
+    # fresh checkpoint would replay the whole source and double the index.)
+    q2 = structured.index_ingest_stream(
+        make_stream(), table, n_buckets=32, checkpoint_dir=ckpt
+    )
+    q2.awaitTermination()
+    assert sorted(tuple(r) for r in spark.table(table).collect()) == want_rows
 
     # (3) probe equals the certified one-shot rebuild answer
     corpus = docs.where(F.col("source") != "src0")

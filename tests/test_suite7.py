@@ -138,7 +138,7 @@ def test_dedup_index_append_only_and_equal_to_rebuild(spark, sf_dir):
 
     # Run once to create+append; capture the file inventory between the
     # two writes by re-deriving the path the operator uses.
-    tag = s7._scratch_tag(sf_dir).replace(".", "_").replace("-", "_")
+    tag = s7._sql_tag(sf_dir)
     path = _os.path.join(
         __import__("tempfile").gettempdir(), "dfrs_lsh_index_app", tag
     )
@@ -215,7 +215,7 @@ def test_compact_bucketed_restores_one_file_per_bucket(spark, sf_dir):
 
     # build + append (reuses the operator's own table for this sf/pid)
     s7.run_dedup_index_append(spark, sf_dir).collect()
-    tag = s7._scratch_tag(sf_dir).replace(".", "_").replace("-", "_")
+    tag = s7._sql_tag(sf_dir)
     table = f"dfrs_lsh_index_app_{tag}"
     path = _os.path.join(_tf.gettempdir(), "dfrs_lsh_index_app", tag)
     rows_before = spark.table(table).count()
@@ -264,7 +264,7 @@ def test_ivf_append_only_prune_and_equal_to_rebuild(spark, sf_dir):
     import glob as _glob
     import os as _os
 
-    from datafusion_ray_spark.operators import similarity, suite7 as s7
+    from datafusion_ray_spark.operators import suite7 as s7
     from datafusion_ray_spark.sources.tables import load_table, spread
     from pyspark.sql import functions as F
 
@@ -273,32 +273,15 @@ def test_ivf_append_only_prune_and_equal_to_rebuild(spark, sf_dir):
     # Reproduce the operator's snapshot write to capture the between-write
     # inventory, then run the full operator (which overwrites + appends).
     emb = spread(load_table(spark, sf_dir, "embeddings"))
-    rows = (
-        emb.where(F.col("vec_id").isin(list(similarity.CENTROID_VEC_IDS)))
-        .select("vec_id", "embedding")
-        .collect()
-    )
-    centroids = sorted((r["vec_id"], list(r["embedding"])) for r in rows)
+    centroids = s7._ivf_codebook(emb)
     snapshot = emb.where(F.col("vec_id") % 7 != 3)
-    (
-        similarity.ivf_assign(snapshot, centroids)
-        .repartition("cell")
-        .write.partitionBy("cell")
-        .mode("overwrite")
-        .parquet(path)
-    )
+    s7._ivf_write(snapshot, centroids, path, "overwrite")
     files_before = {
         f: _os.path.getsize(f)
         for f in _glob.glob(_os.path.join(path, "cell=*", "*.parquet"))
     }
     batch = emb.where(F.col("vec_id") % 7 == 3)
-    (
-        similarity.ivf_assign(batch, centroids)
-        .repartition("cell")
-        .write.partitionBy("cell")
-        .mode("append")
-        .parquet(path)
-    )
+    s7._ivf_write(batch, centroids, path, "append")
     files_after = {
         f: _os.path.getsize(f)
         for f in _glob.glob(_os.path.join(path, "cell=*", "*.parquet"))
