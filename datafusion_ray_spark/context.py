@@ -392,6 +392,26 @@ class DFRayContext:
         parquet/csv/json/avro surface — free capability on this engine)."""
         self._register(name, self.spark.read.orc(self._normalize_path(path)), path)
 
+    def register_arrow_file(self, name: str, path: str, **options: Any) -> None:
+        """Arrow IPC *file* source (reference: ``ArrowExec`` in the scan
+        walk, ``src/util.rs:26,504-507`` — DataFusion registers ``.arrow``
+        files as external tables). Spark ships no IPC reader, so this is
+        the DISTRIBUTED Python Data Source ``sources/arrowipc.py``: the
+        planner reads only the footer (batch count), emits one partition
+        per record-batch run, and executors memory-map exactly their
+        batches — zero-copy through the Arrow fast path. ``path`` may be
+        a file or a directory of ``.arrow``/``.feather``/``.ipc`` files.
+        """
+        from .sources.arrowipc import register_arrow_ipc
+
+        register_arrow_ipc(self.spark)
+        reader = self.spark.read.format("arrowipc").option("path", path)
+        for k, v in options.items():
+            reader = reader.option(k, str(v))
+        df = reader.load()
+        df.limit(0).collect()  # surface missing/corrupt-footer errors NOW
+        self._register(name, df, path)
+
     def register_avro(self, name: str, path: str) -> None:
         """Avro source (reference: ``datafusion.proto:715``).
 
@@ -476,6 +496,9 @@ class DFRayContext:
             df = reader.orc(path)
         elif file_format == "avro":
             self.register_avro(name, path)
+            return
+        elif file_format == "arrow":
+            self.register_arrow_file(name, path)
             return
         else:
             raise ValueError(f"unsupported listing format: {file_format}")
