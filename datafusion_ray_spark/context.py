@@ -301,7 +301,12 @@ class DFRayContext:
                 msg = f"{type(exc).__name__}: {exc}"
                 missing_connector = (
                     "No FileSystem for scheme" in msg
+                    # Partially-installed classpath (hadoop-aws present,
+                    # aws-sdk-bundle absent) raises NoClassDefFoundError,
+                    # whose message need not mention ClassNotFoundException
+                    # (advisor round-8).
                     or "ClassNotFoundException" in msg
+                    or "NoClassDefFoundError" in msg
                     or "UnsupportedFileSystemException" in msg
                 )
                 if not missing_connector:

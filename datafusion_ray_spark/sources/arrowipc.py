@@ -32,6 +32,15 @@ ARROW_SUFFIXES = (".arrow", ".feather", ".ipc")
 
 
 def _list_arrow_files(path: str) -> list[str]:
+    if "://" in path and not path.startswith("file://"):
+        # Executors open paths with plain os I/O (memory_map), so only
+        # local/shared-filesystem paths can work; failing here beats the
+        # misleading "no arrow IPC files at s3://..." (advisor round-8).
+        raise ValueError(
+            f"arrow IPC source is local/shared-filesystem only; got {path!r} "
+            "(for object stores, convert to parquet or use register_parquet)"
+        )
+    path = path[len("file://"):] if path.startswith("file://") else path
     if os.path.isfile(path):
         return [path]
     if os.path.isdir(path):
@@ -81,8 +90,23 @@ class _ArrowIPCReader(DataSourceReader):
         if self._parts is None:
             step = max(1, self.batches_per_partition)
             parts = []
+            first_schema = None
+            first_file = None
             for f in _list_arrow_files(self.options["path"]):
-                n = _open_file(f).num_record_batches  # footer-only
+                reader = _open_file(f)  # footer-only
+                # A directory mixing schemas would pass planning (schema()
+                # reads only the first footer) and surface as a confusing
+                # executor-side batch-schema error; validate every footer
+                # here, where they are all opened anyway (advisor round-8).
+                if first_schema is None:
+                    first_schema, first_file = reader.schema, f
+                elif not reader.schema.equals(first_schema):
+                    raise ValueError(
+                        f"arrow IPC schema mismatch under {self.options['path']!r}: "
+                        f"{f} has schema {reader.schema} but {first_file} has "
+                        f"{first_schema}; all files in a listing must share one schema"
+                    )
+                n = reader.num_record_batches
                 for start in range(0, n, step):
                     parts.append((f, start, min(start + step, n)))
             self._parts = [InputPartition(p) for p in parts]

@@ -106,3 +106,31 @@ def test_arrow_missing_path_errors_cleanly(spark):
     ctx = DFRayContext(spark=spark)
     with pytest.raises(Exception, match="(?i)no arrow ipc files"):
         ctx.register_arrow_file("nope", "/tmp/does_not_exist_ipc_dir_xyz")
+
+
+def test_arrow_remote_scheme_rejected_up_front(spark):
+    """Executors open IPC paths with plain os I/O, so a remote scheme must
+    fail with an explicit unsupported-scheme error, not a misleading
+    'no arrow IPC files at s3://...' (advisor round-8)."""
+    ctx = DFRayContext(spark=spark)
+    with pytest.raises(Exception, match="local/shared-filesystem only"):
+        ctx.register_arrow_file("nope", "s3://bucket/prefix")
+
+
+def test_arrow_directory_mixed_schemas_fail_at_planning(spark, tmp_path):
+    """A directory mixing footer schemas must raise a clear per-file error
+    during planning, not a confusing executor-side batch-schema error
+    (advisor round-8)."""
+    d = tmp_path / "mixed_ipc"
+    d.mkdir()
+    a = pa.table({"x": pa.array([1, 2], pa.int64())})
+    b = pa.table({"y": pa.array(["u", "v"])})
+    for name, tbl in (("a.arrow", a), ("b.arrow", b)):
+        with pa.ipc.new_file(str(d / name), tbl.schema) as w:
+            w.write_table(tbl)
+    from datafusion_ray_spark.sources.arrowipc import register_arrow_ipc
+
+    register_arrow_ipc(spark)
+    df = spark.read.format("arrowipc").option("path", str(d)).load()
+    with pytest.raises(Exception, match="schema mismatch"):
+        df.collect()
