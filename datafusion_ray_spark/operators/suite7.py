@@ -234,12 +234,13 @@ def _register_scratch(path: str) -> str:
         parent = os.path.dirname(path)
         if os.path.isdir(parent):
             for entry in os.listdir(parent):
-                # Anchored to the trailing pid tag this module writes
-                # ({base}_p<pid> or {base}_p<pid>_app): a first-match
-                # search would let an sf_dir basename containing
-                # `_p<digits>_` (e.g. corpus_p2_v1) probe the WRONG pid
-                # and reap a live sibling's scratch (advisor round-8).
-                m = re.search(r"_p(\d+)(?:_app)?$", entry)
+                # Anchored to the trailing tag shapes this module writes
+                # ({base}_p<pid>, {base}_p<pid>_app, and their compaction
+                # generations ...gen<N>): a first-match search would let
+                # an sf_dir basename containing `_p<digits>_` (e.g.
+                # corpus_p2_v1) probe the WRONG pid and reap a live
+                # sibling's scratch (advisor round-8).
+                m = re.search(r"_p(\d+)(?:_app)?(?:\.gen\d+(?:\.retired)?)?$", entry)
                 if not m or int(m.group(1)) == os.getpid():
                     continue
                 try:

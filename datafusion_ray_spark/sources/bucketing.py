@@ -98,40 +98,173 @@ def append_bucketed(
     _save_bucketed(df, table, keys, n_buckets, sort, "append", None, file_format)
 
 
+def table_location(spark: SparkSession, table: str) -> str:
+    """Filesystem location backing a catalog table (``file:`` stripped)."""
+    loc = (
+        spark.sql(f"DESCRIBE FORMATTED {table}")
+        .where("col_name = 'Location'")
+        .collect()[0]["data_type"]
+    )
+    return loc[len("file:"):] if loc.startswith("file:") else loc
+
+
+def _next_generation(location: str) -> str:
+    """Versioned sibling location for the next index generation:
+    ``<base>.gen<N>`` with N = 1 + the highest existing generation (the
+    current location may itself be a ``.gen<K>`` from a prior compaction,
+    so generations never collide and never nest suffixes)."""
+    import glob
+    import re
+
+    base = re.sub(r"\.gen\d+$", "", location.rstrip("/"))
+    taken = {0}
+    for p in glob.glob(base + ".gen*"):
+        m = re.search(r"\.gen(\d+)$", p)
+        if m:
+            taken.add(int(m.group(1)))
+    if base != location.rstrip("/"):
+        m = re.search(r"\.gen(\d+)$", location.rstrip("/"))
+        taken.add(int(m.group(1)))
+    return f"{base}.gen{max(taken) + 1}"
+
+
 def compact_bucketed(
     spark: SparkSession,
     table: str,
     key: str | list[str],
     n_buckets: int = 32,
     sort: bool = True,
+    pre_swap_hook=None,
 ) -> int:
     """Compact an appended-to bucketed table back to ONE file per bucket
-    (and restore the full within-bucket sort the appends fragmented).
+    (and restore the full within-bucket sort the appends fragmented),
+    WITHOUT ever putting the only copy of the index at risk.
 
-    Returns the number of files before compaction. Locally the rewrite
-    pins the table's rows (localCheckpoint) and overwrites in place; at
-    100 TB run the same ``write_bucketed`` into a NEW table/location and
-    swap the catalog entry atomically — the rewrite itself is one
-    bucket-aligned shuffle-free pass either way (the scan is already
-    hash-partitioned on the key). Pair with :func:`append_bucketed`:
-    appends are O(batch) all week, one compaction restores the
-    one-file-per-bucket + sorted-scan invariants."""
-    location = (
-        spark.sql(f"DESCRIBE FORMATTED {table}")
-        .where("col_name = 'Location'")
-        .collect()[0]["data_type"]
-    )
+    The 100 TB-safe shape (this IS the code path, not prose): the new
+    generation is written with ``write_bucketed`` into a VERSIONED SIBLING
+    location (``<base>.gen<N>``) while the live table keeps serving reads
+    from the old files — nothing pins the table in executor memory and
+    nothing overwrites in place. After a row-count check against the old
+    generation, the catalog entry is repointed in ONE metastore operation
+    (``ALTER TABLE ... SET LOCATION``) — the atomic commit — and only then
+    is the old generation deleted. A failure at ANY earlier step leaves
+    the table serving the old generation untouched; a failure after the
+    swap leaves at worst an orphaned old directory for GC.
+
+    ``pre_swap_hook(old_location, new_location)`` is a test seam invoked
+    after the new generation is written+verified but before the swap —
+    the point where both generations must coexist on disk.
+
+    Returns the number of files before compaction. Pair with
+    :func:`append_bucketed`: appends are O(batch) all week, one compaction
+    restores the one-file-per-bucket + sorted-scan invariants."""
     import glob
     import os
+    import shutil
 
-    n_before = len(
-        glob.glob(os.path.join(location.replace("file:", ""), "*.parquet"))
-    )
-    pinned = spark.table(table).localCheckpoint(eager=True)
-    write_bucketed(
-        pinned, table, key=key, n_buckets=n_buckets, sort=sort,
-        path=location.replace("file:", ""),
-    )
+    location = table_location(spark, table)
+    new_location = _next_generation(location)
+    n_before = len(glob.glob(os.path.join(location, "*.parquet")))
+    rows_before = spark.table(table).count()  # parquet metadata-only
+
+    # New generation from the old files (never touched): one
+    # bucket-aligned pass, external temp table so DROP keeps the files.
+    # Read the LOCATION as plain parquet, not spark.table(table): the
+    # bucketed-table scan advertises HashPartitioning, EnsureRequirements
+    # then removes _save_bucketed's explicit repartition as redundant, and
+    # DisableUnnecessaryBucketedScan subsequently disables the bucketed
+    # scan itself — leaving NO alignment at all, so every task writes a
+    # mixture of buckets (measured: 64 files from a 32-bucket rewrite).
+    # A plain parquet read carries no bucket metadata, so the repartition
+    # survives and each task writes exactly one bucket.
+    tmp = f"{table}__compacting"
+    keys = [key] if isinstance(key, str) else list(key)
+    try:
+        write_bucketed(
+            spark.read.parquet(location), tmp, key=keys, n_buckets=n_buckets,
+            sort=sort, path=new_location,
+        )
+        rows_new = spark.table(tmp).count()
+        if rows_new != rows_before:
+            raise RuntimeError(
+                f"compaction row-count mismatch for {table}: "
+                f"{rows_before} -> {rows_new}; keeping the old generation"
+            )
+    except BaseException:
+        spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+        shutil.rmtree(new_location, ignore_errors=True)
+        raise
+    if pre_swap_hook is not None:
+        pre_swap_hook(location, new_location)
+    # THE commit: one metastore op repoints readers at the new generation
+    # (bucket spec is table metadata and survives; refresh drops the
+    # cached file listing). Everything before this is invisible to
+    # readers; everything after is cleanup.
+    spark.sql(f"ALTER TABLE {table} SET LOCATION '{new_location}'")
+    spark.sql(f"DROP TABLE IF EXISTS {tmp}")  # external: files survive
+    spark.catalog.refreshTable(table)
+    shutil.rmtree(location, ignore_errors=True)  # old-generation GC
+    return n_before
+
+
+def compact_partitioned(
+    spark: SparkSession,
+    path: str,
+    partition_col: str = "cell",
+    pre_swap_hook=None,
+) -> int:
+    """Compact a ``partitionBy(partition_col)`` parquet directory (the
+    persisted IVF index layout) back to ONE file per partition directory —
+    the cell-partitioned twin of :func:`compact_bucketed`, same
+    generation-then-swap safety story for a PATH-addressed index with no
+    catalog entry.
+
+    The new generation is written complete and row-count-verified at
+    ``<path>.gen<N>`` before the live directory is touched; the swap is
+    two renames ordered so data is never lost (old aside first, new into
+    place second — a crash between them leaves BOTH generations on disk,
+    recoverable by hand or rerun), then the old generation is deleted.
+    On an object store / real deployment the swap is a catalog or view
+    repoint exactly like :func:`compact_bucketed`'s ``ALTER TABLE``;
+    directory rename is the local-filesystem stand-in.
+
+    Directory-level partition pruning (``PartitionFilters`` on
+    ``partition_col``) is a property of the layout, which compaction
+    preserves — asserted across a compaction in tests/test_suite7.py.
+
+    Returns the number of data files before compaction."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    n_before = len(glob.glob(os.path.join(path, "*", "*.parquet")))
+    df = spark.read.parquet(path)
+    rows_before = df.count()  # parquet metadata-only
+    new_location = _next_generation(path)
+    try:
+        (
+            df.repartition(F.col(partition_col))
+            .write.partitionBy(partition_col)
+            .mode("overwrite")
+            .parquet(new_location)
+        )
+        rows_new = spark.read.parquet(new_location).count()
+        if rows_new != rows_before:
+            raise RuntimeError(
+                f"compaction row-count mismatch for {path}: "
+                f"{rows_before} -> {rows_new}; keeping the old generation"
+            )
+    except BaseException:
+        shutil.rmtree(new_location, ignore_errors=True)
+        raise
+    if pre_swap_hook is not None:
+        pre_swap_hook(path, new_location)
+    retired = new_location + ".retired"
+    os.rename(path, retired)  # old generation intact, just aside
+    os.rename(new_location, path)  # new generation live
+    shutil.rmtree(retired, ignore_errors=True)  # old-generation GC
     return n_before
 
 

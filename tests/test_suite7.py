@@ -203,13 +203,21 @@ def test_dedup_index_append_only_and_equal_to_rebuild(spark, sf_dir):
 def test_compact_bucketed_restores_one_file_per_bucket(spark, sf_dir):
     """After appends fragment the index, one compaction restores the
     one-file-per-bucket invariant, preserves every row, and the probe
-    join still plans Exchange-free over the compacted table."""
+    join still plans Exchange-free over the compacted table.
+
+    Compaction is generation-then-swap (round-9): the new generation is
+    written to a versioned sibling location while EVERY old file survives
+    byte-identical until the catalog swap commits (asserted inside the
+    pre-swap seam); after the swap the old generation is GC'd."""
     import glob as _glob
     import os as _os
     import tempfile as _tf
 
     from datafusion_ray_spark.operators import dedup, suite7 as s7
-    from datafusion_ray_spark.sources.bucketing import compact_bucketed
+    from datafusion_ray_spark.sources.bucketing import (
+        compact_bucketed,
+        table_location,
+    )
     from datafusion_ray_spark.sources.tables import load_table, spread
     from pyspark.sql import functions as F
 
@@ -219,13 +227,37 @@ def test_compact_bucketed_restores_one_file_per_bucket(spark, sf_dir):
     table = f"dfrs_lsh_index_app_{tag}"
     path = _os.path.join(_tf.gettempdir(), "dfrs_lsh_index_app", tag)
     rows_before = spark.table(table).count()
-    files_before = len(_glob.glob(_os.path.join(path, "*.parquet")))
+    old_files = {
+        f: _os.path.getsize(f)
+        for f in _glob.glob(_os.path.join(path, "*.parquet"))
+    }
+    files_before = len(old_files)
     assert files_before > 32  # fragmented by the append
 
-    n = compact_bucketed(spark, table, key=["band", "bucket"], n_buckets=32)
+    seen = {}
+
+    def check_pre_swap(old_loc, new_loc):
+        # both generations coexist; the old one is byte-untouched
+        assert _os.path.normpath(old_loc) == _os.path.normpath(path)
+        now = {
+            f: _os.path.getsize(f)
+            for f in _glob.glob(_os.path.join(old_loc, "*.parquet"))
+        }
+        assert now == old_files, "old generation modified before the swap"
+        assert len(_glob.glob(_os.path.join(new_loc, "*.parquet"))) == 32
+        seen["new_loc"] = new_loc
+
+    n = compact_bucketed(
+        spark, table, key=["band", "bucket"], n_buckets=32,
+        pre_swap_hook=check_pre_swap,
+    )
     assert n == files_before
-    files_after = len(_glob.glob(_os.path.join(path, "*.parquet")))
+    # the table now serves the new generation; the old one is GC'd
+    new_loc = table_location(spark, table)
+    assert _os.path.normpath(new_loc) == _os.path.normpath(seen["new_loc"])
+    files_after = len(_glob.glob(_os.path.join(new_loc, "*.parquet")))
     assert files_after == 32, f"{files_after} files after compaction"
+    assert not _os.path.exists(path), "old generation not GC'd after swap"
     assert spark.table(table).count() == rows_before
 
     # the operator's real probe against the COMPACTED index returns the
@@ -250,6 +282,61 @@ def test_compact_bucketed_restores_one_file_per_bucket(spark, sf_dir):
         assert "Bucketed: true" not in plan[m.start():m.start() + 2000].split(
             "Exchange", 2
         )[1], "compacted index side was reshuffled"
+
+
+def test_compact_partitioned_ivf_generation_swap(spark, sf_dir):
+    """The cell-partitioned IVF compactor, same safety contract as the
+    bucketed one: new generation written+verified at a versioned sibling
+    while every old file survives byte-identical until the swap; after
+    the swap one file per cell directory, identical probe answers, and
+    the search plan still prunes on cell PartitionFilters."""
+    import glob as _glob
+    import os as _os
+
+    from datafusion_ray_spark.operators import suite7 as s7
+    from datafusion_ray_spark.sources.bucketing import compact_partitioned
+    from datafusion_ray_spark.sources.tables import load_table, spread
+    from pyspark.sql import functions as F
+
+    path = s7._index_scratch(sf_dir) + "_app"
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    centroids = s7._ivf_codebook(emb)
+    s7._ivf_write(emb.where(F.col("vec_id") % 7 != 3), centroids, path,
+                  "overwrite")
+    s7._ivf_write(emb.where(F.col("vec_id") % 7 == 3), centroids, path,
+                  "append")
+    old_files = {
+        f: _os.path.getsize(f)
+        for f in _glob.glob(_os.path.join(path, "cell=*", "*.parquet"))
+    }
+    fragmented = any(
+        len(_glob.glob(_os.path.join(d, "*.parquet"))) > 1
+        for d in _glob.glob(_os.path.join(path, "cell=*"))
+    )
+    assert fragmented, "fixture must fragment at least one cell"
+    want = [tuple(r) for r in
+            s7._ivf_search(spark, sf_dir, path, centroids).collect()]
+
+    def check_pre_swap(old_loc, new_loc):
+        now = {
+            f: _os.path.getsize(f)
+            for f in _glob.glob(_os.path.join(old_loc, "cell=*", "*.parquet"))
+        }
+        assert now == old_files, "old generation modified before the swap"
+        for d in _glob.glob(_os.path.join(new_loc, "cell=*")):
+            assert len(_glob.glob(_os.path.join(d, "*.parquet"))) == 1
+
+    n = compact_partitioned(spark, path, "cell", pre_swap_hook=check_pre_swap)
+    assert n == len(old_files)
+    for d in _glob.glob(_os.path.join(path, "cell=*")):
+        assert len(_glob.glob(_os.path.join(d, "*.parquet"))) == 1
+    assert not _glob.glob(path + ".gen*"), "generation dirs not GC'd"
+    out = s7._ivf_search(spark, sf_dir, path, centroids)
+    got = [tuple(r) for r in out.collect()]
+    assert got == want and len(got) == 10
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[[^\]]*\]", plan)
+    assert m and "cell" in m.group(0), "pruning lost across compaction"
 
 
 def test_ivf_append_only_prune_and_equal_to_rebuild(spark, sf_dir):
