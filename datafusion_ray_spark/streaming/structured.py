@@ -1071,6 +1071,7 @@ def index_ingest_stream(
     table: str,
     n_buckets: int = 32,
     checkpoint_dir: str | None = None,
+    compact_every_n_triggers: int | None = None,
 ) -> "object":
     """Continuous maintenance of the persisted bucketed LSH index — the
     streaming twin of ``operators.suite7.run_dedup_index_append``.
@@ -1098,17 +1099,37 @@ def index_ingest_stream(
     for one-shot availableNow drains (tests, backfills) where the query is
     never restarted.
 
+    ``compact_every_n_triggers``: appends fragment the index (n_buckets
+    new files per trigger, forever); a production ingest needs a cadence
+    that restores the one-file-per-bucket invariant. Every Nth committed
+    batch, the generation-then-swap compactor
+    (``sources.bucketing.compact_bucketed`` — old generation intact until
+    the catalog swap commits) runs INSIDE foreachBatch, so compaction is
+    serialized with appends on the streaming thread and never races an
+    in-flight write to the same table. Cadence is keyed on ``batch_id``,
+    which the checkpoint makes stable across restarts: a replayed batch
+    re-runs its compaction, which is idempotent (a rewrite of the same
+    rows into a fresh generation).
+
     Returns the started StreamingQuery (caller awaits termination).
     """
     from ..operators.dedup import lsh_buckets
-    from ..sources.bucketing import append_bucketed
+    from ..sources.bucketing import append_bucketed, compact_bucketed
 
     b = lsh_buckets(docs).select("band", "bucket", "doc_id")
 
-    def land(batch_df: DataFrame, _batch_id: int) -> None:
+    def land(batch_df: DataFrame, batch_id: int) -> None:
         append_bucketed(
             batch_df, table, key=["band", "bucket"], n_buckets=n_buckets
         )
+        if (
+            compact_every_n_triggers
+            and (batch_id + 1) % compact_every_n_triggers == 0
+        ):
+            compact_bucketed(
+                batch_df.sparkSession, table,
+                key=["band", "bucket"], n_buckets=n_buckets,
+            )
 
     return (
         b.writeStream.foreachBatch(land)

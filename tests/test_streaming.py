@@ -693,3 +693,77 @@ def test_streaming_index_ingest_matches_batch_maintenance(
     ]
     assert [tuple(r) for r in probe.collect()] == want and len(want) > 0
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_streaming_index_ingest_compaction_cadence(spark, sf_dir, tmp_path):
+    """``compact_every_n_triggers``: after K triggers the in-stream
+    compaction must restore the one-file-per-bucket invariant (file count
+    back to n_buckets at the table's current generation), keep the index
+    row-equal to the batch-built one, and keep the probe answer equal to
+    the certified one-shot rebuild."""
+    import glob as _glob
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from datafusion_ray_spark.operators import dedup, suite7
+    from datafusion_ray_spark.sources.bucketing import (
+        table_location,
+        write_bucketed,
+    )
+    from datafusion_ray_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    snap0 = docs.where(~F.col("source").isin("src0", "src1"))
+    new = docs.where(F.col("source") == "src0")
+
+    table = "dfrs_stream_lsh_index_compact"
+    path = str(tmp_path / "stream_lsh_index")
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    write_bucketed(
+        dedup.lsh_buckets(snap0).select("band", "bucket", "doc_id"),
+        table, key=["band", "bucket"], n_buckets=32, path=path,
+    )
+
+    # src1 split across 3 files + maxFilesPerTrigger=1 -> 3 micro-batches;
+    # cadence 3 -> exactly one compaction, fired after the LAST append.
+    src_dir = str(tmp_path / "arriving_docs")
+    docs.where(F.col("source") == "src1").repartition(3).write.parquet(src_dir)
+    stream = (
+        spark.readStream.schema(structured.DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = structured.index_ingest_stream(
+        stream, table, n_buckets=32,
+        checkpoint_dir=str(tmp_path / "ingest_ckpt"),
+        compact_every_n_triggers=3,
+    )
+    q.awaitTermination()
+    assert q.lastProgress is not None
+
+    # compaction swapped to a new generation with one file per bucket
+    loc = table_location(spark, table)
+    assert _os.path.normpath(loc) != _os.path.normpath(path)
+    files = _glob.glob(_os.path.join(loc, "*.parquet"))
+    assert len(files) == 32, f"{len(files)} files after in-stream compaction"
+    assert not _os.path.exists(path), "old generation not GC'd"
+
+    # index row-equal to the batch build; probe equals the certified answer
+    want_rows = sorted(
+        tuple(r)
+        for r in dedup.lsh_buckets(docs.where(F.col("source") != "src0"))
+        .select("band", "bucket", "doc_id")
+        .collect()
+    )
+    assert sorted(tuple(r) for r in spark.table(table).collect()) == want_rows
+    probe = dedup.incremental_dedup_pairs(
+        docs.where(F.col("source") != "src0"), new,
+        corpus_index=spark.table(table),
+    ).orderBy("doc_a", "doc_b")
+    want = [
+        tuple(r)
+        for r in suite7.run_dedup_index_persist(spark, sf_dir).collect()
+    ]
+    assert [tuple(r) for r in probe.collect()] == want and len(want) > 0
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
