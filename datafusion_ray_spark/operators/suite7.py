@@ -240,7 +240,9 @@ def _register_scratch(path: str) -> str:
                 # an sf_dir basename containing `_p<digits>_` (e.g.
                 # corpus_p2_v1) probe the WRONG pid and reap a live
                 # sibling's scratch (advisor round-8).
-                m = re.search(r"_p(\d+)(?:_app)?(?:\.gen\d+(?:\.retired)?)?$", entry)
+                m = re.search(
+                    r"_p(\d+)(?:_app|_cmp)?(?:\.gen\d+(?:\.retired)?)?$", entry
+                )
                 if not m or int(m.group(1)) == os.getpid():
                     continue
                 try:
@@ -452,6 +454,83 @@ def run_dedup_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_a", "doc_b")
 
 
+def run_ivf_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPACTION of the appended-to persisted IVF index, searched after
+    the swap: the third leg of the index lifecycle (build → append →
+    compact) and the designated remedy for append fragmentation. The
+    snapshot is written, a batch appended with the frozen codebook
+    (fragmenting touched cells to 2 files), then
+    ``sources.bucketing.compact_partitioned`` rewrites to ONE file per
+    cell via a verified new generation + swap — the old generation stays
+    intact until the swap commits (tested at the file level in
+    tests/test_suite7.py), so the live index is never at risk.
+    Correctness bar: compaction must never change answers — the search
+    against the compacted index equals ``sim_ivf_persist``'s one-shot
+    build over the same snapshot ∪ batch, so this operator shares its
+    exhaustive DuckDB oracle. Directory-level PartitionFilters pruning
+    survives because the layout (partitionBy cell) is preserved.
+    """
+    from ..sources.bucketing import compact_partitioned
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    centroids = _ivf_codebook(emb)
+    path = _register_scratch(_index_scratch(sf_dir) + "_cmp")
+    _ivf_write(emb.where(F.col("vec_id") % 7 != 3), centroids, path,
+               "overwrite")
+    _ivf_write(emb.where(F.col("vec_id") % 7 == 3), centroids, path,
+               "append")
+    compact_partitioned(spark, path, "cell")
+    return _ivf_search(spark, sf_dir, path, centroids)
+
+
+def run_dedup_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPACTION of the appended-to persisted LSH index, probed after
+    the swap — the documents-side twin of ``sim_ivf_compact``. Snapshot-0
+    is bucket-written, batch src1 appended (fragmenting every bucket to
+    2+ files), then ``sources.bucketing.compact_bucketed`` restores one
+    file per bucket via a verified new generation + a single
+    ``ALTER TABLE SET LOCATION`` catalog commit; batch src0 probes the
+    compacted index. Correctness bar: equal to the probe against a full
+    one-shot rebuild — exactly ``dedup_index_persist``'s certified
+    answer, so this operator shares its oracle. The bucketed
+    co-partitioning guarantee (index side never reshuffled) is a property
+    of the bucket spec, which the swap preserves — plan-asserted across a
+    compaction in tests/test_suite7.py.
+    """
+    from ..sources.bucketing import (
+        append_bucketed,
+        compact_bucketed,
+        table_location,
+        write_bucketed,
+    )
+    from . import dedup
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    snap0 = docs.where(~F.col("source").isin("src0", "src1"))
+    batch1 = docs.where(F.col("source") == "src1")
+    new = docs.where(F.col("source") == "src0")
+    tag = _sql_tag(sf_dir)
+    table = f"dfrs_lsh_index_cmp_{tag}"
+    path = _register_scratch(
+        os.path.join(tempfile.gettempdir(), "dfrs_lsh_index_cmp", tag)
+    )
+    write_bucketed(
+        dedup.lsh_buckets(snap0).select("band", "bucket", "doc_id"),
+        table, key=["band", "bucket"], n_buckets=32, path=path,
+    )
+    append_bucketed(
+        dedup.lsh_buckets(batch1).select("band", "bucket", "doc_id"),
+        table, key=["band", "bucket"], n_buckets=32,
+    )
+    compact_bucketed(spark, table, key=["band", "bucket"], n_buckets=32)
+    # the live generation moved to a .genN sibling; track it for exit GC
+    _register_scratch(table_location(spark, table))
+    corpus = docs.where(F.col("source") != "src0")  # snap0 ∪ batch1
+    return dedup.incremental_dedup_pairs(
+        corpus, new, corpus_index=spark.table(table)
+    ).orderBy("doc_a", "doc_b")
+
+
 def extension_entries7():
     from ..queries.registry import SuiteEntry
     from .suite import incremental_dedup_oracle, ivf_oracle
@@ -498,5 +577,23 @@ def extension_entries7():
             "append an embedding batch assigned with the frozen codebook "
             "(new files only, existing cells untouched), search the "
             "updated index; certified equal to a one-shot index build",
+        ),
+        SuiteEntry(
+            "dedup_index_compact",
+            run_dedup_index_compact,
+            incremental_dedup_oracle(),
+            "generation-then-swap compaction of the appended-to persisted "
+            "LSH index (one file per bucket restored; old generation "
+            "intact until the catalog swap commits), probed after the "
+            "swap; certified equal to a full index rebuild",
+        ),
+        SuiteEntry(
+            "sim_ivf_compact",
+            run_ivf_compact,
+            ivf_oracle(),
+            "generation-then-swap compaction of the appended-to persisted "
+            "IVF index (one file per cell restored; verified new "
+            "generation, rename swap), searched after the swap; certified "
+            "equal to a one-shot index build",
         ),
     ]

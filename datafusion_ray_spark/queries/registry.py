@@ -54,11 +54,16 @@ def _sql_entry(qdef: QueryDef) -> SuiteEntry:
 # Each round the rotating slots move to registry entries that have not yet
 # earned a driver-side CORRECTNESS row (the union of CORRECTNESS_r*.json
 # keys), oldest-certified last — so every entry earns the harder driver
-# oracle within a few rounds while the flagships stay pinned.  167/188 had
-# driver rows entering round 8; this round's 20 picks are all from the
-# 21-entry never-certified remainder, so after this window certifies the
-# r9 window is just `dedup_fuzzy_prefix` plus whatever operators round 8
-# adds — the rotation closes.
+# oracle within a few rounds while the flagships stay pinned.
+#
+# Round 9 CLOSES the rotation: 187/190 entries had driver rows entering
+# the round (r8 verdict's recomputed union); the never-certified tail —
+# dedup_fuzzy_prefix, dedup_index_append, sim_ivf_append — leads the
+# window, followed by this round's two NEW operators (the compaction leg
+# of both index families), so after this window certifies EVERY declared
+# registry entry has a driver-oracle row. The remaining 15 slots re-pin
+# the highest-value anchors (persisted-index family + the dedup/ANN
+# flagship surface) so the flagship answers stay continuously certified.
 _FIXED_FLAGSHIPS = [
     "dedup_minhash_lsh", "dedup_groups",      # near-dup pipeline + groups
     "sim_knn_graph",                          # ANN batch workload
@@ -68,25 +73,26 @@ _FIXED_FLAGSHIPS = [
     "sketch_count_min",                       # mergeable-sketch anchor
     "mm_decode_features",                     # multimodal anchor
 ]
-_ROTATING_R8 = [
-    # Round-7's three new operators go first — two of them (dedup_url,
-    # the persisted indexes) were touched by this round's ADVICE fixes
-    # (total TLD cast, per-process scratch paths), so the driver certifies
-    # the FIXED code.
-    "dedup_url", "dedup_index_persist", "sim_ivf_persist",
-    # event-ops / rollup breadth never driver-certified
-    "ev_multi_rollup", "ev_user_rfm", "ev_mad_outliers",
-    # set-op / scalar SQL surface
-    "setop_bag_all", "math_bit_funcs",
-    # training-data pipeline breadth (sampling / mixing / sharding)
-    "contamination_check", "sample_stratified", "sample_weighted",
-    "doc_chunk", "len_histogram", "source_mix", "source_cap",
-    "vocab_stats", "lang_temperature_mix", "shuffle_shard",
-    "ppl_bucket_sample",
-    # temporal-join direction variant
-    "join_asof_forward",
+_ROTATING_R9 = [
+    # The never-certified tail (closes the rotation: every registry entry
+    # will have earned a driver-oracle row once these certify).
+    "dedup_fuzzy_prefix", "dedup_index_append", "sim_ivf_append",
+    # Round-9's NEW operators: the compaction leg of both index families
+    # (generation-then-swap; certified equal to a full rebuild).
+    "dedup_index_compact", "sim_ivf_compact",
+    # Persisted-index family re-pins: the build legs whose machinery this
+    # round's atomic-swap compaction touched.
+    "dedup_index_persist", "sim_ivf_persist",
+    # Dedup/ANN flagship surface re-pins (the operators a 100 TB
+    # training-data pipeline leans on hardest).
+    "dedup_fuzzy_groups", "dedup_incremental", "dedup_exact",
+    "dedup_url", "dedup_embedding_cosine", "dedup_ngram_jaccard",
+    "dedup_ensemble", "dedup_substring_fps",
+    "sim_ann_ivf", "sim_ann_lsh", "sim_semdedup",
+    # Text-pipeline anchors
+    "text_gopher_rules", "dsir_weights",
 ]
-_PRIORITY_AFTER_TPCH = _FIXED_FLAGSHIPS + _ROTATING_R8
+_PRIORITY_AFTER_TPCH = _FIXED_FLAGSHIPS + _ROTATING_R9
 
 
 def build_registry() -> dict[str, SuiteEntry]:

@@ -35,7 +35,7 @@ sf = "/root/testdata/sf0.001"
 con = duckdb.connect()
 duckdb_register(con, sf)
 reg = build_registry()
-for name in ["q1", "ev_session_window", "ev_daily_pivot", "join_range", "ev_sessionize", "ev_gap_histogram", "ev_seq_match", "sink_partitioned_prune", "join_dpp", "sink_compact", "text_hash_embed", "mm_phash_dedup"]:
+for name in ["q1", "ev_session_window", "ev_daily_pivot", "join_range", "ev_sessionize", "ev_gap_histogram", "ev_seq_match", "sink_partitioned_prune", "join_dpp", "sink_compact", "text_hash_embed", "mm_phash_dedup", "dedup_index_compact", "sim_ivf_compact"]:
     assert_frames_match(
         reg[name].run(spark, sf).toPandas(), con.sql(reg[name].oracle).df(), name=name
     )
@@ -57,8 +57,12 @@ def test_queries_green_under_truly_vanilla_session():
     # that write files (partitioned sink / DPP / compaction) and the two
     # driver-canon schema fixes — the surfaces most likely to depend on an
     # engine-session conf by accident.
+    # ... plus the round-9 compaction operators, which exercise the
+    # catalog (ALTER TABLE SET LOCATION) and filesystem swap surfaces a
+    # vanilla session configures differently.
     for name in ("q1", "ev_session_window", "ev_daily_pivot", "join_range",
                  "ev_sessionize", "ev_gap_histogram", "ev_seq_match",
                  "sink_partitioned_prune", "join_dpp", "sink_compact",
-                 "text_hash_embed", "mm_phash_dedup"):
+                 "text_hash_embed", "mm_phash_dedup",
+                 "dedup_index_compact", "sim_ivf_compact"):
         assert f"OK {name}" in proc.stdout
