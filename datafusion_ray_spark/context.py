@@ -24,6 +24,7 @@ from typing import Any
 
 import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from . import config as config_map
 from .session import build_session
@@ -283,14 +284,46 @@ class DFRayContext:
         ``options`` reach the tier-2 source (``endpoint_url``,
         ``access_key``/``secret_key``, ``region``, ``partition_bytes``) —
         the analogue of the reference's per-store config.
+
+        ``columns=[...]`` and ``filters=[[col, op, value], ...]`` (AND-ed
+        triples, ops ``= == != < <= > >=``) are the USER-declared pushdown
+        the reference forces on its parquet scans
+        (``/root/reference/src/util.rs:284-295``): on the s3a tier they
+        become a ``select``/``where`` Catalyst pushes into the scan; on
+        the boto3 tier the source itself reads only the projected columns'
+        byte ranges and drops row groups whose footer min/max stats refute
+        the filters (driver-side, zero extra round trips), with the same
+        ``where`` applied above for exact semantics. Both tiers return
+        identical rows — the options only change the bytes transferred.
         """
+        import json
+
         raw = path
+        columns = options.pop("columns", None)
+        if isinstance(columns, str):
+            columns = [c.strip() for c in columns.split(",") if c.strip()]
+        filters = options.pop("filters", None)
+        if isinstance(filters, str):
+            filters = json.loads(filters)
+
+        def shape(df: DataFrame) -> DataFrame:
+            if columns:
+                df = df.select(*columns)
+            for col, op, val in filters or ():
+                c = F.col(col)
+                df = df.where(
+                    {"=": c == val, "==": c == val, "!=": c != val,
+                     "<": c < val, "<=": c <= val,
+                     ">": c > val, ">=": c >= val}[op]
+                )
+            return df
+
         path = self._normalize_path(path)
         if path.startswith("s3a://"):
             try:
                 df = self.spark.read.parquet(path)
                 df.limit(0).collect()  # surface missing-connector NOW
-                self._register(name, df, path)
+                self._register(name, shape(df), path)
                 return
             except Exception as exc:
                 # Fall back ONLY when the connector itself is absent. Any
@@ -318,13 +351,27 @@ class DFRayContext:
 
             register_s3_parquet(self.spark)
             reader = self.spark.read.format("s3parquet").option("path", raw)
+            if columns:
+                reader = reader.option("columns", ",".join(columns))
+            if filters:
+                reader = reader.option("filters", json.dumps(list(filters)))
             for k, v in options.items():
                 reader = reader.option(k, str(v))
             df = reader.load()
             df.limit(0).collect()  # surface credential/listing errors NOW
+            # projection already happened in the source; the where() makes
+            # the stats-pruned scan EXACT (surviving row groups can still
+            # hold non-matching rows).
+            for col, op, val in filters or ():
+                c = F.col(col)
+                df = df.where(
+                    {"=": c == val, "==": c == val, "!=": c != val,
+                     "<": c < val, "<=": c <= val,
+                     ">": c > val, ">=": c >= val}[op]
+                )
             self._register(name, df, raw)
             return
-        self._register(name, self.spark.read.parquet(path), path)
+        self._register(name, shape(self.spark.read.parquet(path)), path)
 
     def register_csv(self, name: str, path: str, **options: Any) -> None:
         """Register a CSV file with header+schema inference (the reference
