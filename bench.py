@@ -170,6 +170,14 @@ def main() -> None:
                 df.collect()
                 elapsed = time.perf_counter() - start
                 best = elapsed if best is None else min(best, elapsed)
+                # Cold-vs-cold (round-9, SCALE.md r8 finding): operators
+                # that persist() intermediates would otherwise serve run 2
+                # from run 1's cached blocks (CacheManager matches the
+                # rebuilt logical plan), overstating 100x ratios ~2x by
+                # making t1x warm while t100x is single-run cold. Dropping
+                # the cache between runs keeps min-of-N's purpose (JIT/
+                # codegen warmth) without the data-cache subsidy.
+                spark.catalog.clearCache()
             per_query[name] = round(best, 4)
             if name in CORPUS_SIZED_OUTPUT:
                 best_c = None
@@ -180,6 +188,7 @@ def main() -> None:
                     ).save()
                     c = time.perf_counter() - start
                     best_c = c if best_c is None else min(best_c, c)
+                    spark.catalog.clearCache()
                 compute_only[name] = round(best_c, 4)
             # Shuffle-volume baseline next to the time baseline (read from
             # the last executed plan, after timing — zero timing impact):
@@ -212,6 +221,8 @@ def main() -> None:
     sf = args.sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else args.sf_dir
 
+    from datafusion_ray_spark.hostinfo import host_epoch
+
     host_end = _host_load()
     detail = {
         "metric": "suite_total_seconds",
@@ -223,6 +234,10 @@ def main() -> None:
         "n_queries": len(per_query),
         "errors": errors,
         "shuffle": shuffle,
+        # Host-epoch stamp (round-9): absolute walls are only comparable
+        # within one boot; gates machine-check this instead of trusting
+        # post-hoc adjudication (the r8 mid-round-reboot lesson).
+        "epoch": host_epoch(),
         # collect_s == queries[name]; compute_s is the noop-sink wall of the
         # same plan (see CORPUS_SIZED_OUTPUT). collect_s - compute_s ~ driver
         # output-transfer cost; compare compute_s across rounds for plan
@@ -286,6 +301,7 @@ def main() -> None:
         "n_errors": len(errors),
         "err_queries": sorted(errors)[:20],
         "detail_file": "BENCH_DETAIL.json",
+        "epoch_id": detail["epoch"]["epoch_id"],
     }
     print(json.dumps(summary))
     spark.stop()
@@ -391,12 +407,15 @@ def family_throughput() -> int:
         }
         print(f"throughput: {name} {out[name]['rows_per_sec']} rows/s",
               file=sys.stderr)
+    from datafusion_ray_spark.hostinfo import host_epoch
+
     rec = {
         "metric": "family_throughput",
         "unit": "rows_per_sec",
         "n_rows": n_docs,
         "dim": dim,
         "kernels": out,
+        "epoch": host_epoch(),
     }
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "THROUGHPUT.json")

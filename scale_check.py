@@ -241,6 +241,12 @@ def main() -> int:
     parser.add_argument("--queries", default=None)
     parser.add_argument("--rebuild", action="store_true")
     parser.add_argument("--out", default=None)
+    parser.add_argument(
+        "--allow-cross-epoch", action="store_true",
+        help="compute ratios against a 1x baseline from a DIFFERENT host "
+             "epoch anyway (the artifact is marked cross_epoch; absolute "
+             "ratios are then machine-drift-confounded — the r8 lesson)",
+    )
     args = parser.parse_args()
 
     DST = os.path.join(REPO, ".scaledata", f"x{args.copies}")
@@ -260,6 +266,27 @@ def main() -> int:
         base = json.load(f)
     if base.get("sf") != 0.1 or base.get("errors"):
         raise SystemExit("BENCH_DETAIL.json is not a clean sf0.1 baseline")
+
+    # Epoch gate (round-9): t10x/t1x wall ratios are only meaningful when
+    # numerator and denominator come from the SAME host epoch — the r8
+    # mid-round reboot shifted JVM-heavy walls +20-35% on identical
+    # code+data. Refuse silently-confounded ratios; the remedy is
+    # re-running `python bench.py` to re-baseline on this epoch.
+    from datafusion_ray_spark.hostinfo import host_epoch, same_epoch
+
+    current_epoch = host_epoch()
+    if not same_epoch(base.get("epoch"), current_epoch):
+        msg = (
+            "BENCH_DETAIL.json was measured on host epoch "
+            f"{(base.get('epoch') or {}).get('epoch_id', '<unstamped>')} but "
+            f"this is epoch {current_epoch['epoch_id']} (reboot or hardware "
+            "change); absolute wall ratios would be machine-drift-"
+            "confounded. Re-baseline with `python bench.py`, or pass "
+            "--allow-cross-epoch to proceed with marked artifacts."
+        )
+        if not args.allow_cross_epoch:
+            raise SystemExit("scale_check: " + msg)
+        print("scale_check: WARNING " + msg, file=sys.stderr)
 
     ratio_limit = RATIO_LIMIT_PER_FACTOR * args.copies
     detail_path = os.path.join(REPO, ".scaledata", f"bench_x{args.copies}.json")
@@ -332,6 +359,9 @@ def main() -> int:
         "factor": args.copies,
         "base_sf": 0.1,
         "ratio_limit": ratio_limit,
+        "epoch": current_epoch,
+        "base_epoch_id": (base.get("epoch") or {}).get("epoch_id"),
+        "cross_epoch": not same_epoch(base.get("epoch"), current_epoch),
         "summary": {
             "n_queries": len(queries),
             "n_errors": len(x10.get("errors", {})),

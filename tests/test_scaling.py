@@ -51,6 +51,35 @@ def test_no_undocumented_superlinear_queries():
     )
 
 
+def test_scaling_artifact_is_intra_epoch():
+    """Round-9 epoch rule, machine-checked: a committed scaling artifact
+    whose 1x baseline came from a DIFFERENT host epoch is measuring
+    machine drift, not plans (the r8 mid-round reboot shifted JVM-heavy
+    walls +20-35% on identical code+data). Artifacts predating epoch
+    stamping carry no fields and are exempt (their adjudication lives in
+    SCALE.md); every newly generated artifact must be intra-epoch."""
+    art = _artifact()
+    if "cross_epoch" not in art:
+        pytest.skip("artifact predates epoch stamping")
+    assert art["cross_epoch"] is False, (
+        f"scaling ratios computed across host epochs "
+        f"({art.get('base_epoch_id')} -> {art['epoch']['epoch_id']}); "
+        "re-baseline with `python bench.py` then rerun scale_check"
+    )
+
+
+def test_host_epoch_shape_and_same_epoch_semantics():
+    from datafusion_ray_spark.hostinfo import host_epoch, same_epoch
+
+    e = host_epoch()
+    assert e["boot_id"] and len(e["epoch_id"]) == 12 and e["ncpu"] >= 1
+    assert host_epoch()["epoch_id"] == e["epoch_id"]  # stable within boot
+    assert same_epoch(e, e)
+    assert not same_epoch(e, {"epoch_id": "different00000"})
+    # unstamped baselines are UNKNOWN -> not comparable (safe direction)
+    assert not same_epoch(None, e) and not same_epoch(e, None)
+
+
 def test_known_superlinear_list_is_justified():
     from scale_check import KNOWN_SUPERLINEAR
 
