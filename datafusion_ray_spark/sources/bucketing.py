@@ -262,6 +262,7 @@ def compact_partitioned(
     if pre_swap_hook is not None:
         pre_swap_hook(path, new_location)
     retired = new_location + ".retired"
+    shutil.rmtree(retired, ignore_errors=True)  # stale crash leftover
     os.rename(path, retired)  # old generation intact, just aside
     os.rename(new_location, path)  # new generation live
     shutil.rmtree(retired, ignore_errors=True)  # old-generation GC
