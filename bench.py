@@ -329,6 +329,7 @@ def family_throughput() -> int:
     from datafusion_ray_spark.operators import dedup, similarity, text
     from datafusion_ray_spark.session import build_session
 
+    host_start = _host_load()
     spark = build_session(app_name="family_throughput")
     n_docs, n_vecs, dim = 200_000, 200_000, 64
 
@@ -409,6 +410,7 @@ def family_throughput() -> int:
               file=sys.stderr)
     from datafusion_ray_spark.hostinfo import host_epoch
 
+    host_end = _host_load()
     rec = {
         "metric": "family_throughput",
         "unit": "rows_per_sec",
@@ -416,6 +418,15 @@ def family_throughput() -> int:
         "dim": dim,
         "kernels": out,
         "epoch": host_epoch(),
+        # Same self-identification as the suite bench: kernel numbers
+        # taken under foreign load are not comparable across rounds
+        # (round-9: an intermittent foreign workload swung pq_encode 3x
+        # between back-to-back runs). Only the START load flags
+        # contention — this bench saturates all cores for ~a minute, so
+        # the END load1 is dominated by our own work by design.
+        "host": {"start": host_start, "end": host_end,
+                 "contended_at_start": host_start["load1_per_cpu"]
+                 > LOAD_WARN_THRESHOLD},
     }
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "THROUGHPUT.json")
