@@ -20,6 +20,7 @@ SCRIPTS = [
     "llm_pipeline.py",
     "behavior_analytics.py",
     "partitioned_tables.py",
+    "index_lifecycle.py",
 ]
 
 
