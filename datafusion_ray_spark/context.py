@@ -319,7 +319,7 @@ class DFRayContext:
             return df
 
         path = self._normalize_path(path)
-        if path.startswith("s3a://"):
+        if path.startswith(("s3a://", "gs://")):
             try:
                 df = self.spark.read.parquet(path)
                 df.limit(0).collect()  # surface missing-connector NOW
@@ -345,7 +345,21 @@ class DFRayContext:
                 if not missing_connector:
                     raise
                 logger.info(
-                    "s3a connector unavailable; distributed boto3 source"
+                    "object-store connector unavailable; "
+                    "distributed boto3 source"
+                )
+            if path.startswith("gs://"):
+                # GCS's documented S3-interoperability: the XML API speaks
+                # the S3 wire protocol at storage.googleapis.com with HMAC
+                # keys (pass via access_key/secret_key or the AWS env
+                # vars), so the same ranged-GET source scans gs:// tables
+                # when the GCS connector jar is absent — the scheme-based
+                # store registration the reference does for gs
+                # (/root/reference/src/util.rs:523-580). An explicit
+                # endpoint_url option still wins (tests point it at moto;
+                # private-cloud GCS endpoints are the production case).
+                options.setdefault(
+                    "endpoint_url", "https://storage.googleapis.com"
                 )
             from .sources.s3store import register_s3_parquet
 

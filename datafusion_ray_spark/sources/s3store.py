@@ -86,10 +86,14 @@ def _client(opts: dict):
 
 
 def _split_url(url: str) -> tuple[str, str]:
-    if url.startswith("s3a://"):
-        url = "s3://" + url[len("s3a://"):]
+    # gs:// rides the same S3 wire protocol through GCS's XML-interop
+    # endpoint (the facade sets endpoint_url=storage.googleapis.com);
+    # bucket/key semantics are identical.
+    for scheme in ("s3a://", "gs://"):
+        if url.startswith(scheme):
+            url = "s3://" + url[len(scheme):]
     if not url.startswith("s3://"):
-        raise ValueError(f"not an s3 url: {url}")
+        raise ValueError(f"not an s3/gs url: {url}")
     bucket, _, key = url[len("s3://"):].partition("/")
     return bucket, key
 

@@ -184,6 +184,26 @@ def test_facade_register_parquet_s3_fallback(spark, s3_endpoint, bucket):
     assert row["n"] == [25] and row["mn"] == [0]
 
 
+def test_facade_gs_interop_fallback(spark, s3_endpoint, bucket):
+    """gs:// engages the same tier-2 distributed source through GCS's
+    S3-interop endpoint when the GCS connector jar is absent. The
+    explicit endpoint_url override (pointed at moto here) is the exact
+    knob the real interop path turns — storage.googleapis.com is only
+    the default the facade fills in."""
+    from datafusion_ray_spark.context import DFRayContext
+
+    ctx = DFRayContext(spark=spark)
+    ctx.register_parquet(
+        "nation_gs", "gs://graft/tables/nation.parquet",
+        endpoint_url=s3_endpoint, access_key="testing",
+        secret_key="testing", region="us-east-1",
+    )
+    row = ctx.sql(
+        "SELECT COUNT(*) AS n, MAX(n_nationkey) AS mx FROM nation_gs"
+    ).collect()[0].to_pydict()
+    assert row["n"] == [25] and row["mx"] == [24]
+
+
 def test_missing_prefix_raises_cleanly(spark, s3_endpoint, bucket):
     with pytest.raises(Exception, match="no parquet objects|PATH_NOT_FOUND"):
         _read(spark, s3_endpoint, "s3://graft/nope").limit(1).collect()
