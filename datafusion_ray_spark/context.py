@@ -319,6 +319,44 @@ class DFRayContext:
             return df
 
         path = self._normalize_path(path)
+        if path.startswith(("http://", "https://")):
+            # Reference parity: its http object store serves parquet scans
+            # too (src/util.rs:523-580). The distributed ranged source
+            # needs Range support; servers without it degrade to the same
+            # driver-spool fallback register_csv uses.
+            try:
+                from .sources.httpparquet import register_http_parquet
+
+                register_http_parquet(self.spark)
+                reader = (
+                    self.spark.read.format("httpparquet").option("url", raw)
+                )
+                if columns:
+                    reader = reader.option("columns", ",".join(columns))
+                if filters:
+                    reader = reader.option(
+                        "filters", json.dumps(list(filters))
+                    )
+                for k, v in options.items():
+                    reader = reader.option(k, str(v))
+                df = reader.load()
+                df.limit(0).collect()  # surface Range/footer errors NOW
+                for col, op, val in filters or ():
+                    c = F.col(col)
+                    df = df.where(
+                        {"=": c == val, "==": c == val, "!=": c != val,
+                         "<": c < val, "<=": c <= val,
+                         ">": c > val, ">=": c >= val}[op]
+                    )
+                self._register(name, df, raw)
+                return
+            except Exception:
+                logger.info(
+                    "httpparquet datasource failed; driver-spool fallback"
+                )
+            path = self._fetch_url(raw)
+            self._register(name, shape(self.spark.read.parquet(path)), raw)
+            return
         if path.startswith(("s3a://", "gs://")):
             try:
                 df = self.spark.read.parquet(path)

@@ -1,0 +1,198 @@
+"""Distributed HTTP(S) parquet source — extends the reference's http
+object-store capability (``/root/reference/src/util.rs:523-580`` registers
+an http store from the URL scheme; its DataFusion scans then ranged-read
+parquet over it) to this engine's ``register_parquet("https://...")``.
+
+Same architecture as ``sources/s3store.py`` with urllib Range GETs in
+place of boto3 (one shared planning core — the row-group packer, the
+stats pruner, and the column projector are imported from there):
+
+- the PLANNER issues one size probe (HEAD, or a 1-byte Range GET when the
+  server hides Content-Length), parses the parquet FOOTER from a cached
+  tail fetch, and emits one input partition per ~``partition_bytes`` of
+  row groups — row groups refuted by the footer's min/max stats against
+  the user-declared ``filters`` are dropped here, driver-side;
+- EVERY EXECUTOR opens its own ranged reader and fetches exactly the
+  byte ranges its row groups (and, with ``columns``, only the projected
+  columns' pages) cover — Arrow batches out, never per-row Python.
+
+Servers without Range support cannot serve partial reads of a columnar
+file; the facade degrades to its driver-spool fallback (download once,
+read locally) rather than failing, same as ``register_csv``.
+"""
+
+from __future__ import annotations
+
+import io
+import urllib.request
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+from .s3store import (
+    DEFAULT_PARTITION_BYTES,
+    _FOOTER_PROBE,
+    _parse_columns,
+    _parse_filters,
+    _rg_may_match,
+)
+
+
+def _probe_size(url: str, timeout: float = 60.0) -> int:
+    """Object size via HEAD; falls back to a 1-byte Range GET's
+    Content-Range header (servers that hide Content-Length on HEAD)."""
+    req = urllib.request.Request(url, method="HEAD")
+    try:
+        with urllib.request.urlopen(req, timeout=timeout) as resp:  # noqa: S310 - user-supplied source
+            length = resp.headers.get("Content-Length")
+            if length:
+                return int(length)
+    except Exception:  # noqa: BLE001 - fall through to the Range probe
+        pass
+    req = urllib.request.Request(url, headers={"Range": "bytes=0-0"})
+    with urllib.request.urlopen(req, timeout=timeout) as resp:  # noqa: S310
+        rng = resp.headers.get("Content-Range", "")
+        if "/" in rng:
+            return int(rng.rsplit("/", 1)[1])
+    raise OSError(f"cannot determine object size for {url}")
+
+
+class _RangedHTTPFile(io.RawIOBase):
+    """Seekable read-only file over one HTTP object via Range GETs, with
+    the same cached-tail trick as ``_RangedS3File``: footer parsing costs
+    ONE request, data pages outside the tail pay their own ranged GETs."""
+
+    def __init__(self, url: str, size: int, timeout: float = 60.0):
+        self._url, self._size, self._timeout = url, size, timeout
+        self._pos = 0
+        self._tail_start = max(0, size - _FOOTER_PROBE)
+        self._tail: bytes | None = None
+
+    def seekable(self) -> bool:
+        return True
+
+    def readable(self) -> bool:
+        return True
+
+    def seek(self, pos: int, whence: int = 0) -> int:
+        self._pos = (
+            pos if whence == 0
+            else self._pos + pos if whence == 1
+            else self._size + pos
+        )
+        return self._pos
+
+    def tell(self) -> int:
+        return self._pos
+
+    def _get(self, start: int, end: int) -> bytes:
+        req = urllib.request.Request(
+            self._url, headers={"Range": f"bytes={start}-{end}"}
+        )
+        with urllib.request.urlopen(req, timeout=self._timeout) as resp:  # noqa: S310
+            if resp.status != 206:
+                raise OSError(
+                    f"server ignored Range request for {self._url} "
+                    f"(HTTP {resp.status}); ranged parquet reads need "
+                    "Accept-Ranges: bytes"
+                )
+            return resp.read()
+
+    def read(self, n: int = -1) -> bytes:
+        if n is None or n < 0:
+            end = self._size - 1
+        else:
+            end = min(self._pos + n, self._size) - 1
+        if end < self._pos:
+            return b""
+        if self._pos >= self._tail_start and self._size > 0:
+            if self._tail is None:
+                self._tail = self._get(self._tail_start, self._size - 1)
+            off = self._pos - self._tail_start
+            data = self._tail[off : end - self._tail_start + 1]
+            self._pos += len(data)
+            return data
+        data = self._get(self._pos, end)
+        self._pos += len(data)
+        return data
+
+
+class HTTPParquetDataSource(DataSource):
+    """``spark.read.format("httpparquet").option("url", "https://...")``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "httpparquet"
+
+    def schema(self):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        opts = dict(self.options)
+        url = opts["url"]
+        pf = pq.ParquetFile(_RangedHTTPFile(url, _probe_size(url)))
+        arrow_schema = pf.schema_arrow
+        cols = _parse_columns(opts)
+        if cols:
+            arrow_schema = pa.schema([arrow_schema.field(c) for c in cols])
+        _parse_filters(opts)  # validate triples at planning time
+        return from_arrow_schema(arrow_schema)
+
+    def reader(self, schema):
+        return _HTTPParquetReader(schema, dict(self.options))
+
+
+class _HTTPParquetReader(DataSourceReader):
+    def __init__(self, schema, options: dict):
+        self.schema = schema
+        self.options = options
+        self.part_bytes = int(
+            options.get("partition_bytes", DEFAULT_PARTITION_BYTES)
+        )
+        self._parts: list | None = None
+
+    def partitions(self):
+        if self._parts is None:
+            import pyarrow.parquet as pq
+
+            url = self.options["url"]
+            size = _probe_size(url)
+            meta = pq.ParquetFile(_RangedHTTPFile(url, size)).metadata
+            filters = _parse_filters(self.options)
+            col_idx: dict[str, int] = {}
+            if filters and meta.num_row_groups:
+                rg0 = meta.row_group(0)
+                col_idx = {
+                    rg0.column(i).path_in_schema: i
+                    for i in range(rg0.num_columns)
+                }
+            parts = []
+            run: list[int] = []
+            run_bytes = 0
+            for rg in range(meta.num_row_groups):
+                if filters and not _rg_may_match(meta, rg, col_idx, filters):
+                    continue
+                rg_bytes = meta.row_group(rg).total_byte_size
+                if run and run_bytes + rg_bytes > self.part_bytes:
+                    parts.append((size, run))
+                    run, run_bytes = [], 0
+                run.append(rg)
+                run_bytes += rg_bytes
+            if run:
+                parts.append((size, run))
+            self._parts = [InputPartition(p) for p in parts]
+        return self._parts
+
+    def read(self, partition):
+        import pyarrow.parquet as pq
+
+        size, row_groups = partition.value
+        pf = pq.ParquetFile(_RangedHTTPFile(self.options["url"], size))
+        cols = _parse_columns(self.options)
+        for batch in pf.iter_batches(row_groups=row_groups, columns=cols):
+            yield batch.select(cols) if cols else batch
+
+
+def register_http_parquet(spark) -> None:
+    """Idempotently register the ``httpparquet`` format on a session."""
+    spark.dataSource.register(HTTPParquetDataSource)

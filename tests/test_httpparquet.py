@@ -1,0 +1,175 @@
+"""Distributed HTTP(S) parquet source: row-group-ranged partitioning
+end-to-end against a local Range-supporting HTTP server, user-declared
+projection/stats-pruning byte accounting, the no-Range driver-spool
+degradation, and DuckDB value certification."""
+
+from __future__ import annotations
+
+import http.server
+import io
+import os
+import threading
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_SMALL", "/root/testdata/sf0.001")
+
+
+def _parquet_payload() -> bytes:
+    t = pa.table({
+        "k": list(range(80_000)),  # ascending -> tight row-group stats
+        "v": [float(i % 997) for i in range(80_000)],
+        # unique per row so dictionary encoding can't collapse the column
+        "s": [f"payload-{i:012d}-{(i * 2654435761) % 10**12:012d}"
+              for i in range(80_000)],
+    })
+    buf = io.BytesIO()
+    pq.write_table(t, buf, row_group_size=10_000)
+    return buf.getvalue()
+
+
+class _RangeHandler(http.server.BaseHTTPRequestHandler):
+    payload = _parquet_payload()
+    support_ranges = True
+    bytes_served = 0
+
+    def log_message(self, *a):  # quiet
+        pass
+
+    def do_HEAD(self):
+        self.send_response(200)
+        self.send_header("Content-Length", str(len(self.payload)))
+        if self.support_ranges:
+            self.send_header("Accept-Ranges", "bytes")
+        self.end_headers()
+
+    def do_GET(self):
+        rng = self.headers.get("Range")
+        if rng and self.support_ranges:
+            spec = rng.split("=", 1)[1]
+            s, e = spec.split("-", 1)
+            start = int(s)
+            if start >= len(self.payload):
+                self.send_response(416)
+                self.end_headers()
+                return
+            end = min(int(e) if e else len(self.payload) - 1,
+                      len(self.payload) - 1)
+            body = self.payload[start : end + 1]
+            self.send_response(206)
+            self.send_header(
+                "Content-Range",
+                f"bytes {start}-{end}/{len(self.payload)}",
+            )
+        else:
+            body = self.payload
+            self.send_response(200)
+        type(self).bytes_served += len(body)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+
+@pytest.fixture()
+def http_url():
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _RangeHandler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    _RangeHandler.support_ranges = True
+    _RangeHandler.bytes_served = 0
+    yield f"http://127.0.0.1:{srv.server_address[1]}/data.parquet"
+    srv.shutdown()
+
+
+def _read(spark, url, **opts):
+    from datafusion_ray_spark.sources.httpparquet import register_http_parquet
+
+    register_http_parquet(spark)
+    reader = spark.read.format("httpparquet").option("url", url)
+    for k, v in opts.items():
+        reader = reader.option(k, str(v))
+    return reader.load()
+
+
+def test_http_parquet_row_group_fanout_and_values(spark, http_url):
+    df = _read(spark, http_url, partition_bytes=1)
+    assert df.rdd.getNumPartitions() == 8  # one per row group
+    got = sorted(
+        (r["k"], r["v"]) for r in df.select("k", "v").collect()
+    )
+    assert len(got) == 80_000
+    assert got[0] == (0, 0.0) and got[-1][0] == 79_999
+
+
+def test_http_parquet_projection_and_stats_pruning(spark, http_url):
+    # baseline transfer for the full table
+    _RangeHandler.bytes_served = 0
+    full = _read(spark, http_url, partition_bytes=1)
+    assert full.count() == 80_000
+    full_bytes = _RangeHandler.bytes_served
+
+    # projection must skip the wide unique-string column's pages
+    _RangeHandler.bytes_served = 0
+    proj = _read(spark, http_url, partition_bytes=1, columns="k,v")
+    assert proj.columns == ["k", "v"] and proj.count() == 80_000
+    assert _RangeHandler.bytes_served < full_bytes * 0.8
+
+    # a k>=60000 filter refutes 6 of 8 row groups from footer stats
+    _RangeHandler.bytes_served = 0
+    filt = _read(
+        spark, http_url, partition_bytes=1,
+        filters='[["k", ">=", 60000]]',
+    )
+    assert filt.rdd.getNumPartitions() == 2
+    assert 20_000 <= filt.count() < 80_000
+    assert _RangeHandler.bytes_served < full_bytes / 2
+
+
+def test_facade_http_parquet_exact_and_oracle(spark, http_url):
+    """register_parquet('http://...') serves SQL with EXACT filter
+    semantics (where() above the pruned scan), certified against DuckDB
+    computing the same aggregate from the same bytes."""
+    from datafusion_ray_spark.context import DFRayContext
+
+    ctx = DFRayContext(spark=spark)
+    ctx.register_parquet(
+        "http_tbl", http_url,
+        columns=["k", "v"], filters=[["k", ">=", 60000]],
+    )
+    got = ctx.sql(
+        "SELECT COUNT(*) AS n, MIN(k) AS mn, SUM(v) AS sv FROM http_tbl"
+    ).collect()[0].to_pydict()
+    import tempfile
+
+    con = duckdb.connect()
+    with tempfile.NamedTemporaryFile(suffix=".parquet", delete=False) as f:
+        f.write(_RangeHandler.payload)
+    want = con.sql(
+        f"SELECT COUNT(*) AS n, MIN(k) AS mn, SUM(v) AS sv FROM '{f.name}' "
+        "WHERE k >= 60000"
+    ).fetchone()
+    os.unlink(f.name)
+    assert (got["n"][0], got["mn"][0], round(got["sv"][0], 6)) == (
+        want[0], want[1], round(want[2], 6)
+    )
+
+
+def test_http_parquet_no_range_degrades_to_driver_spool(spark, http_url):
+    """A server without Range support cannot serve partial columnar
+    reads; the facade's driver-spool fallback still registers the table
+    with identical rows."""
+    from datafusion_ray_spark.context import DFRayContext
+
+    _RangeHandler.support_ranges = False
+    try:
+        ctx = DFRayContext(spark=spark)
+        ctx.register_parquet("http_spooled", http_url)
+        row = ctx.sql(
+            "SELECT COUNT(*) AS n, MAX(k) AS mx FROM http_spooled"
+        ).collect()[0].to_pydict()
+        assert row["n"] == [80_000] and row["mx"] == [79_999]
+    finally:
+        _RangeHandler.support_ranges = True
