@@ -53,6 +53,12 @@ def _probe_size(url: str, timeout: float = 60.0) -> int:
         rng = resp.headers.get("Content-Range", "")
         if "/" in rng:
             return int(rng.rsplit("/", 1)[1])
+        # Range-less server answering 200: its Content-Length IS the
+        # object size (the body is discarded; the ranged reader will
+        # fail loudly on the first real read and the facade spools).
+        length = resp.headers.get("Content-Length")
+        if resp.status == 200 and length:
+            return int(length)
     raise OSError(f"cannot determine object size for {url}")
 
 

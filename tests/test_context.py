@@ -237,3 +237,32 @@ def test_execution_metrics_expose_runtime_counters(spark, sf_dir):
     # map-side combine: the exchange carries per-partition groups, not rows
     assert shuffled <= 3 * 32
     assert shuffled < df.df.sparkSession.table("lineitem").count()
+
+
+def test_register_parquet_local_pushdown_options(spark, sf_dir):
+    """columns/filters on a LOCAL path apply the same projection + exact
+    where() as the object-store tiers, and Catalyst pushes both into the
+    parquet scan (PushedFilters + a pruned ReadSchema)."""
+    import os
+
+    from datafusion_ray_spark.context import DFRayContext
+
+    ctx = DFRayContext(spark=spark)
+    ctx.register_parquet(
+        "li_pushdown", os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_quantity"],
+        filters=[["l_quantity", ">=", 30]],
+    )
+    df = ctx.sql("SELECT * FROM li_pushdown")
+    assert [f.name for f in df.schema()] == ["l_orderkey", "l_quantity"]
+    plan = df.execution_plan()
+    assert (
+        "PushedFilters: [IsNotNull(l_quantity), "
+        "GreaterThanOrEqual(l_quantity" in plan
+    ), "filter must reach the parquet scan"
+    want = (
+        spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+        .where("l_quantity >= 30").count()
+    )
+    got = sum(b.num_rows for b in df.collect())
+    assert got == want > 0
