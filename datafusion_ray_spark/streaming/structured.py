@@ -1140,3 +1140,56 @@ def index_ingest_stream(
         )
         .start()
     )
+
+
+def ivf_ingest_stream(
+    embeddings: DataFrame,
+    path: str,
+    centroids: list,
+    checkpoint_dir: str | None = None,
+    compact_every_n_triggers: int | None = None,
+) -> "object":
+    """Continuous maintenance of the persisted cell-partitioned IVF index
+    — the embeddings-side twin of :func:`index_ingest_stream` (a vector
+    store ingests continuously; the corpus index must never be rebuilt
+    per batch).
+
+    Each arriving micro-batch of ``(vec_id, embedding)`` rows is assigned
+    with the FROZEN centroid codebook (``centroids``, trained at snapshot
+    time — incremental maintenance must not move cell boundaries) and
+    landed with ``mode("append")`` under the same ``partitionBy("cell")``
+    layout the batch operators write: at most one NEW file per touched
+    cell per trigger, existing files byte-untouched, directory-level
+    PartitionFilters pruning intact for every probe between triggers.
+
+    ``compact_every_n_triggers`` runs the generation-then-swap
+    cell compactor (``sources.bucketing.compact_partitioned``) inside
+    ``foreachBatch`` every Nth committed batch — serialized with appends,
+    cadence keyed on the checkpointed batch_id. Same at-least-once
+    semantics as the LSH twin: re-delivered batches re-append identical
+    (vec_id, cell) rows, which the searcher's ``DISTINCT``/top-k makes
+    idempotent for answers; pass a durable ``checkpoint_dir`` across
+    restarts or the source replays from scratch.
+
+    Returns the started StreamingQuery (caller awaits termination).
+    """
+    from ..operators.suite7 import _ivf_write
+    from ..sources.bucketing import compact_partitioned
+
+    def land(batch_df: DataFrame, batch_id: int) -> None:
+        _ivf_write(batch_df, centroids, path, "append")
+        if (
+            compact_every_n_triggers
+            and (batch_id + 1) % compact_every_n_triggers == 0
+        ):
+            compact_partitioned(batch_df.sparkSession, path, "cell")
+
+    return (
+        embeddings.writeStream.foreachBatch(land)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            checkpoint_dir or tempfile.mkdtemp(prefix="dfrs_ivf_ingest_ckpt_"),
+        )
+        .start()
+    )

@@ -767,3 +767,53 @@ def test_streaming_index_ingest_compaction_cadence(spark, sf_dir, tmp_path):
     ]
     assert [tuple(r) for r in probe.collect()] == want and len(want) > 0
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_streaming_ivf_ingest_with_compaction_cadence(spark, sf_dir, tmp_path):
+    """The embeddings-side streaming maintenance twin: micro-batches of
+    embeddings appended into the cell-partitioned IVF index under the
+    FROZEN codebook, with in-stream compaction every K triggers. End
+    state: one file per cell, search equal to the one-shot index built
+    over snapshot ∪ all batches."""
+    import glob as _glob
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from datafusion_ray_spark.operators import suite7 as s7
+    from datafusion_ray_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = s7._ivf_codebook(emb)
+    snapshot = emb.where(F.col("vec_id") % 7 != 3)
+    batch = emb.where(F.col("vec_id") % 7 == 3)
+
+    path = str(tmp_path / "stream_ivf_index")
+    s7._ivf_write(snapshot, centroids, path, "overwrite")
+
+    # the arriving batch split across 3 files + maxFilesPerTrigger=1 ->
+    # 3 micro-batches; cadence 3 -> one compaction after the last append
+    src_dir = str(tmp_path / "arriving_vecs")
+    batch.repartition(3).write.parquet(src_dir)
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = structured.ivf_ingest_stream(
+        stream, path, centroids,
+        checkpoint_dir=str(tmp_path / "ivf_ckpt"),
+        compact_every_n_triggers=3,
+    )
+    q.awaitTermination()
+    assert q.lastProgress is not None
+
+    for d in _glob.glob(_os.path.join(path, "cell=*")):
+        files = _glob.glob(_os.path.join(d, "*.parquet"))
+        assert len(files) == 1, f"{d}: {len(files)} files after compaction"
+    assert not _glob.glob(path + ".gen*"), "generation dirs not GC'd"
+
+    got = [tuple(r) for r in
+           s7._ivf_search(spark, sf_dir, path, centroids).collect()]
+    want = [tuple(r) for r in s7.run_ivf_persist(spark, sf_dir).collect()]
+    assert got == want and len(got) == 10
