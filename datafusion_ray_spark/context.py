@@ -437,7 +437,44 @@ class DFRayContext:
         Servers without Range support degrade to one executor-side
         partition; if the datasource path fails entirely, the driver-spool
         fallback still registers the table.
+
+        ``s3://`` CSV follows the same two tiers as parquet: the s3a
+        connector when its jars are present, else a presigned GET URL
+        (boto3, ``presign_expiry`` seconds, default 3600) feeds the SAME
+        distributed Range-partitioned HTTP source — S3 serves Range
+        requests natively, so a jar-less environment still scans S3 CSV
+        in parallel. Credentials/endpoint options (``endpoint_url``,
+        ``access_key``/``secret_key``, ``region``) match the parquet tier.
         """
+        if path.startswith(("s3://", "s3a://")):
+            s3a = self._normalize_path(path)
+            try:
+                opts = {"header": "true", "inferSchema": "true"}
+                opts.update({k: str(v) for k, v in options.items()})
+                df = self.spark.read.options(**opts).csv(s3a)
+                df.limit(0).collect()  # surface missing-connector NOW
+                self._register(name, df, s3a)
+                return
+            except Exception as exc:
+                msg = f"{type(exc).__name__}: {exc}"
+                if not any(s in msg for s in (
+                    "No FileSystem for scheme", "ClassNotFoundException",
+                    "NoClassDefFoundError", "UnsupportedFileSystemException",
+                )):
+                    raise  # real failure (auth, missing key): fail loud
+                logger.info("s3a connector unavailable; presigned-URL tier")
+            from .sources.s3store import _client, _split_url
+
+            s3_opts = {k: str(v) for k, v in options.items()}
+            bucket, key = _split_url(path)
+            path = _client(s3_opts).generate_presigned_url(
+                "get_object",
+                Params={"Bucket": bucket, "Key": key},
+                ExpiresIn=int(options.pop("presign_expiry", 3600)),
+            )
+            for drop in ("endpoint_url", "access_key", "secret_key",
+                         "region", "anon", "presign_expiry"):
+                options.pop(drop, None)
         if path.startswith(("http://", "https://")):
             try:
                 from .sources.httpcsv import register_http_csv
