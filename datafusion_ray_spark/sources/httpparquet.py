@@ -190,6 +190,10 @@ class _HTTPParquetReader(DataSourceReader):
         return self._parts
 
     def read(self, partition):
+        # Empty plan (all row groups filter-refuted) -> pyspark passes one
+        # None partition in place of the empty list; yield nothing.
+        if partition is None:
+            return
         import pyarrow.parquet as pq
 
         size, row_groups = partition.value

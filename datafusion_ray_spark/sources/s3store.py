@@ -374,6 +374,12 @@ class _S3ParquetReader(DataSourceReader):
         return self._parts
 
     def read(self, partition):
+        # A legitimately EMPTY plan (every row group refuted by the filter
+        # stats) comes back here as a single None partition: pyspark's
+        # plan_data_source_read substitutes [None] when partitions()
+        # returns [] — yield nothing instead of dereferencing it.
+        if partition is None:
+            return
         import pyarrow.parquet as pq
 
         key, size, row_groups = partition.value

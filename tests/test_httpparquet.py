@@ -128,6 +128,19 @@ def test_http_parquet_projection_and_stats_pruning(spark, http_url):
     assert _RangeHandler.bytes_served < full_bytes / 2
 
 
+def test_http_parquet_all_row_groups_pruned_returns_empty(spark, http_url):
+    """A legitimate all-excluding filter (k >= max+1 refutes EVERY row
+    group from footer stats) must return 0 rows, not crash: pyspark
+    substitutes a single None partition when partitions() plans empty
+    (advisor round-9 medium)."""
+    df = _read(
+        spark, http_url, partition_bytes=1,
+        filters='[["k", ">=", 80000]]',
+    )
+    assert df.count() == 0
+    assert df.columns == ["k", "v", "s"]  # schema survives the empty plan
+
+
 def test_facade_http_parquet_exact_and_oracle(spark, http_url):
     """register_parquet('http://...') serves SQL with EXACT filter
     semantics (where() above the pruned scan), certified against DuckDB

@@ -318,6 +318,19 @@ def test_projection_and_stats_pruning_reduce_transfer(s3_endpoint, bucket):
     assert 50_000 <= rows_filt < rows_full
 
 
+def test_all_row_groups_pruned_returns_empty(spark, s3_endpoint, bucket):
+    """An all-excluding filter (k >= max+1: every row group's footer
+    stats refute it) plans ZERO partitions; pyspark substitutes [None]
+    for an empty plan, so read(None) must yield nothing instead of
+    crashing (advisor round-9 medium)."""
+    df = _read(
+        spark, s3_endpoint, "s3://graft/big/pushdown.parquet",
+        partition_bytes=1, filters='[["k", ">=", 200000]]',
+    )
+    assert df.count() == 0
+    assert df.columns == ["k", "v", "s"]
+
+
 def test_facade_projection_filters_identical_results(
     spark, s3_endpoint, bucket
 ):
