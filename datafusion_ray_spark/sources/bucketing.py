@@ -98,34 +98,83 @@ def append_bucketed(
     _save_bucketed(df, table, keys, n_buckets, sort, "append", None, file_format)
 
 
+def _sql_str(value: str) -> str:
+    """Escape a string for interpolation into a SQL string literal."""
+    return value.replace("'", "''")
+
+
+def _sql_ident(name: str) -> str:
+    """Backtick-quote a (possibly dotted) table identifier so names that
+    need quoting cannot break interpolated DDL."""
+    return ".".join(
+        "`" + part.replace("`", "``") + "`" for part in name.split(".")
+    )
+
+
 def table_location(spark: SparkSession, table: str) -> str:
     """Filesystem location backing a catalog table (``file:`` stripped)."""
     loc = (
-        spark.sql(f"DESCRIBE FORMATTED {table}")
+        spark.sql(f"DESCRIBE FORMATTED {_sql_ident(table)}")
         .where("col_name = 'Location'")
         .collect()[0]["data_type"]
     )
     return loc[len("file:"):] if loc.startswith("file:") else loc
 
 
+def _generation_base(location: str) -> str:
+    import re
+
+    return re.sub(r"\.gen\d+(?:\.retired)?$", "", location.rstrip("/"))
+
+
 def _next_generation(location: str) -> str:
     """Versioned sibling location for the next index generation:
     ``<base>.gen<N>`` with N = 1 + the highest existing generation (the
     current location may itself be a ``.gen<K>`` from a prior compaction,
-    so generations never collide and never nest suffixes)."""
+    and retired generations awaiting GC also reserve their number, so
+    generations never collide and never nest suffixes)."""
     import glob
     import re
 
-    base = re.sub(r"\.gen\d+$", "", location.rstrip("/"))
+    base = _generation_base(location)
     taken = {0}
     for p in glob.glob(base + ".gen*"):
-        m = re.search(r"\.gen(\d+)$", p)
+        m = re.search(r"\.gen(\d+)(?:\.retired)?$", p)
         if m:
             taken.add(int(m.group(1)))
     if base != location.rstrip("/"):
         m = re.search(r"\.gen(\d+)$", location.rstrip("/"))
-        taken.add(int(m.group(1)))
+        if m:
+            taken.add(int(m.group(1)))
     return f"{base}.gen{max(taken) + 1}"
+
+
+def gc_generations(live_location: str) -> list[str]:
+    """Delete every RETIRED generation of an index — the sibling
+    ``<base>``/``<base>.gen<N>``/``<base>.gen<N>.retired`` directories
+    that are not the live one — and return the deleted paths.
+
+    Old-generation deletion is DEFERRED by default (``gc_old=False`` on
+    the compactors): a reader that planned its scan against the old
+    generation keeps a valid file listing through the swap and finishes
+    undisturbed; the retired directory survives until this GC pass runs.
+    The compactors call it at the START of the next compaction, so the
+    grace window is one full compaction cycle — call it directly for an
+    eager sweep once no reader can hold the old listing."""
+    import glob
+    import os
+    import shutil
+
+    live = os.path.normpath(live_location.rstrip("/"))
+    base = _generation_base(live)
+    candidates = {base, *glob.glob(base + ".gen*")}
+    deleted = []
+    for path in sorted(candidates):
+        if os.path.normpath(path) == live or not os.path.isdir(path):
+            continue
+        shutil.rmtree(path, ignore_errors=True)
+        deleted.append(path)
+    return deleted
 
 
 def compact_bucketed(
@@ -135,6 +184,7 @@ def compact_bucketed(
     n_buckets: int = 32,
     sort: bool = True,
     pre_swap_hook=None,
+    gc_old: bool = False,
 ) -> int:
     """Compact an appended-to bucketed table back to ONE file per bucket
     (and restore the full within-bucket sort the appends fragmented),
@@ -146,10 +196,16 @@ def compact_bucketed(
     from the old files — nothing pins the table in executor memory and
     nothing overwrites in place. After a row-count check against the old
     generation, the catalog entry is repointed in ONE metastore operation
-    (``ALTER TABLE ... SET LOCATION``) — the atomic commit — and only then
-    is the old generation deleted. A failure at ANY earlier step leaves
-    the table serving the old generation untouched; a failure after the
-    swap leaves at worst an orphaned old directory for GC.
+    (``ALTER TABLE ... SET LOCATION``) — the atomic commit. The old
+    generation is NOT deleted at swap time (``gc_old=False`` default): a
+    concurrent reader mid-scan on the old files finishes undisturbed, and
+    the retired directory is swept by :func:`gc_generations` — invoked
+    here at the start of the NEXT compaction, so the grace window is one
+    full compaction cycle. ``gc_old=True`` restores eager deletion for
+    callers that know no concurrent reader exists. A failure at ANY step
+    before the swap leaves the table serving the old generation
+    untouched; a failure after it leaves at worst an orphaned retired
+    directory for the next GC pass.
 
     ``pre_swap_hook(old_location, new_location)`` is a test seam invoked
     after the new generation is written+verified but before the swap —
@@ -163,6 +219,7 @@ def compact_bucketed(
     import shutil
 
     location = table_location(spark, table)
+    gc_generations(location)  # sweep generations retired >=1 cycle ago
     new_location = _next_generation(location)
     n_before = len(glob.glob(os.path.join(location, "*.parquet")))
     rows_before = spark.table(table).count()  # parquet metadata-only
@@ -191,7 +248,7 @@ def compact_bucketed(
                 f"{rows_before} -> {rows_new}; keeping the old generation"
             )
     except BaseException:
-        spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+        spark.sql(f"DROP TABLE IF EXISTS {_sql_ident(tmp)}")
         shutil.rmtree(new_location, ignore_errors=True)
         raise
     if pre_swap_hook is not None:
@@ -200,10 +257,14 @@ def compact_bucketed(
     # (bucket spec is table metadata and survives; refresh drops the
     # cached file listing). Everything before this is invisible to
     # readers; everything after is cleanup.
-    spark.sql(f"ALTER TABLE {table} SET LOCATION '{new_location}'")
-    spark.sql(f"DROP TABLE IF EXISTS {tmp}")  # external: files survive
+    spark.sql(
+        f"ALTER TABLE {_sql_ident(table)} "
+        f"SET LOCATION '{_sql_str(new_location)}'"
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {_sql_ident(tmp)}")  # files survive
     spark.catalog.refreshTable(table)
-    shutil.rmtree(location, ignore_errors=True)  # old-generation GC
+    if gc_old:
+        shutil.rmtree(location, ignore_errors=True)
     return n_before
 
 
@@ -212,6 +273,7 @@ def compact_partitioned(
     path: str,
     partition_col: str = "cell",
     pre_swap_hook=None,
+    gc_old: bool = False,
 ) -> int:
     """Compact a ``partitionBy(partition_col)`` parquet directory (the
     persisted IVF index layout) back to ONE file per partition directory —
@@ -223,10 +285,18 @@ def compact_partitioned(
     ``<path>.gen<N>`` before the live directory is touched; the swap is
     two renames ordered so data is never lost (old aside first, new into
     place second — a crash between them leaves BOTH generations on disk,
-    recoverable by hand or rerun), then the old generation is deleted.
-    On an object store / real deployment the swap is a catalog or view
-    repoint exactly like :func:`compact_bucketed`'s ``ALTER TABLE``;
-    directory rename is the local-filesystem stand-in.
+    recoverable by hand or rerun). The retired old generation is NOT
+    deleted at swap time (``gc_old=False`` default — same deferred-GC
+    grace window as :func:`compact_bucketed`): it survives as
+    ``<path>.gen<N>.retired`` until :func:`gc_generations` sweeps it at
+    the start of the next compaction. Note the path-addressed swap is
+    inherently rename-based, so a reader that resolves files BY PATH
+    mid-swap can still observe the move — on an object store / real
+    deployment the swap is a catalog or view repoint exactly like
+    :func:`compact_bucketed`'s ``ALTER TABLE`` (the rename story is the
+    LOCAL-FILESYSTEM stand-in and is load-bearing: object stores have no
+    atomic directory rename — an s3://-backed index needs the manifest/
+    catalog repoint, not this function).
 
     Directory-level partition pruning (``PartitionFilters`` on
     ``partition_col``) is a property of the layout, which compaction
@@ -239,6 +309,7 @@ def compact_partitioned(
 
     from pyspark.sql import functions as F
 
+    gc_generations(path)  # sweep generations retired >=1 cycle ago
     n_before = len(glob.glob(os.path.join(path, "*", "*.parquet")))
     df = spark.read.parquet(path)
     rows_before = df.count()  # parquet metadata-only
@@ -265,7 +336,8 @@ def compact_partitioned(
     shutil.rmtree(retired, ignore_errors=True)  # stale crash leftover
     os.rename(path, retired)  # old generation intact, just aside
     os.rename(new_location, path)  # new generation live
-    shutil.rmtree(retired, ignore_errors=True)  # old-generation GC
+    if gc_old:
+        shutil.rmtree(retired, ignore_errors=True)
     return n_before
 
 

@@ -208,7 +208,9 @@ def test_compact_bucketed_restores_one_file_per_bucket(spark, sf_dir):
     Compaction is generation-then-swap (round-9): the new generation is
     written to a versioned sibling location while EVERY old file survives
     byte-identical until the catalog swap commits (asserted inside the
-    pre-swap seam); after the swap the old generation is GC'd."""
+    pre-swap seam); after the swap the old generation survives a grace
+    window (deferred GC — a reader mid-scan on the old listing finishes
+    undisturbed) until gc_generations sweeps it."""
     import glob as _glob
     import os as _os
     import tempfile as _tf
@@ -252,13 +254,24 @@ def test_compact_bucketed_restores_one_file_per_bucket(spark, sf_dir):
         pre_swap_hook=check_pre_swap,
     )
     assert n == files_before
-    # the table now serves the new generation; the old one is GC'd
+    # the table now serves the new generation; the old one is RETIRED but
+    # still on disk byte-identical (deferred GC: concurrent readers on
+    # the old file listing finish undisturbed)
     new_loc = table_location(spark, table)
     assert _os.path.normpath(new_loc) == _os.path.normpath(seen["new_loc"])
     files_after = len(_glob.glob(_os.path.join(new_loc, "*.parquet")))
     assert files_after == 32, f"{files_after} files after compaction"
-    assert not _os.path.exists(path), "old generation not GC'd after swap"
+    still = {
+        f: _os.path.getsize(f)
+        for f in _glob.glob(_os.path.join(path, "*.parquet"))
+    }
+    assert still == old_files, "grace window violated: old gen touched"
     assert spark.table(table).count() == rows_before
+    # an explicit GC pass (what the NEXT compaction runs first) sweeps it
+    from datafusion_ray_spark.sources.bucketing import gc_generations
+
+    assert path in {_os.path.normpath(p) for p in gc_generations(new_loc)}
+    assert not _os.path.exists(path), "old generation survived GC"
 
     # the operator's real probe against the COMPACTED index returns the
     # same certified answer, and nothing reshuffles the index side (the
@@ -330,7 +343,17 @@ def test_compact_partitioned_ivf_generation_swap(spark, sf_dir):
     assert n == len(old_files)
     for d in _glob.glob(_os.path.join(path, "cell=*")):
         assert len(_glob.glob(_os.path.join(d, "*.parquet"))) == 1
-    assert not _glob.glob(path + ".gen*"), "generation dirs not GC'd"
+    # deferred GC: the old generation is retired aside, files intact
+    retired = _glob.glob(path + ".gen*.retired")
+    assert len(retired) == 1, "retired old generation missing"
+    assert {
+        _os.path.relpath(f, retired[0]): _os.path.getsize(f)
+        for f in _glob.glob(_os.path.join(retired[0], "cell=*", "*.parquet"))
+    } == {_os.path.relpath(f, path): size for f, size in old_files.items()}
+    from datafusion_ray_spark.sources.bucketing import gc_generations
+
+    gc_generations(path)
+    assert not _glob.glob(path + ".gen*"), "generation dirs survived GC"
     out = s7._ivf_search(spark, sf_dir, path, centroids)
     got = [tuple(r) for r in out.collect()]
     assert got == want and len(got) == 10
