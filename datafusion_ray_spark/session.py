@@ -41,6 +41,12 @@ ENGINE_DEFAULTS: dict[str, str] = {
     # driver/Python boundary.
     "spark.sql.execution.arrow.maxRecordsPerBatch": "8192",
     "spark.sql.session.timeZone": "UTC",
+    # Python Data Source predicate pushdown (Spark 4.1): lets the
+    # s3parquet/httpparquet readers' pushFilters receive Catalyst's
+    # predicates for footer-stats row-group pruning. Spark ERRORS (rather
+    # than silently skipping) on a pushFilters-implementing source when
+    # this is off, so the engine turns it on everywhere.
+    "spark.sql.python.filterPushdown.enabled": "true",
     "spark.ui.showConsoleProgress": "false",
     "spark.ui.enabled": "false",
     # Deterministic timestamp behavior for the oracle comparison.

@@ -11,7 +11,8 @@ stats pruner, and the column projector are imported from there):
   server hides Content-Length), parses the parquet FOOTER from a cached
   tail fetch, and emits one input partition per ~``partition_bytes`` of
   row groups — row groups refuted by the footer's min/max stats against
-  the user-declared ``filters`` are dropped here, driver-side;
+  Catalyst's pushed predicates (``pushFilters``, round-10) or the
+  user-declared ``filters`` option are dropped here, driver-side;
 - EVERY EXECUTOR opens its own ranged reader and fetches exactly the
   byte ranges its row groups (and, with ``columns``, only the projected
   columns' pages) cover — Arrow batches out, never per-row Python.
@@ -31,9 +32,11 @@ from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 from .s3store import (
     DEFAULT_PARTITION_BYTES,
     _FOOTER_PROBE,
+    _enable_python_filter_pushdown,
     _parse_columns,
     _parse_filters,
     _rg_may_match,
+    _triples_from_pushed,
 )
 
 
@@ -156,6 +159,15 @@ class _HTTPParquetReader(DataSourceReader):
             options.get("partition_bytes", DEFAULT_PARTITION_BYTES)
         )
         self._parts: list | None = None
+        self._pushed: list[tuple[str, str, object]] = []
+
+    def pushFilters(self, filters):
+        """Same contract as ``_S3ParquetReader.pushFilters``: Catalyst's
+        predicates feed the footer-stats row-group pruner; every filter
+        is returned unconsumed so exact filtering stays above the scan."""
+        self._pushed = _triples_from_pushed(filters)
+        self._parts = None
+        return filters
 
     def partitions(self):
         if self._parts is None:
@@ -164,7 +176,7 @@ class _HTTPParquetReader(DataSourceReader):
             url = self.options["url"]
             size = _probe_size(url)
             meta = pq.ParquetFile(_RangedHTTPFile(url, size)).metadata
-            filters = _parse_filters(self.options)
+            filters = _parse_filters(self.options) + self._pushed
             col_idx: dict[str, int] = {}
             if filters and meta.num_row_groups:
                 rg0 = meta.row_group(0)
@@ -205,4 +217,5 @@ class _HTTPParquetReader(DataSourceReader):
 
 def register_http_parquet(spark) -> None:
     """Idempotently register the ``httpparquet`` format on a session."""
+    _enable_python_filter_pushdown(spark)
     spark.dataSource.register(HTTPParquetDataSource)

@@ -23,11 +23,18 @@ How it distributes (the same split Spark's own parquet source makes):
   Python Data Source Arrow fast path, no per-row Python.
 
 Schema comes from the first footer (parquet is self-describing, matching
-``spark.read.parquet``). The Python DataSource API does not expose the
-scan's required schema or predicates, so AUTOMATIC pushdown is
-impossible — but the facade can forward what the USER declares
-(round-9, the analogue of the reference's forced parquet pushdown,
-``/root/reference/src/util.rs:284-295``):
+``spark.read.parquet``). Predicate pushdown is AUTOMATIC (round-10):
+Spark 4.1's Python Data Source ``pushFilters`` API hands the reader the
+conjunctive predicates Catalyst collected above the scan
+(``spark.sql.python.filterPushdown.enabled`` — set by the engine's
+session builder and by ``register_s3_parquet``), and the planner feeds
+them into the same footer-stats row-group pruner the user-declared
+``filters`` option uses. Every pushed filter is returned to Spark
+unconsumed (pruning is conservative — it drops provably-empty row
+groups, it does not evaluate predicates), so exact filtering always
+stays in the plan above the scan. The USER-declared options remain for
+sessions without the pushdown conf (the analogue of the reference's
+forced parquet pushdown, ``/root/reference/src/util.rs:284-295``):
 
 - ``columns`` option (comma-separated): the source's schema() narrows to
   exactly these columns and executors read ONLY their byte ranges
@@ -187,12 +194,62 @@ def _parse_filters(opts: dict) -> list[tuple[str, str, object]]:
     return out
 
 
+def _triples_from_pushed(filters) -> list[tuple[str, str, object]]:
+    """Catalyst-pushed :class:`pyspark.sql.datasource.Filter` objects →
+    the same ``(column, op, value)`` triples the user-declared ``filters``
+    option uses, so one pruner serves both paths. Unsupported shapes
+    (nested columns, Not over non-equality, string matches) are simply
+    skipped — they were returned to Spark unconsumed, so skipping is
+    always safe."""
+    from pyspark.sql.datasource import (
+        EqualNullSafe,
+        EqualTo,
+        GreaterThan,
+        GreaterThanOrEqual,
+        In,
+        IsNotNull,
+        IsNull,
+        LessThan,
+        LessThanOrEqual,
+        Not,
+    )
+
+    out: list[tuple[str, str, object]] = []
+    for f in filters:
+        neg = isinstance(f, Not)
+        g = f.child if neg else f
+        attr = getattr(g, "attribute", None)
+        if not attr or len(attr) != 1:
+            continue  # nested column paths: no top-level stats to prune on
+        col = str(attr[0])
+        if isinstance(g, (EqualTo, EqualNullSafe)):
+            out.append((col, "!=" if neg else "=", g.value))
+        elif neg:
+            continue
+        elif isinstance(g, GreaterThan):
+            out.append((col, ">", g.value))
+        elif isinstance(g, GreaterThanOrEqual):
+            out.append((col, ">=", g.value))
+        elif isinstance(g, LessThan):
+            out.append((col, "<", g.value))
+        elif isinstance(g, LessThanOrEqual):
+            out.append((col, "<=", g.value))
+        elif isinstance(g, In):
+            out.append((col, "in", tuple(g.value)))
+        elif isinstance(g, IsNull):
+            out.append((col, "isnull", None))
+        elif isinstance(g, IsNotNull):
+            out.append((col, "notnull", None))
+    return out
+
+
 def _rg_may_match(meta, rg: int, col_idx: dict[str, int],
                   filters) -> bool:
-    """True unless the row group's footer min/max stats PROVE no row can
-    satisfy the AND of ``filters``. Conservative by construction: any
-    missing statistic, unknown column, or type mismatch keeps the row
-    group (pruning must be lossless — exact filtering happens above)."""
+    """True unless the row group's footer min/max (or null-count) stats
+    PROVE no row can satisfy the AND of ``filters``. Conservative by
+    construction: any missing statistic, unknown column, or type mismatch
+    keeps the row group (pruning must be lossless — exact filtering
+    happens above)."""
     rg_meta = meta.row_group(rg)
     for col, op, val in filters:
         i = col_idx.get(col)
@@ -200,14 +257,29 @@ def _rg_may_match(meta, rg: int, col_idx: dict[str, int],
             continue
         try:
             stats = rg_meta.column(i).statistics
-            if stats is None or not stats.has_min_max:
+            if stats is None:
+                continue
+            # Null-count ops need no min/max: IS NULL prunes null-free
+            # row groups, IS NOT NULL prunes all-null ones.
+            if op == "isnull":
+                if stats.null_count == 0:
+                    return False
+                continue
+            if op == "notnull":
+                if stats.null_count == rg_meta.num_rows:
+                    return False
+                continue
+            if not stats.has_min_max:
                 continue
             mn, mx = stats.min, stats.max
             if isinstance(mn, bytes):
                 mn = mn.decode("utf-8", "surrogateescape")
             if isinstance(mx, bytes):
                 mx = mx.decode("utf-8", "surrogateescape")
-            if isinstance(mn, (int, float)) and not isinstance(val, (int, float)):
+            if (
+                isinstance(mn, (int, float))
+                and isinstance(val, str)  # user-declared triples arrive as text
+            ):
                 val = float(val)
             if op in ("=", "==") and (val < mn or val > mx):
                 return False
@@ -217,6 +289,9 @@ def _rg_may_match(meta, rg: int, col_idx: dict[str, int],
                 return False
             # != prunes only single-value row groups pinned to val
             if op == "!=" and mn == mx == val:
+                return False
+            # IN prunes when every candidate is outside [min, max]
+            if op == "in" and not any(mn <= v <= mx for v in val):
                 return False
         except Exception:  # noqa: BLE001 - keep the row group on any doubt
             continue
@@ -356,6 +431,20 @@ class _S3ParquetReader(DataSourceReader):
             options.get("partition_bytes", DEFAULT_PARTITION_BYTES)
         )
         self._parts: list | None = None
+        self._pushed: list[tuple[str, str, object]] = []
+
+    def pushFilters(self, filters):
+        """Catalyst's conjunctive predicates over this scan (Spark 4.1
+        Python Data Source pushdown; requires
+        ``spark.sql.python.filterPushdown.enabled``). The planner feeds
+        them into the footer-stats row-group pruner — provably-empty row
+        groups never plan, never transfer. EVERY filter is returned
+        unconsumed: stats pruning cannot evaluate predicates, so Spark
+        must keep exact filtering above the scan (correctness does not
+        depend on the pruning at all)."""
+        self._pushed = _triples_from_pushed(filters)
+        self._parts = None  # pushed predicates invalidate a cached plan
+        return filters
 
     def partitions(self):
         # Cache the listing + row-group plan on the reader: repeated
@@ -368,7 +457,7 @@ class _S3ParquetReader(DataSourceReader):
             objects = _list_parquet_objects(client, bucket, key)
             plan = _row_group_plan(
                 client, bucket, objects, self.part_bytes,
-                filters=_parse_filters(opts),
+                filters=_parse_filters(opts) + self._pushed,
             )
             self._parts = [InputPartition(p) for p in plan]
         return self._parts
@@ -396,6 +485,20 @@ class _S3ParquetReader(DataSourceReader):
             yield batch.select(cols) if cols else batch
 
 
+def _enable_python_filter_pushdown(spark) -> None:
+    """Spark REFUSES to plan a Python data source that implements
+    ``pushFilters`` while ``spark.sql.python.filterPushdown.enabled`` is
+    false (explicit error, not a silent skip), so registration turns the
+    conf on. Runtime-settable SQLConf; best-effort for locked-down
+    sessions — planning will then surface Spark's own error naming the
+    conf."""
+    try:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    except Exception:  # noqa: BLE001 - conf locked; Spark's error names it
+        pass
+
+
 def register_s3_parquet(spark) -> None:
     """Idempotently register the ``s3parquet`` format on a session."""
+    _enable_python_filter_pushdown(spark)
     spark.dataSource.register(S3ParquetDataSource)

@@ -186,3 +186,38 @@ def test_http_parquet_no_range_degrades_to_driver_spool(spark, http_url):
         assert row["n"] == [80_000] and row["mx"] == [79_999]
     finally:
         _RangeHandler.support_ranges = True
+
+
+def test_http_parquet_automatic_pushdown_plain_where(spark, http_url):
+    """Round-10: Catalyst's own predicates reach the row-group pruner via
+    the Spark 4.1 pushFilters API — a plain .where(), NO user-declared
+    filters option, must transfer fewer bytes and plan fewer partitions,
+    with EXACT rows (Spark re-applies the filter above the scan)."""
+    from pyspark.sql import functions as F
+
+    _RangeHandler.bytes_served = 0
+    full = _read(spark, http_url, partition_bytes=1)
+    assert full.count() == 80_000
+    full_bytes = _RangeHandler.bytes_served
+
+    filt = _read(spark, http_url, partition_bytes=1).where("k >= 60000")
+    # scan partitions = surviving row groups (2 of 8); spark_partition_id
+    # observes the executed scan's fan-out under the real planned query
+    nparts = (
+        filt.withColumn("pid", F.spark_partition_id())
+        .select("pid").distinct().count()
+    )
+    assert nparts == 2, f"pushFilters pruning planned {nparts} partitions"
+    # byte accounting over exactly ONE action, same as the baseline's one
+    _RangeHandler.bytes_served = 0
+    got = sorted(r["k"] for r in filt.select("k").collect())
+    assert got == list(range(60_000, 80_000))  # EXACT, not just pruned
+    assert _RangeHandler.bytes_served < full_bytes / 2
+
+    # IN-list pushdown: one row group survives footer-stats refutation
+    _RangeHandler.bytes_served = 0
+    inq = _read(spark, http_url, partition_bytes=1).where(
+        "k IN (15000, 15001)"
+    )
+    assert sorted(r["k"] for r in inq.collect()) == [15000, 15001]
+    assert _RangeHandler.bytes_served < full_bytes / 4

@@ -404,3 +404,117 @@ def test_ranged_file_tail_cache_one_get_per_footer():
     got = pf.read_row_group(0)
     assert got.num_rows == 50_000
     assert len(client.calls) > 1
+
+
+def test_pushfilters_triples_conversion():
+    """Catalyst Filter objects -> pruner triples: supported shapes map,
+    unsupported shapes (nested columns, Not over inequality) are skipped
+    — safe because every filter is returned to Spark unconsumed."""
+    from pyspark.sql.datasource import (
+        EqualTo, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, Not,
+    )
+
+    from datafusion_ray_spark.sources.s3store import _triples_from_pushed
+
+    got = _triples_from_pushed([
+        GreaterThanOrEqual(("k",), 10),
+        EqualTo(("v",), 3.5),
+        Not(EqualTo(("v",), 7.0)),
+        In(("k",), (1, 2, 3)),
+        IsNull(("s",)),
+        IsNotNull(("k",)),
+        EqualTo(("a", "b"), 1),          # nested: skipped
+        Not(LessThan(("k",), 5)),        # Not over inequality: skipped
+    ])
+    assert got == [
+        ("k", ">=", 10),
+        ("v", "=", 3.5),
+        ("v", "!=", 7.0),
+        ("k", "in", (1, 2, 3)),
+        ("s", "isnull", None),
+        ("k", "notnull", None),
+    ]
+
+
+def test_pushfilters_byte_reduction_no_declared_filters(s3_endpoint, bucket):
+    """Round-10 automatic pushdown: the reader's pushFilters (fed exactly
+    what Catalyst would push for `WHERE k >= 150000`) must prune 6 of 8
+    row groups and halve transferred bytes — with NO user-declared
+    filters option. Byte accounting via the module's _client hook against
+    live moto, same harness as the round-9 user-declared test. Every
+    filter must be returned unconsumed (by reference) so Spark keeps
+    exact filtering above the scan."""
+    from pyspark.sql.datasource import GreaterThanOrEqual, IsNotNull
+
+    from datafusion_ray_spark.sources import s3store
+
+    real_client = s3store._client
+
+    class Recorder:
+        def __init__(self, inner):
+            self.inner, self.data_bytes = inner, 0
+
+        def get_object(self, **kw):
+            lo, hi = kw["Range"][len("bytes="):].split("-")
+            self.data_bytes += int(hi) - int(lo) + 1
+            return self.inner.get_object(**kw)
+
+        def __getattr__(self, attr):
+            return getattr(self.inner, attr)
+
+    opts = {
+        "path": "s3://graft/big/pushdown.parquet",
+        "endpoint_url": s3_endpoint,
+        "access_key": "testing", "secret_key": "testing",
+        "region": "us-east-1", "partition_bytes": "1",
+    }
+
+    def run(pushed):
+        rec = Recorder(real_client(opts))
+        s3store._client = lambda _o: rec
+        try:
+            reader = s3store._S3ParquetReader(None, dict(opts))
+            if pushed is not None:
+                returned = reader.pushFilters(pushed)
+                assert [f is g for f, g in zip(returned, pushed)] == (
+                    [True] * len(pushed)
+                ), "filters must be returned unconsumed, by reference"
+            parts = reader.partitions()
+            rows = 0
+            for p in parts:
+                for batch in reader.read(p):
+                    rows += batch.num_rows
+            return rec.data_bytes, len(parts), rows
+        finally:
+            s3store._client = real_client
+
+    full_bytes, n_full, rows_full = run(None)
+    assert n_full == 8 and rows_full == 200_000
+
+    pushed = [IsNotNull(("k",)), GreaterThanOrEqual(("k",), 150_000)]
+    filt_bytes, n_filt, rows_filt = run(pushed)
+    assert n_filt == 2, f"pushFilters pruning kept {n_filt} of 8 partitions"
+    assert filt_bytes < full_bytes / 2
+    assert 50_000 <= rows_filt < rows_full  # lossless, exact filter above
+
+
+def test_pushfilters_e2e_plain_where(spark, s3_endpoint, bucket):
+    """Full Spark path: .where() on the s3parquet table with NO filters
+    option — the executed scan fans out over only the surviving row
+    groups and the answer is exact."""
+    from pyspark.sql import functions as F
+
+    df = _read(
+        spark, s3_endpoint, "s3://graft/big/pushdown.parquet",
+        partition_bytes=1,
+    ).where("k >= 150000")
+    nparts = (
+        df.withColumn("pid", F.spark_partition_id())
+        .select("pid").distinct().count()
+    )
+    assert nparts == 2, f"executed scan planned {nparts} partitions"
+    agg = df.agg(
+        F.count("*").alias("n"), F.min("k").alias("mn"),
+        F.max("k").alias("mx"),
+    ).collect()[0]
+    assert (agg["n"], agg["mn"], agg["mx"]) == (50_000, 150_000, 199_999)
