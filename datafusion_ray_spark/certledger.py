@@ -1,0 +1,428 @@
+"""Staleness-driven re-certification ledger — the rotation's successor.
+
+The external driver certifies the FIRST 50 registry entries per round
+against the DuckDB oracle (``CORRECTNESS_r{N}.json``); rounds 4-9 rotated
+never-certified entries through that window until EVERY declared entry had
+earned a driver row (192/192, round 9). Certification is not permanent,
+though: optimizer, protocol, and source changes land under long-certified
+entries every round, so from round 10 each window re-certifies the entries
+whose IMPLEMENTATION CHANGED since their last driver row, then the
+oldest-certified, with the TPC-H suite and the family flagships pinned.
+
+This module makes that policy machine-checkable:
+
+- ``build_ledger()`` maps every registry entry to (a) the repo files its
+  implementation transitively lives in (its defining module plus the
+  static import closure inside ``datafusion_ray_spark``, plus the registry
+  and table-loading layers every entry runs through), (b) a content hash
+  of those files, (c) the last round a driver ``CORRECTNESS_r*.json``
+  recorded it green, and (d) the last round any closure file was touched
+  (git commits mapped to rounds via the driver's ``round N:`` markers).
+  An entry is STALE when its code path was touched after — or was never —
+  driver-certified.
+- ``pick_window()`` turns the ledger into the next certification window:
+  pinned entries first, then rotating slots ranked stale-first /
+  oldest-certified-first / name.
+- ``python -m datafusion_ray_spark.certledger`` writes ``CERT_LEDGER.json``
+  at the repo root; ``tests/test_cert_ledger.py`` asserts the registry's
+  declared order REPRODUCES the committed ledger's window, so the window
+  shipped to the driver is provably the ledger's pick, not hand-waving.
+
+The file closure is deliberately conservative (file-level, transitive):
+touching a shared module marks every entry that can reach it stale. When
+more entries are stale than rotating slots, oldest-certified-first decides
+— exactly the decay ordering a finite certification budget should spend.
+"""
+
+from __future__ import annotations
+
+import ast
+import hashlib
+import json
+import os
+import re
+import subprocess
+from dataclasses import dataclass, field
+
+PACKAGE = "datafusion_ray_spark"
+PACKAGE_DIR = os.path.dirname(os.path.abspath(__file__))
+REPO_ROOT = os.path.dirname(PACKAGE_DIR)
+
+#: every entry's run path goes through the registry wrapper, but the
+#: registry module must NOT be transitively expanded: it imports the whole
+#: operator package to BUILD the entry dict, which is assembly plumbing,
+#: not part of any single entry's implementation — expanding it would put
+#: every operator file in every entry's closure and mark all 192 entries
+#: stale whenever any one file changes. It joins each closure as a LEAF.
+LEAF_IN_CLOSURE = ("queries/registry.py",)
+
+#: policy-only modules NEVER hashed into closures: the window declaration
+#: changes every round by design (the window moves) without altering any
+#: entry's implementation — including it would mark everything stale
+#: every round and make the staleness signal vacuous.
+EXCLUDE_FROM_CLOSURE = (f"{PACKAGE}.queries.window",)
+
+_ROUND_MARKER = re.compile(r"^round (\d+): verdict/advice/correctness/bench")
+
+
+# ---------------------------------------------------------------------------
+# module map + static import closure
+
+
+def _module_map() -> dict[str, str]:
+    """Package module name -> repo-relative file path, for every .py file
+    under the package (``datafusion_ray_spark.operators.dedup`` ->
+    ``datafusion_ray_spark/operators/dedup.py``)."""
+    out: dict[str, str] = {}
+    for dirpath, _dirs, files in os.walk(PACKAGE_DIR):
+        for f in files:
+            if not f.endswith(".py"):
+                continue
+            full = os.path.join(dirpath, f)
+            rel = os.path.relpath(full, REPO_ROOT)
+            parts = rel[:-3].split(os.sep)  # strip .py
+            if parts[-1] == "__init__":
+                parts = parts[:-1]
+            name = ".".join(parts)
+            if name in EXCLUDE_FROM_CLOSURE:
+                continue
+            out[name] = rel
+    return out
+
+
+def _imports_of(path: str, modname: str, modmap: dict[str, str]) -> set[str]:
+    """Package-internal module names statically imported by ``path``.
+
+    Resolves relative imports against ``modname`` and keeps only names
+    that map to files inside the package; ``from X import Y`` also tries
+    ``X.Y`` (submodule imports like ``from .sources import tables``)."""
+    with open(os.path.join(REPO_ROOT, path), encoding="utf-8") as fh:
+        tree = ast.parse(fh.read(), filename=path)
+    found: set[str] = set()
+
+    def keep(candidate: str) -> None:
+        if candidate in modmap:
+            found.add(candidate)
+
+    is_pkg = path.endswith("__init__.py")
+    parts = modname.split(".")
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Import):
+            for alias in node.names:
+                keep(alias.name)
+                for i in range(1, alias.name.count(".") + 1):
+                    keep(alias.name.rsplit(".", i)[0])
+        elif isinstance(node, ast.ImportFrom):
+            if node.level == 0:
+                base = node.module or ""
+            else:
+                # level=1 from a module: its package; from a package
+                # __init__: itself. Each extra level climbs one package.
+                climb = node.level - (1 if is_pkg else 0)
+                anchor = parts[: len(parts) - climb] if climb else parts
+                base = ".".join(anchor)
+                if node.module:
+                    base = f"{base}.{node.module}" if base else node.module
+            if base:
+                keep(base)
+                for alias in node.names:
+                    keep(f"{base}.{alias.name}")
+    return found
+
+
+def _closure(seeds: set[str], modmap: dict[str, str]) -> list[str]:
+    """Transitive import closure (repo-relative paths) of seed modules."""
+    seen: set[str] = set()
+    todo = [m for m in seeds if m in modmap]
+    while todo:
+        mod = todo.pop()
+        if mod in seen:
+            continue
+        seen.add(mod)
+        todo.extend(_imports_of(modmap[mod], mod, modmap) - seen)
+    return sorted(modmap[m] for m in seen)
+
+
+# ---------------------------------------------------------------------------
+# git: commits -> rounds, file -> last touched round
+
+
+def _git(*args: str) -> str:
+    return subprocess.run(
+        ["git", *args], cwd=REPO_ROOT, capture_output=True, text=True,
+        check=True,
+    ).stdout
+
+
+def commit_rounds() -> tuple[dict[str, int], int]:
+    """(commit sha -> round it belongs to, current round).
+
+    The driver commits ``round N: verdict/advice/correctness/bench`` as
+    round N's closing marker, so commits NEWER than the newest marker are
+    the current round (max marker + 1) and each older commit belongs to
+    the first marker at-or-below it."""
+    lines = _git("log", "--format=%H %s").splitlines()
+    marker_round: list[int | None] = []
+    for line in lines:
+        sha, _, subject = line.partition(" ")
+        m = _ROUND_MARKER.match(subject)
+        marker_round.append(int(m.group(1)) if m else None)
+    newest = next((r for r in marker_round if r is not None), 0)
+    current = newest + 1
+    rounds: dict[str, int] = {}
+    rnd = current
+    for line, marker in zip(lines, marker_round):
+        sha = line.split(" ", 1)[0]
+        if marker is not None:
+            rnd = marker
+        rounds[sha] = rnd
+    return rounds, current
+
+
+def file_last_rounds() -> dict[str, int]:
+    """Repo-relative path -> round of the newest commit touching it.
+    One ``git log --name-only`` walk; files with uncommitted working-tree
+    changes count as touched in the current round."""
+    rounds, current = commit_rounds()
+    out: dict[str, int] = {}
+    sha = None
+    for line in _git("log", "--name-only", "--format=%H").splitlines():
+        if not line:
+            continue
+        if re.fullmatch(r"[0-9a-f]{40}", line):
+            sha = line
+        elif line not in out and sha is not None:
+            out[line] = rounds[sha]
+    dirty = _git("status", "--porcelain").splitlines()
+    for line in dirty:
+        path = line[3:].split(" -> ")[-1].strip()
+        if path:
+            out[path] = current
+    return out
+
+
+# ---------------------------------------------------------------------------
+# certification history
+
+
+def certified_rounds(before_round: int | None = None) -> dict[str, int]:
+    """Entry name -> newest round with a GREEN driver-oracle row (err
+    null, rows/schema match, hash not refuted) across CORRECTNESS_r*.json.
+
+    ``before_round`` bounds the evidence to rounds STRICTLY BELOW it: the
+    round-N window is picked from rounds 1..N-1, so a CORRECTNESS_r{N}
+    file appearing on disk mid-round must not retroactively change the
+    pick (the freshness test recomputes the ledger at judge time, after
+    the driver has written the current round's results)."""
+    import glob
+
+    out: dict[str, int] = {}
+    for path in glob.glob(os.path.join(REPO_ROOT, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        if before_round is not None and rnd >= before_round:
+            continue
+        with open(path, encoding="utf-8") as fh:
+            rows = json.load(fh)
+        for name, row in rows.items():
+            green = (
+                row.get("err") is None
+                and row.get("rows_match") is True
+                and row.get("schema_match") is not False
+                and row.get("hash_match") is not False
+            )
+            if green:
+                out[name] = max(out.get(name, 0), rnd)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# the ledger
+
+
+@dataclass
+class LedgerEntry:
+    name: str
+    files: list[str]
+    code_hash: str
+    last_certified_round: int | None
+    last_touched_round: int
+    stale: bool
+    reasons: list[str] = field(default_factory=list)
+
+
+def _entry_seed_modules(registry) -> dict[str, set[str]]:
+    """Entry name -> defining package modules. SQL-suite entries map to
+    the module declaring their QueryDef; extension entries to the module
+    defining (or closing over) their run callable."""
+    from .queries import coverage, coverage2, coverage3, coverage4, pipeline, tpch
+
+    sql_home: dict[str, str] = {}
+    for mod, queries in (
+        (tpch, tpch.TPCH_QUERIES),
+        (coverage, coverage.COVERAGE_QUERIES),
+        (coverage2, coverage2.COVERAGE2_QUERIES),
+        (coverage3, coverage3.COVERAGE3_QUERIES),
+        (coverage4, coverage4.COVERAGE4_QUERIES),
+        (pipeline, pipeline.PIPELINE_QUERIES),
+    ):
+        for qdef in queries.values():
+            sql_home[qdef.name] = mod.__name__
+
+    seeds: dict[str, set[str]] = {}
+    for name, entry in registry.items():
+        # tables.py (view registration + schema normalization) is on every
+        # entry's run path and IS expanded; registry.py joins as a leaf.
+        mods = {f"{PACKAGE}.sources.tables"}
+        if name in sql_home:
+            mods.add(sql_home[name])
+        else:
+            run_mod = getattr(entry.run, "__module__", None)
+            if run_mod and run_mod.startswith(PACKAGE):
+                mods.add(run_mod)
+            else:  # pragma: no cover - nothing maps here today
+                mods.add(f"{PACKAGE}.operators.suite")
+        seeds[name] = mods
+    return seeds
+
+
+def _hash_files(paths: list[str]) -> str:
+    h = hashlib.sha256()
+    for rel in paths:
+        h.update(rel.encode())
+        with open(os.path.join(REPO_ROOT, rel), "rb") as fh:
+            h.update(hashlib.sha256(fh.read()).digest())
+    return h.hexdigest()[:16]
+
+
+def build_ledger(registry=None) -> dict[str, LedgerEntry]:
+    if registry is None:
+        from .queries.registry import build_registry
+
+        registry = build_registry()
+    modmap = _module_map()
+    touched = file_last_rounds()
+    _, current = commit_rounds()
+    certified = certified_rounds(before_round=current)
+    seeds = _entry_seed_modules(registry)
+
+    closure_cache: dict[frozenset, list[str]] = {}
+    ledger: dict[str, LedgerEntry] = {}
+    for name in registry:
+        key = frozenset(seeds[name])
+        if key not in closure_cache:
+            files = _closure(set(key), modmap)
+            for extra in LEAF_IN_CLOSURE:
+                rel = f"{PACKAGE}/{extra}"
+                if rel not in files:
+                    files.append(rel)
+            closure_cache[key] = sorted(files)
+        files = closure_cache[key]
+        last_cert = certified.get(name)
+        last_touch = max((touched.get(f, 0) for f in files), default=0)
+        stale = last_cert is None or last_touch > last_cert
+        reasons = []
+        if last_cert is None:
+            reasons.append("never driver-certified")
+        elif last_touch > last_cert:
+            reasons.append(
+                f"code path touched in r{last_touch} after certification "
+                f"in r{last_cert}: "
+                + ", ".join(
+                    f for f in files if touched.get(f, 0) > last_cert
+                )[:400]
+            )
+        ledger[name] = LedgerEntry(
+            name=name,
+            files=files,
+            code_hash=_hash_files(files),
+            last_certified_round=last_cert,
+            last_touched_round=last_touch,
+            stale=stale,
+            reasons=reasons,
+        )
+    return ledger
+
+
+def pick_window(
+    ledger: dict[str, LedgerEntry],
+    pinned: list[str],
+    n: int = 50,
+) -> list[str]:
+    """The next driver window: ``pinned`` first (registry declaration
+    order — the TPC-H suite + family flagships), then rotating slots
+    ranked stale-first, oldest-certified-first, name as the tiebreak."""
+    rotating = sorted(
+        (e for name, e in ledger.items() if name not in set(pinned)),
+        key=lambda e: (
+            not e.stale,
+            e.last_certified_round if e.last_certified_round is not None else -1,
+            e.name,
+        ),
+    )
+    return list(pinned) + [e.name for e in rotating[: n - len(pinned)]]
+
+
+def pinned_names() -> list[str]:
+    """The window's fixed prefix: the TPC-H suite + the family flagships
+    (same order the registry declares)."""
+    from .queries.tpch import TPCH_QUERIES
+    from .queries.window import CERTIFICATION_FLAGSHIPS
+
+    return [q.name for q in TPCH_QUERIES.values()] + list(
+        CERTIFICATION_FLAGSHIPS
+    )
+
+
+def main() -> None:
+    from .queries.registry import build_registry
+
+    registry = build_registry()
+    ledger = build_ledger(registry)
+    _rounds, current = commit_rounds()
+    pinned = pinned_names()
+    window = pick_window(ledger, pinned)
+    payload = {
+        "generated_at_commit": _git("rev-parse", "HEAD").strip(),
+        "current_round": current,
+        "window_size": 50,
+        "policy": (
+            "window = pinned (tpch + family flagships) + rotating slots "
+            "ranked stale-first / oldest-certified-first / name; stale = "
+            "code-path file closure touched after (or never) driver-"
+            "certified"
+        ),
+        "pinned": pinned,
+        "rotating": window[len(pinned):],
+        "window": window,
+        "n_stale": sum(e.stale for e in ledger.values()),
+        "entries": {
+            e.name: {
+                "last_certified_round": e.last_certified_round,
+                "last_touched_round": e.last_touched_round,
+                "stale": e.stale,
+                "code_hash": e.code_hash,
+                "files": e.files,
+                "reasons": e.reasons,
+            }
+            for e in ledger.values()
+        },
+    }
+    out = os.path.join(REPO_ROOT, "CERT_LEDGER.json")
+    with open(out, "w", encoding="utf-8") as fh:
+        json.dump(payload, fh, indent=1, sort_keys=False)
+        fh.write("\n")
+    stale = [e.name for e in ledger.values() if e.stale]
+    print(f"wrote {out}: {len(ledger)} entries, {len(stale)} stale, "
+          f"round {current}")
+    print("rotating window:")
+    for name in window[len(pinned):]:
+        e = ledger[name]
+        print(f"  {name}: cert r{e.last_certified_round} "
+              f"touched r{e.last_touched_round} stale={e.stale}")
+
+
+if __name__ == "__main__":
+    main()

@@ -49,50 +49,20 @@ def _sql_entry(qdef: QueryDef) -> SuiteEntry:
 # FIRST 50), so order is the certification window.  Everything stays green
 # in the local oracle gate (tests/test_suite_oracle.py) regardless of order.
 #
-# ROTATION POLICY (round 4+): the 50-slot driver window = q1–q22 (fixed)
-# + _FIXED_FLAGSHIPS (8 family anchors, fixed) + _ROTATING (20 slots).
-# Each round the rotating slots move to registry entries that have not yet
-# earned a driver-side CORRECTNESS row (the union of CORRECTNESS_r*.json
-# keys), oldest-certified last — so every entry earns the harder driver
-# oracle within a few rounds while the flagships stay pinned.
-#
-# Round 9 CLOSES the rotation: 187/190 entries had driver rows entering
-# the round (r8 verdict's recomputed union); the never-certified tail —
-# dedup_fuzzy_prefix, dedup_index_append, sim_ivf_append — leads the
-# window, followed by this round's two NEW operators (the compaction leg
-# of both index families), so after this window certifies EVERY declared
-# registry entry has a driver-oracle row. The remaining 15 slots re-pin
-# the highest-value anchors (persisted-index family + the dedup/ANN
-# flagship surface) so the flagship answers stay continuously certified.
-_FIXED_FLAGSHIPS = [
-    "dedup_minhash_lsh", "dedup_groups",      # near-dup pipeline + groups
-    "sim_knn_graph",                          # ANN batch workload
-    "join_asof",                              # temporal-join family anchor
-    "ev_session_window",                      # event windowing anchor
-    "text_token_stats",                       # text pipeline anchor
-    "sketch_count_min",                       # mergeable-sketch anchor
-    "mm_decode_features",                     # multimodal anchor
-]
-_ROTATING_R9 = [
-    # The never-certified tail (closes the rotation: every registry entry
-    # will have earned a driver-oracle row once these certify).
-    "dedup_fuzzy_prefix", "dedup_index_append", "sim_ivf_append",
-    # Round-9's NEW operators: the compaction leg of both index families
-    # (generation-then-swap; certified equal to a full rebuild).
-    "dedup_index_compact", "sim_ivf_compact",
-    # Persisted-index family re-pins: the build legs whose machinery this
-    # round's atomic-swap compaction touched.
-    "dedup_index_persist", "sim_ivf_persist",
-    # Dedup/ANN flagship surface re-pins (the operators a 100 TB
-    # training-data pipeline leans on hardest).
-    "dedup_fuzzy_groups", "dedup_incremental", "dedup_exact",
-    "dedup_url", "dedup_embedding_cosine", "dedup_ngram_jaccard",
-    "dedup_ensemble", "dedup_substring_fps",
-    "sim_ann_ivf", "sim_ann_lsh", "sim_semdedup",
-    # Text-pipeline anchors
-    "text_gopher_rules", "dsir_weights",
-]
-_PRIORITY_AFTER_TPCH = _FIXED_FLAGSHIPS + _ROTATING_R9
+# WINDOW POLICY (round 10+, the rotation's successor): the 50-slot driver
+# window = q1–q22 (fixed) + 8 family flagships (fixed) + 20 rotating slots
+# picked by the STALENESS LEDGER (datafusion_ray_spark/certledger.py →
+# CERT_LEDGER.json): entries whose implementation file-closure changed
+# since their last driver-certified round first, then oldest-certified
+# first. Rounds 4–9 rotated never-certified entries through the window
+# until every declared entry had a driver row (192/192, round 9); from
+# round 10 the same window budget re-certifies the entries most likely to
+# have decayed. The concrete lists live in queries/window.py (policy-only
+# module, excluded from the ledger's closures — see its docstring), and
+# tests/test_cert_ledger.py asserts they reproduce the committed ledger.
+from .window import CERTIFICATION_FLAGSHIPS, CERTIFICATION_ROTATING
+
+_PRIORITY_AFTER_TPCH = CERTIFICATION_FLAGSHIPS + CERTIFICATION_ROTATING
 
 
 def build_registry() -> dict[str, SuiteEntry]:
