@@ -255,6 +255,10 @@ class DFRayContext:
             "processor_pool_max": processor_pool_max,
         }
         self._tables: dict[str, str] = {}
+        # name -> presign metadata for s3:// CSV tables served through a
+        # presigned GET URL (jar-less tier): enough to RE-PRESIGN and
+        # re-register when the URL nears expiry (sql() checks each call).
+        self._presigned: dict[str, dict] = {}
 
     # -- registration (reference: core.py:591-643, src/context.rs:57-107) ---
 
@@ -350,9 +354,23 @@ class DFRayContext:
                     )
                 self._register(name, df, raw)
                 return
-            except Exception:
+            except Exception as exc:
+                # Spool to the driver ONLY when the server cannot serve
+                # partial reads (no Range support / opaque size) — the one
+                # failure the fallback exists for. Everything else (corrupt
+                # footer, 403/404 after the probe, bad filter JSON) must
+                # surface as-is: silently downloading a broken or
+                # forbidden object to the driver masks the real cause.
+                msg = f"{type(exc).__name__}: {exc}"
+                range_unsupported = (
+                    "server ignored Range request" in msg
+                    or "cannot determine object size" in msg
+                    or "Accept-Ranges" in msg
+                )
+                if not range_unsupported:
+                    raise
                 logger.info(
-                    "httpparquet datasource failed; driver-spool fallback"
+                    "server lacks Range support; driver-spool fallback"
                 )
             path = self._fetch_url(raw)
             self._register(name, shape(self.spark.read.parquet(path)), raw)
@@ -445,6 +463,16 @@ class DFRayContext:
         requests natively, so a jar-less environment still scans S3 CSV
         in parallel. Credentials/endpoint options (``endpoint_url``,
         ``access_key``/``secret_key``, ``region``) match the parquet tier.
+
+        Presigned-URL hygiene (round-10): the signed URL is a BEARER
+        CREDENTIAL, so it never appears in user-visible surfaces — the
+        registered provenance (``tables()``) keeps the original ``s3://``
+        path, and plan/log output carries no query string. Expiry is
+        handled, not just documented: ``sql()`` re-presigns and
+        re-registers the table when the URL nears ``presign_expiry``, so
+        long-lived sessions keep working. Only a DIRECT
+        ``spark.table(name)`` scan issued after expiry (bypassing this
+        facade) sees S3's 403 — re-register or query through ``ctx.sql``.
         """
         if path.startswith(("s3://", "s3a://")):
             s3a = self._normalize_path(path)
@@ -463,18 +491,15 @@ class DFRayContext:
                 )):
                     raise  # real failure (auth, missing key): fail loud
                 logger.info("s3a connector unavailable; presigned-URL tier")
-            from .sources.s3store import _client, _split_url
-
-            s3_opts = {k: str(v) for k, v in options.items()}
-            bucket, key = _split_url(path)
-            path = _client(s3_opts).generate_presigned_url(
-                "get_object",
-                Params={"Bucket": bucket, "Key": key},
-                ExpiresIn=int(options.pop("presign_expiry", 3600)),
-            )
-            for drop in ("endpoint_url", "access_key", "secret_key",
-                         "region", "anon", "presign_expiry"):
-                options.pop(drop, None)
+            expiry = int(options.pop("presign_expiry", 3600))
+            s3_keys = ("endpoint_url", "access_key", "secret_key",
+                       "region", "anon")
+            s3_opts = {k: str(options.pop(k)) for k in s3_keys
+                       if k in options}
+            csv_opts = {k: str(v) for k, v in options.items()}
+            self._register_presigned_csv(name, path, s3_opts, csv_opts,
+                                         expiry)
+            return
         if path.startswith(("http://", "https://")):
             try:
                 from .sources.httpcsv import register_http_csv
@@ -675,6 +700,78 @@ class DFRayContext:
         df.createOrReplaceTempView(name)
         self._tables[name] = path
 
+    def _register_presigned_csv(
+        self,
+        name: str,
+        s3_path: str,
+        s3_opts: dict[str, str],
+        csv_opts: dict[str, str],
+        expiry: int,
+    ) -> None:
+        """Presign a GET URL for an s3:// CSV object and register it
+        through the distributed Range-partitioned HTTP source.
+
+        The signed URL embeds the access-key id and signature in its query
+        string — a bearer credential — so it is confined to the data
+        source's fetch option: provenance (``tables()``) records the
+        ``s3://`` path, log lines carry no URL, and re-presigning happens
+        against the stored metadata here, invoked by ``sql()`` shortly
+        before ``expiry`` elapses."""
+        import time
+
+        from .sources.s3store import _client, _split_url
+
+        bucket, key = _split_url(s3_path)
+        url = _client(s3_opts).generate_presigned_url(
+            "get_object",
+            Params={"Bucket": bucket, "Key": key},
+            ExpiresIn=expiry,
+        )
+        try:
+            from .sources.httpcsv import register_http_csv
+
+            register_http_csv(self.spark)
+            reader = self.spark.read.format("http_csv").option("url", url)
+            for k, v in csv_opts.items():
+                reader = reader.option(k, v)
+            df = reader.load()
+            df.limit(0).collect()  # surface schema/connect errors NOW
+        except Exception:
+            logger.info("http_csv datasource failed; driver-spool fallback")
+            local = self._fetch_url(url)
+            opts = {"header": "true", "inferSchema": "true", **csv_opts}
+            # spooled to local disk: no live URL, nothing expires
+            self._register(
+                name, self.spark.read.options(**opts).csv(local), s3_path
+            )
+            self._presigned.pop(name, None)
+            return
+        self._register(name, df, s3_path)  # provenance WITHOUT the signature
+        # refresh a safety margin before S3 starts rejecting: 60 s for
+        # real expiries, half-life for the short ones tests use
+        margin = 60 if expiry > 120 else expiry / 2
+        self._presigned[name] = {
+            "s3_path": s3_path,
+            "s3_opts": s3_opts,
+            "csv_opts": csv_opts,
+            "expiry": expiry,
+            "refresh_at": time.time() + expiry - margin,
+        }
+
+    def _refresh_presigned(self) -> None:
+        """Re-presign + re-register any presigned-CSV table nearing
+        expiry (the view swap is atomic; running queries keep their
+        already-resolved URL)."""
+        import time
+
+        for name, meta in list(self._presigned.items()):
+            if time.time() >= meta["refresh_at"]:
+                logger.info("re-presigning table %r before expiry", name)
+                self._register_presigned_csv(
+                    name, meta["s3_path"], meta["s3_opts"],
+                    meta["csv_opts"], meta["expiry"],
+                )
+
     def tables(self) -> dict[str, str]:
         return dict(self._tables)
 
@@ -683,6 +780,7 @@ class DFRayContext:
     def sql(self, query: str) -> DFRayDataFrame:
         """Run SQL (multi-statement scripts supported) and return the last
         statement's result lazily."""
+        self._refresh_presigned()
         return DFRayDataFrame(run_script(self.spark, query))
 
     def set(self, key: str, value: str) -> None:

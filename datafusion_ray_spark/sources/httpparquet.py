@@ -37,6 +37,7 @@ from .s3store import (
     _parse_filters,
     _rg_may_match,
     _triples_from_pushed,
+    redact_url,
 )
 
 
@@ -62,7 +63,7 @@ def _probe_size(url: str, timeout: float = 60.0) -> int:
         length = resp.headers.get("Content-Length")
         if resp.status == 200 and length:
             return int(length)
-    raise OSError(f"cannot determine object size for {url}")
+    raise OSError(f"cannot determine object size for {redact_url(url)}")
 
 
 class _RangedHTTPFile(io.RawIOBase):
@@ -100,9 +101,9 @@ class _RangedHTTPFile(io.RawIOBase):
         with urllib.request.urlopen(req, timeout=self._timeout) as resp:  # noqa: S310
             if resp.status != 206:
                 raise OSError(
-                    f"server ignored Range request for {self._url} "
-                    f"(HTTP {resp.status}); ranged parquet reads need "
-                    "Accept-Ranges: bytes"
+                    f"server ignored Range request for "
+                    f"{redact_url(self._url)} (HTTP {resp.status}); "
+                    "ranged parquet reads need Accept-Ranges: bytes"
                 )
             return resp.read()
 

@@ -92,6 +92,14 @@ def _client(opts: dict):
     return boto3.client("s3", **kwargs)
 
 
+def redact_url(url: str) -> str:
+    """URL safe for error messages / logs: presigned URLs carry the
+    signature and access-key id in the query string (a bearer
+    credential), so everything after ``?`` is dropped."""
+    base, sep, _query = url.partition("?")
+    return base + ("?<redacted>" if sep else "")
+
+
 def _split_url(url: str) -> tuple[str, str]:
     # gs:// rides the same S3 wire protocol through GCS's XML-interop
     # endpoint (the facade sets endpoint_url=storage.googleapis.com);

@@ -221,3 +221,21 @@ def test_http_parquet_automatic_pushdown_plain_where(spark, http_url):
     )
     assert sorted(r["k"] for r in inq.collect()) == [15000, 15001]
     assert _RangeHandler.bytes_served < full_bytes / 4
+
+
+def test_facade_http_parquet_corrupt_object_raises_not_spools(spark, http_url):
+    """Round-10 (advisor): the driver-spool fallback is ONLY for servers
+    that can't serve partial reads. A corrupt object (bad parquet magic)
+    must raise — silently downloading a broken file to the driver would
+    mask the real cause."""
+    from datafusion_ray_spark.context import DFRayContext
+
+    good = _RangeHandler.payload
+    _RangeHandler.payload = b"this is not a parquet file" * 1024
+    try:
+        ctx = DFRayContext(spark=spark)
+        with pytest.raises(Exception, match="[Pp]arquet|magic|footer"):
+            ctx.register_parquet("corrupt_http", http_url)
+        assert "corrupt_http" not in ctx.tables()
+    finally:
+        _RangeHandler.payload = good

@@ -518,3 +518,57 @@ def test_pushfilters_e2e_plain_where(spark, s3_endpoint, bucket):
         F.max("k").alias("mx"),
     ).collect()[0]
     assert (agg["n"], agg["mn"], agg["mx"]) == (50_000, 150_000, 199_999)
+
+
+def test_redact_url_strips_query_string():
+    from datafusion_ray_spark.sources.s3store import redact_url
+
+    signed = ("https://b.s3.amazonaws.com/k.csv?X-Amz-Signature=SECRET"
+              "&X-Amz-Credential=AKIAXXX")
+    assert redact_url(signed) == "https://b.s3.amazonaws.com/k.csv?<redacted>"
+    assert "SECRET" not in redact_url(signed)
+    assert redact_url("https://b/k.csv") == "https://b/k.csv"
+
+
+def test_presigned_csv_hygiene_and_expiry_refresh(spark, s3_endpoint, bucket):
+    """Round-10 presign hygiene: the signed URL is a bearer credential, so
+    (a) it must not surface in provenance or plan output, and (b) a
+    long-lived registration must keep working past presign_expiry —
+    sql() re-presigns against the stored s3:// metadata shortly before
+    the URL would expire."""
+    import io
+    import time
+
+    from datafusion_ray_spark.context import DFRayContext
+
+    client = boto3.client("s3", endpoint_url=s3_endpoint)
+    rows = "".join(f"{i},{i * 2}\n" for i in range(100))
+    client.put_object(
+        Bucket="graft", Key="csv/expiring.csv",
+        Body=io.BytesIO(f"a,b\n{rows}".encode()).read(),
+    )
+    ctx = DFRayContext(spark=spark)
+    ctx.register_csv(
+        "expiring_s3", "s3://graft/csv/expiring.csv",
+        endpoint_url=s3_endpoint, access_key="testing",
+        secret_key="testing", region="us-east-1",
+        presign_expiry=2,
+    )
+    # provenance records the s3:// path, never the signed URL
+    assert ctx.tables()["expiring_s3"] == "s3://graft/csv/expiring.csv"
+    df = ctx.sql("SELECT COUNT(*) AS n, SUM(b) AS s FROM expiring_s3")
+    plan = str(df.execution_plan())
+    assert "X-Amz-Signature" not in plan and "X-Amz-Credential" not in plan
+    row = df.collect()[0].to_pydict()
+    assert row["n"] == [100] and row["s"] == [sum(2 * i for i in range(100))]
+
+    # past the refresh point (expiry 2s -> margin 1s), sql() re-presigns:
+    # the stored metadata's refresh_at must ADVANCE and the query answer
+    first_refresh_at = ctx._presigned["expiring_s3"]["refresh_at"]
+    time.sleep(1.2)
+    row = ctx.sql(
+        "SELECT COUNT(*) AS n FROM expiring_s3"
+    ).collect()[0].to_pydict()
+    assert row["n"] == [100]
+    assert ctx._presigned["expiring_s3"]["refresh_at"] > first_refresh_at
+    assert ctx.tables()["expiring_s3"] == "s3://graft/csv/expiring.csv"
