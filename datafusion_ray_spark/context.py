@@ -322,6 +322,27 @@ class DFRayContext:
                 )
             return df
 
+        # Multi-object http(s) datasets: a LIST of object URLs, or
+        # ``manifest=True`` marking ``path`` as a URL whose body lists
+        # them (one per line, # comments, relative entries resolve against
+        # the manifest's directory). No generic http listing protocol
+        # exists, so explicit enumeration is the multi-object analogue of
+        # the reference's object-store listing.
+        manifest: str | None = None
+        if options.pop("manifest", None):
+            manifest = str(path)
+        url_list: list[str] | None = None
+        if isinstance(path, (list, tuple)):
+            url_list = [str(u) for u in path]
+            if not url_list or not all(
+                u.startswith(("http://", "https://")) for u in url_list
+            ):
+                raise ValueError(
+                    "register_parquet with a list takes http(s) object "
+                    f"URLs; got {url_list!r}"
+                )
+            raw = path = url_list[0]  # route into the http branch below
+
         path = self._normalize_path(path)
         if path.startswith(("http://", "https://")):
             # Reference parity: its http object store serves parquet scans
@@ -332,9 +353,13 @@ class DFRayContext:
                 from .sources.httpparquet import register_http_parquet
 
                 register_http_parquet(self.spark)
-                reader = (
-                    self.spark.read.format("httpparquet").option("url", raw)
-                )
+                reader = self.spark.read.format("httpparquet")
+                if url_list is not None:
+                    reader = reader.option("urls", json.dumps(url_list))
+                elif manifest:
+                    reader = reader.option("manifest", str(manifest))
+                else:
+                    reader = reader.option("url", raw)
                 if columns:
                     reader = reader.option("columns", ",".join(columns))
                 if filters:
@@ -372,8 +397,15 @@ class DFRayContext:
                 logger.info(
                     "server lacks Range support; driver-spool fallback"
                 )
-            path = self._fetch_url(raw)
-            self._register(name, shape(self.spark.read.parquet(path)), raw)
+            from .sources.httpparquet import _urls as _resolve_urls
+
+            src_opts: dict[str, Any] = (
+                {"manifest": manifest} if manifest
+                else {"urls": url_list} if url_list is not None
+                else {"url": raw}
+            )
+            local = [self._fetch_url(u) for u in _resolve_urls(src_opts)]
+            self._register(name, shape(self.spark.read.parquet(*local)), raw)
             return
         if path.startswith(("s3a://", "gs://")):
             try:

@@ -33,12 +33,54 @@ from .s3store import (
     DEFAULT_PARTITION_BYTES,
     _FOOTER_PROBE,
     _enable_python_filter_pushdown,
+    _pack_row_groups,
     _parse_columns,
     _parse_filters,
-    _rg_may_match,
     _triples_from_pushed,
     redact_url,
 )
+
+
+def _urls(opts: dict) -> list[str]:
+    """The object URLs this scan covers. Three declaration forms:
+
+    - ``url``: one object (the round-9 surface, unchanged);
+    - ``urls``: a JSON list of object URLs — the multi-object analogue of
+      the reference's listing behavior over an http store, which has no
+      generic listing protocol to discover objects with;
+    - ``manifest``: a URL whose body LISTS object URLs (one per line,
+      ``#`` comments allowed) — how a 100 TB publisher actually exposes a
+      many-file dataset over plain http.
+    """
+    import json
+
+    if opts.get("manifest"):
+        murl = opts["manifest"]
+        with urllib.request.urlopen(murl, timeout=60.0) as resp:  # noqa: S310 - user-supplied source
+            body = resp.read().decode("utf-8", "replace")
+        base = murl.rsplit("/", 1)[0] + "/"
+        urls = []
+        for line in body.splitlines():
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            # relative entries resolve against the manifest's directory
+            urls.append(
+                line if line.startswith(("http://", "https://"))
+                else base + line
+            )
+        if not urls:
+            raise FileNotFoundError(
+                f"manifest {redact_url(murl)} lists no parquet URLs"
+            )
+        return urls
+    if opts.get("urls"):
+        raw = opts["urls"]
+        urls = json.loads(raw) if isinstance(raw, str) else list(raw)
+        if not urls:
+            raise ValueError("'urls' option is an empty list")
+        return [str(u) for u in urls]
+    return [opts["url"]]
 
 
 def _probe_size(url: str, timeout: float = 60.0) -> int:
@@ -127,7 +169,9 @@ class _RangedHTTPFile(io.RawIOBase):
 
 
 class HTTPParquetDataSource(DataSource):
-    """``spark.read.format("httpparquet").option("url", "https://...")``."""
+    """``spark.read.format("httpparquet").option("url", "https://...")``
+    (single object), ``.option("urls", json_list)`` (explicit multi-
+    object), or ``.option("manifest", "https://.../manifest.txt")``."""
 
     @classmethod
     def name(cls) -> str:
@@ -139,7 +183,7 @@ class HTTPParquetDataSource(DataSource):
         from pyspark.sql.pandas.types import from_arrow_schema
 
         opts = dict(self.options)
-        url = opts["url"]
+        url = _urls(opts)[0]  # parquet is self-describing; first footer
         pf = pq.ParquetFile(_RangedHTTPFile(url, _probe_size(url)))
         arrow_schema = pf.schema_arrow
         cols = _parse_columns(opts)
@@ -172,33 +216,28 @@ class _HTTPParquetReader(DataSourceReader):
 
     def partitions(self):
         if self._parts is None:
+            from concurrent.futures import ThreadPoolExecutor
+
             import pyarrow.parquet as pq
 
-            url = self.options["url"]
-            size = _probe_size(url)
-            meta = pq.ParquetFile(_RangedHTTPFile(url, size)).metadata
+            urls = _urls(self.options)
+
+            def footer(url):
+                size = _probe_size(url)
+                meta = pq.ParquetFile(_RangedHTTPFile(url, size)).metadata
+                return url, size, meta
+
+            # footers fetched CONCURRENTLY: planning a many-URL dataset
+            # costs ~one round-trip latency, not one serial probe per URL
+            if len(urls) > 1:
+                with ThreadPoolExecutor(
+                    max_workers=min(16, len(urls))
+                ) as pool:
+                    metas = list(pool.map(footer, urls))
+            else:
+                metas = [footer(u) for u in urls]
             filters = _parse_filters(self.options) + self._pushed
-            col_idx: dict[str, int] = {}
-            if filters and meta.num_row_groups:
-                rg0 = meta.row_group(0)
-                col_idx = {
-                    rg0.column(i).path_in_schema: i
-                    for i in range(rg0.num_columns)
-                }
-            parts = []
-            run: list[int] = []
-            run_bytes = 0
-            for rg in range(meta.num_row_groups):
-                if filters and not _rg_may_match(meta, rg, col_idx, filters):
-                    continue
-                rg_bytes = meta.row_group(rg).total_byte_size
-                if run and run_bytes + rg_bytes > self.part_bytes:
-                    parts.append((size, run))
-                    run, run_bytes = [], 0
-                run.append(rg)
-                run_bytes += rg_bytes
-            if run:
-                parts.append((size, run))
+            parts = _pack_row_groups(metas, self.part_bytes, filters)
             self._parts = [InputPartition(p) for p in parts]
         return self._parts
 
@@ -209,8 +248,8 @@ class _HTTPParquetReader(DataSourceReader):
             return
         import pyarrow.parquet as pq
 
-        size, row_groups = partition.value
-        pf = pq.ParquetFile(_RangedHTTPFile(self.options["url"], size))
+        url, size, row_groups = partition.value
+        pf = pq.ParquetFile(_RangedHTTPFile(url, size))
         cols = _parse_columns(self.options)
         for batch in pf.iter_batches(row_groups=row_groups, columns=cols):
             yield batch.select(cols) if cols else batch

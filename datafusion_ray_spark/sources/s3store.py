@@ -368,7 +368,13 @@ def _row_group_plan(client, bucket: str, objects, part_bytes: int,
             metas = list(pool.map(footer, objects))
     else:
         metas = [footer(obj) for obj in objects]
+    return _pack_row_groups(metas, part_bytes, filters)
 
+
+def _pack_row_groups(metas, part_bytes: int, filters=()):
+    """Shared planning core (s3 + http sources): pack each object's
+    surviving row groups into contiguous runs of ~``part_bytes``;
+    ``metas`` is ``[(key_or_url, size, parquet FileMetaData), ...]``."""
     parts = []
     for key, size, meta in metas:
         col_idx: dict[str, int] = {}
