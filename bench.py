@@ -385,21 +385,41 @@ def family_throughput() -> int:
         ("text", "hash_embedding", n_docs,
          lambda: text.hash_embedding(docs)
          .agg(F.max(F.element_at("embedding", 1)))),
+        # round-10 protocol change (breaks cross-round comparability for
+        # this one kernel, recorded in kernel_notes below): codes-only
+        # output, the shape production ADC ranking consumes. The r9
+        # adjudication chased a pq_encode "regression" that profiling
+        # showed was the OLD protocol round-tripping the full raw-vector
+        # payload (DIM x 8 bytes/row) back through the Arrow channel —
+        # the wall measured output shipping, not encoding.
         ("sim", "pq_encode", n_vecs,
-         lambda: similarity.pq_encode(vecs, codebooks)
+         lambda: similarity.pq_encode(vecs, codebooks,
+                                      keep_embedding=False)
          .agg(F.max(F.element_at("code", 1)))),
         ("sim", "ivf_assign", n_vecs,
          lambda: similarity.ivf_assign(vecs, centroids)
          .agg(F.max("cell"))),
     ]
+    # Two interleaved passes, min-of-3 each, brief settle per kernel
+    # (round-10, was one pass of back-to-back min-of-2): this host sees
+    # intermittent foreign CPU bursts (adjudicated round-9, reconfirmed
+    # by round-10 profiling — stable kernels like ivf_assign halve when
+    # one lands mid-run). A burst is shorter than a full pass, so the
+    # per-kernel minimum ACROSS passes measures machine capability while
+    # the host brackets below record the weather.
+    best_sec: dict[str, float] = {}
+    for _pass in range(2):
+        for fam, name, rows, thunk in cases:
+            time.sleep(3)  # let the previous kernel's runqueue drain
+            for _ in range(3):
+                start = time.perf_counter()
+                thunk().collect()
+                elapsed = time.perf_counter() - start
+                if name not in best_sec or elapsed < best_sec[name]:
+                    best_sec[name] = elapsed
     out: dict[str, dict] = {}
-    for fam, name, rows, thunk in cases:
-        best = None
-        for _ in range(2):  # min-of-2: steady state, like the suite bench
-            start = time.perf_counter()
-            thunk().collect()
-            elapsed = time.perf_counter() - start
-            best = elapsed if best is None else min(best, elapsed)
+    for fam, name, rows, _thunk in cases:
+        best = best_sec[name]
         out[name] = {
             "family": fam,
             "rows": rows,
@@ -417,6 +437,14 @@ def family_throughput() -> int:
         "n_rows": n_docs,
         "dim": dim,
         "kernels": out,
+        "kernel_notes": {
+            "pq_encode": (
+                "round-10 protocol: codes-only output "
+                "(keep_embedding=False), matching production pq_adc_topk; "
+                "earlier rounds measured the full-payload round trip and "
+                "are not comparable for this kernel"
+            ),
+        },
         "epoch": host_epoch(),
         # Same self-identification as the suite bench: kernel numbers
         # taken under foreign load are not comparable across rounds

@@ -503,51 +503,76 @@ def pq_codebooks(samples: list[tuple[int, list[float]]],
 
 
 def pq_encode(df: DataFrame, codebooks: list[list[list[float]]],
-              emb_col: str = "embedding") -> DataFrame:
+              emb_col: str = "embedding",
+              keep_embedding: bool = True) -> DataFrame:
     """Encode every vector as PQ_M nibble codes: per subspace, the argmin
     centroid by micro-unit L2 (np.argmin ties to the first = smallest
     code, matching the oracle's ``ORDER BY du, j``).
 
-    Arrow-batched numpy kernel (``mapInPandas``), shuffle-free and
-    partition-preserving. This is the measured vectorized-UDF exception to
-    the JVM-first rule: the pure-expression form (PQ_M × PQ_K nested
-    ``zip_with``/``aggregate`` lambdas) runs on Spark's INTERPRETED
-    higher-order-function path at ~2.5 ms/row — benched 5.6 s for 2k
-    vectors at sf0.1 — while the batched kernel is one (n, PQ_K, PQ_SUB)
-    broadcasted subtraction per subspace, ~1000× faster and exactly the
-    shape a real codec/BLAS integration takes. The encoded table is
-    DIM×4 bytes → PQ_M bytes per vector (64× smaller here): the
-    compression that lets a 100 TB vector corpus keep its *codes* hot in
-    memory while raw vectors stay on disk.
+    Arrow-batched numpy kernel (``mapInArrow``, round-10: was
+    ``mapInPandas``), shuffle-free and partition-preserving. This is the
+    measured vectorized-UDF exception to the JVM-first rule: the
+    pure-expression form (PQ_M × PQ_K nested ``zip_with``/``aggregate``
+    lambdas) runs on Spark's INTERPRETED higher-order-function path at
+    ~2.5 ms/row — benched 5.6 s for 2k vectors at sf0.1 — while the
+    batched kernel is one (n, PQ_K, PQ_SUB) broadcasted subtraction per
+    subspace, ~1000× faster and exactly the shape a real codec/BLAS
+    integration takes. ``mapInArrow`` matters at this width: the pandas
+    exchange materialized every embedding as a per-row numpy OBJECT in a
+    pandas column — round-tripping the full vector payload through object
+    conversion dominated the kernel 5:1 and made throughput swing with
+    worker heap state (the round-9 pq_encode variance) — where the Arrow
+    batch exposes the list column's values buffer as ONE zero-copy
+    (n × DIM) float64 view. The encoded table is DIM×4 bytes → PQ_M bytes
+    per vector (64× smaller here): the compression that lets a 100 TB
+    vector corpus keep its *codes* hot in memory while raw vectors stay
+    on disk — and ``keep_embedding=False`` is that compression applied to
+    the OPERATOR ITSELF: downstream ADC ranking needs only (ids, codes),
+    so shipping the raw vectors back through the Arrow channel multiplies
+    the output payload ~DIM/2× for nothing (the round-10 throughput
+    adjudication measured the full-payload round trip, not the math, as
+    the wall). :func:`pq_adc_topk` encodes codes-only; the default keeps
+    every input column for callers that join codes back to vectors.
     """
-    import pandas as pd
+    import pyarrow as pa
     from pyspark.sql import types as T
 
     C = np.asarray(codebooks, dtype=np.float64)  # (PQ_M, PQ_K, PQ_SUB)
     m, sub = C.shape[0], C.shape[2]
+    kept = [
+        f for f in df.schema.fields
+        if keep_embedding or f.name != emb_col
+    ]
     out_schema = T.StructType(
-        list(df.schema.fields)
-        + [T.StructField("code", T.ArrayType(T.IntegerType()))]
+        kept + [T.StructField("code", T.ArrayType(T.IntegerType()))]
     )
+    kept_names = [f.name for f in kept]
 
     def gen(batches):
-        for pdf in batches:
-            if not len(pdf):
+        for b in batches:
+            n = b.num_rows
+            if not n:
                 continue
-            X = np.stack(
-                [np.asarray(v, dtype=np.float64) for v in pdf[emb_col]]
-            )
-            codes = np.empty((len(pdf), m), dtype=np.int32)
+            emb = b.column(b.schema.get_field_index(emb_col))
+            # flatten() honors list offsets/slices; fixed-width rows make
+            # the reshape a zero-copy (n, DIM) view of the Arrow buffer
+            X = np.asarray(emb.flatten(), dtype=np.float64).reshape(n, -1)
+            codes = np.empty((n, m), dtype=np.int32)
             for s in range(m):
                 Xs = X[:, s * sub:(s + 1) * sub]
                 d = ((Xs[:, None, :] - C[s][None, :, :]) ** 2).sum(axis=2)
                 du = np.rint(d * PQ_SCALE).astype(np.int64)
                 codes[:, s] = du.argmin(axis=1)
-            out = pdf.copy()
-            out["code"] = list(codes)
-            yield out
+            code_arr = pa.ListArray.from_arrays(
+                pa.array(np.arange(0, (n + 1) * m, m, dtype=np.int32)),
+                pa.array(codes.ravel()),
+            )
+            cols = [b.column(b.schema.get_field_index(c)) for c in kept_names]
+            yield pa.RecordBatch.from_arrays(
+                [*cols, code_arr], names=[*kept_names, "code"],
+            )
 
-    return df.mapInPandas(gen, out_schema)
+    return df.mapInArrow(gen, out_schema)
 
 
 def pq_adc_topk(
@@ -572,7 +597,9 @@ def pq_adc_topk(
     # matching the oracle's exact decimal summation of the same products
     lut = _query_lut(query_vec, codebooks)
 
-    encoded = pq_encode(df, codebooks)
+    # codes-only output: ADC needs (vec_id, code); the raw vectors never
+    # cross back through the Arrow channel (~DIM/2x smaller payload)
+    encoded = pq_encode(df, codebooks, keep_embedding=False)
     return _adc_rank(encoded, lut, k=k, exclude_vec_id=exclude_vec_id)
 
 
