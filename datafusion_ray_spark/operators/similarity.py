@@ -688,15 +688,18 @@ def ivfpq_encode(
     """Fused IVF-assign → probe-cell prune → PQ-encode in ONE Arrow pass.
 
     Running :func:`ivf_assign` and :func:`pq_encode` as separate
-    ``mapInPandas`` stages ships the full raw-vector column through the
+    stages ships the full raw-vector column through the
     Arrow channel twice (Python → JVM → Python) with a filter in between;
     fused, each embedding crosses once, pruned rows never cross back, and
     only (narrow columns, cell, code) leave the kernel. Math is bit-for-bit
     the two standalone kernels' (same rounding, same argmin/argmax tie
     rules), so the composed result is unchanged — the standalone operators
-    remain the certified per-stage surfaces.
+    remain the certified per-stage surfaces. Round-10: ``mapInArrow``
+    like :func:`pq_encode` — the input vectors are one zero-copy
+    (n × DIM) view instead of per-row pandas objects; the float64 values
+    are identical either way, so every downstream op is bit-unchanged.
     """
-    import pandas as pd
+    import pyarrow as pa
     from pyspark.sql import types as T
 
     order = sorted(range(len(centroids)), key=lambda i: centroids[i][0])
@@ -717,12 +720,12 @@ def ivfpq_encode(
     keep_cols = [f.name for f in keep_fields]
 
     def gen(batches):
-        for pdf in batches:
-            if not len(pdf):
+        for b in batches:
+            n = b.num_rows
+            if not n:
                 continue
-            X = np.stack(
-                [np.asarray(v, dtype=np.float64) for v in pdf[emb_col]]
-            )
+            emb = b.column(b.schema.get_field_index(emb_col))
+            X = np.asarray(emb.flatten(), dtype=np.float64).reshape(n, -1)
             en = np.sqrt((X * X).sum(axis=1))
             en[en == 0.0] = 1.0
             scores = np.round(X @ C.T / (en[:, None] * cn[None, :]), 6)
@@ -737,12 +740,24 @@ def ivfpq_encode(
                 d = ((Xs[:, None, :] - CB[s][None, :, :]) ** 2).sum(axis=2)
                 du = np.rint(d * PQ_SCALE).astype(np.int64)
                 codes[:, s] = du.argmin(axis=1)
-            out = pdf.loc[mask, keep_cols].copy()
-            out["cell"] = cells[mask].astype("int32")
-            out["code"] = list(codes)
-            yield out
+            kept = b.filter(pa.array(mask))
+            nk = kept.num_rows
+            code_arr = pa.ListArray.from_arrays(
+                pa.array(np.arange(0, (nk + 1) * m, m, dtype=np.int32)),
+                pa.array(codes.ravel()),
+            )
+            cols = [
+                kept.column(kept.schema.get_field_index(c))
+                for c in keep_cols
+            ]
+            yield pa.RecordBatch.from_arrays(
+                [*cols,
+                 pa.array(cells[mask].astype(np.int32)),
+                 code_arr],
+                names=[*keep_cols, "cell", "code"],
+            )
 
-    return df.mapInPandas(gen, out_schema)
+    return df.mapInArrow(gen, out_schema)
 
 
 def knn_graph(df: DataFrame, k: int = 3, emb_col: str = "embedding",
