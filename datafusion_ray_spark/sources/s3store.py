@@ -230,6 +230,11 @@ def _triples_from_pushed(filters) -> list[tuple[str, str, object]]:
         if not attr or len(attr) != 1:
             continue  # nested column paths: no top-level stats to prune on
         col = str(attr[0])
+        if neg and isinstance(g, EqualNullSafe):
+            # NOT(a <=> v) is TRUE for null rows, which min/max stats say
+            # nothing about — a pinned-value row group may still hold
+            # matching nulls. Never prune on it.
+            continue
         if isinstance(g, (EqualTo, EqualNullSafe)):
             out.append((col, "!=" if neg else "=", g.value))
         elif neg:

@@ -411,7 +411,8 @@ def test_pushfilters_triples_conversion():
     unsupported shapes (nested columns, Not over inequality) are skipped
     — safe because every filter is returned to Spark unconsumed."""
     from pyspark.sql.datasource import (
-        EqualTo, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, Not,
+        EqualNullSafe, EqualTo, GreaterThanOrEqual, In, IsNotNull, IsNull,
+        LessThan, Not,
     )
 
     from datafusion_ray_spark.sources.s3store import _triples_from_pushed
@@ -425,6 +426,9 @@ def test_pushfilters_triples_conversion():
         IsNotNull(("k",)),
         EqualTo(("a", "b"), 1),          # nested: skipped
         Not(LessThan(("k",), 5)),        # Not over inequality: skipped
+        # NOT(a <=> v) is TRUE for null rows; min/max stats cannot refute
+        # it, so it must never become a pruning triple
+        Not(EqualNullSafe(("v",), 7.0)),
     ])
     assert got == [
         ("k", ">=", 10),
