@@ -78,7 +78,13 @@ def uses_python_workers(df: DataFrame) -> bool:
     plan = formatted_plan(df)
     return any(
         marker in plan
-        for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
+        for marker in (
+            "BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+            "FlatMapGroupsInPandas",
+            # round-10: the PQ/IVF kernels moved to mapInArrow — still a
+            # Python-worker stage, just without the pandas conversion
+            "MapInArrow", "PythonMapInArrow",
+        )
     )
 
 
