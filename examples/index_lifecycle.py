@@ -12,8 +12,10 @@ This is the shape a production 100 TB corpus runs nightly:
 - COMPACT when fragmentation accumulates — generation-then-swap: the new
   generation is written and verified at a versioned sibling location,
   committed atomically (ALTER TABLE SET LOCATION / ordered rename), and
-  the old generation is GC'd only after the swap, so the live index is
-  never at risk;
+  the old generation is RETIRED in place (deferred GC: readers mid-scan
+  on the old file listing finish undisturbed; gc_generations sweeps it
+  at the start of the next compaction), so the live index is never at
+  risk;
 - PROBE between any of the above: answers are certified identical to a
   full rebuild at every step (the registry operators dedup_index_append/
   dedup_index_compact/sim_ivf_append/sim_ivf_compact share their

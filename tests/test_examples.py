@@ -21,6 +21,7 @@ SCRIPTS = [
     "behavior_analytics.py",
     "partitioned_tables.py",
     "index_lifecycle.py",
+    "object_store_scan.py",
 ]
 
 
