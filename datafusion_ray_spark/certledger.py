@@ -167,8 +167,10 @@ def commit_rounds() -> tuple[dict[str, int], int]:
         sha, _, subject = line.partition(" ")
         m = _ROUND_MARKER.match(subject)
         marker_round.append(int(m.group(1)) if m else None)
-    newest = next((r for r in marker_round if r is not None), 0)
-    current = newest + 1
+    markers = [r for r in marker_round if r is not None]
+    newest = max(markers) if markers else 0  # max, not first: a reverted/
+    current = newest + 1                     # reordered marker must not
+    # shift every round assignment below it
     rounds: dict[str, int] = {}
     rnd = current
     for line, marker in zip(lines, marker_round):

@@ -330,6 +330,11 @@ class DFRayContext:
         # the reference's object-store listing.
         manifest: str | None = None
         if options.pop("manifest", None):
+            if isinstance(path, (list, tuple)):
+                raise ValueError(
+                    "pass EITHER a URL list OR manifest=True with the "
+                    "manifest's URL as path, not both"
+                )
             manifest = str(path)
         url_list: list[str] | None = None
         if isinstance(path, (list, tuple)):
@@ -341,7 +346,13 @@ class DFRayContext:
                     "register_parquet with a list takes http(s) object "
                     f"URLs; got {url_list!r}"
                 )
-            raw = path = url_list[0]  # route into the http branch below
+            path = url_list[0]  # route into the http branch below
+            # provenance must not misreport a multi-object dataset as its
+            # first object
+            raw = (
+                url_list[0] if len(url_list) == 1
+                else f"{url_list[0]} (+{len(url_list) - 1} more objects)"
+            )
 
         path = self._normalize_path(path)
         if path.startswith(("http://", "https://")):
@@ -400,8 +411,8 @@ class DFRayContext:
             from .sources.httpparquet import _urls as _resolve_urls
 
             src_opts: dict[str, Any] = (
-                {"manifest": manifest} if manifest
-                else {"urls": url_list} if url_list is not None
+                {"urls": url_list} if url_list is not None
+                else {"manifest": manifest} if manifest
                 else {"url": raw}
             )
             local = [self._fetch_url(u) for u in _resolve_urls(src_opts)]
@@ -559,7 +570,13 @@ class DFRayContext:
         import tempfile
         import urllib.request
 
-        suffix = "." + url.rsplit(".", 1)[-1] if "." in url.rsplit("/", 1)[-1] else ""
+        # Suffix from the PATH component only: a presigned URL's query
+        # string holds the signature (a bearer credential that must not
+        # become a /tmp filename) and is long enough to ENAMETOOLONG the
+        # temp file outright.
+        path_part = url.partition("?")[0]
+        tail = path_part.rsplit("/", 1)[-1]
+        suffix = "." + tail.rsplit(".", 1)[-1] if "." in tail else ""
         with urllib.request.urlopen(url, timeout=timeout) as resp:  # noqa: S310 - user-supplied source
             with tempfile.NamedTemporaryFile(delete=False, suffix=suffix) as out:
                 out.write(resp.read())
@@ -739,6 +756,7 @@ class DFRayContext:
         s3_opts: dict[str, str],
         csv_opts: dict[str, str],
         expiry: int,
+        spool_fallback: bool = True,
     ) -> None:
         """Presign a GET URL for an s3:// CSV object and register it
         through the distributed Range-partitioned HTTP source.
@@ -769,6 +787,11 @@ class DFRayContext:
             df = reader.load()
             df.limit(0).collect()  # surface schema/connect errors NOW
         except Exception:
+            # On a REFRESH the table is already serving; downgrading it to
+            # a frozen local spool because of a transient hiccup would be
+            # a silent semantics change — raise to the caller instead.
+            if not spool_fallback:
+                raise
             logger.info("http_csv datasource failed; driver-spool fallback")
             local = self._fetch_url(url)
             opts = {"header": "true", "inferSchema": "true", **csv_opts}
@@ -793,16 +816,28 @@ class DFRayContext:
     def _refresh_presigned(self) -> None:
         """Re-presign + re-register any presigned-CSV table nearing
         expiry (the view swap is atomic; running queries keep their
-        already-resolved URL)."""
+        already-resolved URL). A failed refresh must not take down
+        UNRELATED queries: the table keeps serving its current URL (the
+        refresh margin means it is usually still valid), the failure is
+        logged, and the next ``sql()`` after a short back-off retries."""
         import time
 
         for name, meta in list(self._presigned.items()):
             if time.time() >= meta["refresh_at"]:
                 logger.info("re-presigning table %r before expiry", name)
-                self._register_presigned_csv(
-                    name, meta["s3_path"], meta["s3_opts"],
-                    meta["csv_opts"], meta["expiry"],
-                )
+                try:
+                    self._register_presigned_csv(
+                        name, meta["s3_path"], meta["s3_opts"],
+                        meta["csv_opts"], meta["expiry"],
+                        spool_fallback=False,
+                    )
+                except Exception as exc:  # noqa: BLE001 - isolate per table
+                    meta["refresh_at"] = time.time() + 30  # back-off retry
+                    logger.warning(
+                        "re-presign of %r failed (%s); keeping the current "
+                        "URL, retrying on the next query after 30 s",
+                        name, exc,
+                    )
 
     def tables(self) -> dict[str, str]:
         return dict(self._tables)

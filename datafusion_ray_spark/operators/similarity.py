@@ -555,8 +555,17 @@ def pq_encode(df: DataFrame, codebooks: list[list[list[float]]],
                 continue
             emb = b.column(b.schema.get_field_index(emb_col))
             # flatten() honors list offsets/slices; fixed-width rows make
-            # the reshape a zero-copy (n, DIM) view of the Arrow buffer
-            X = np.asarray(emb.flatten(), dtype=np.float64).reshape(n, -1)
+            # the reshape a zero-copy (n, DIM) view of the Arrow buffer.
+            # The EXPLICIT width makes ragged/null inputs fail loudly
+            # (reshape errors) instead of silently misaligning vectors.
+            if emb.null_count:
+                raise ValueError(
+                    f"pq_encode: {emb.null_count} null {emb_col!r} values "
+                    "in batch; drop or impute them before encoding"
+                )
+            X = np.asarray(emb.flatten(), dtype=np.float64).reshape(
+                n, m * sub
+            )
             codes = np.empty((n, m), dtype=np.int32)
             for s in range(m):
                 Xs = X[:, s * sub:(s + 1) * sub]
@@ -725,7 +734,15 @@ def ivfpq_encode(
             if not n:
                 continue
             emb = b.column(b.schema.get_field_index(emb_col))
-            X = np.asarray(emb.flatten(), dtype=np.float64).reshape(n, -1)
+            if emb.null_count:
+                raise ValueError(
+                    f"ivfpq_encode: {emb.null_count} null {emb_col!r} "
+                    "values in batch; drop or impute them before encoding"
+                )
+            # explicit width (centroid dim): ragged inputs fail loudly
+            X = np.asarray(emb.flatten(), dtype=np.float64).reshape(
+                n, C.shape[1]
+            )
             en = np.sqrt((X * X).sum(axis=1))
             en[en == 0.0] = 1.0
             scores = np.round(X @ C.T / (en[:, None] * cn[None, :]), 6)

@@ -166,6 +166,13 @@ def gc_generations(live_location: str) -> list[str]:
     import shutil
 
     live = os.path.normpath(live_location.rstrip("/"))
+    if not os.path.isdir(live):
+        # CRASH STATE, not garbage: nothing is live (e.g. a rerun after a
+        # crash between compact_partitioned's two swap renames, where the
+        # old generation sits at <base>.genN.retired and the new at
+        # <base>.genN). Deleting the siblings here would destroy EVERY
+        # copy of the index — refuse, leave recovery to the operator.
+        return []
     base = _generation_base(live)
     candidates = {base, *glob.glob(base + ".gen*")}
     deleted = []

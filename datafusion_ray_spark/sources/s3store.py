@@ -511,8 +511,21 @@ def _enable_python_filter_pushdown(spark) -> None:
     conf on. Runtime-settable SQLConf; best-effort for locked-down
     sessions — planning will then surface Spark's own error naming the
     conf."""
+    key = "spark.sql.python.filterPushdown.enabled"
     try:
-        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+        if spark.conf.get(key, "false") != "true":
+            # Visible, not silent: this is a session-wide toggle and also
+            # affects the user's OWN Python data sources. An explicit
+            # post-registration opt-out sticks (nothing re-asserts it) —
+            # scans of these formats then fail with Spark's error naming
+            # this conf.
+            import logging
+
+            logging.getLogger(__name__).info(
+                "enabling %s (required by the s3parquet/httpparquet "
+                "pushFilters implementation)", key,
+            )
+        spark.conf.set(key, "true")
     except Exception:  # noqa: BLE001 - conf locked; Spark's error names it
         pass
 

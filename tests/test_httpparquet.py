@@ -369,3 +369,19 @@ def test_http_parquet_manifest_registration(spark, multi_base):
     df = spark.table("http_manifest")
     assert sorted(map(tuple, df.collect())) == _local_oracle_rows()
     assert ctx.tables()["http_manifest"] == f"{multi_base}/manifest.txt"
+
+
+def test_http_parquet_multi_url_provenance_and_conflicts(spark, multi_base):
+    """Round-10 review fixes: multi-URL provenance must not misreport the
+    dataset as its first object, and list + manifest=True together is a
+    declaration conflict."""
+    from datafusion_ray_spark.context import DFRayContext
+
+    ctx = DFRayContext(spark=spark)
+    urls = [f"{multi_base}/a.parquet", f"{multi_base}/b.parquet"]
+    ctx.register_parquet("http_multi_prov", urls, partition_bytes=1)
+    prov = ctx.tables()["http_multi_prov"]
+    assert prov == f"{urls[0]} (+1 more objects)"
+
+    with pytest.raises(ValueError, match="EITHER a URL list OR manifest"):
+        ctx.register_parquet("bad", urls, manifest=True)

@@ -420,3 +420,28 @@ def test_ivf_append_only_prune_and_equal_to_rebuild(spark, sf_dir):
     )
     want = [tuple(r) for r in suite7.run_ivf_persist(spark, sf_dir).collect()]
     assert got == want and len(got) == 10
+
+
+def test_gc_generations_refuses_crash_state(tmp_path):
+    """Round-10 review fix: a rerun after a crash BETWEEN the two swap
+    renames (live path missing; old gen at .genN.retired, new at .genN)
+    must not GC anything — deleting the siblings would destroy every
+    copy of the index. gc_generations no-ops when nothing is live."""
+    import os as _os
+
+    from datafusion_ray_spark.sources.bucketing import gc_generations
+
+    base = str(tmp_path / "ivf_index")
+    _os.makedirs(base + ".gen1.retired")  # old generation, aside
+    _os.makedirs(base + ".gen2")          # new generation, not yet live
+    open(base + ".gen1.retired/part-0.parquet", "wb").write(b"old")
+    open(base + ".gen2/part-0.parquet", "wb").write(b"new")
+
+    assert gc_generations(base) == []  # live path absent -> refuse
+    assert _os.path.exists(base + ".gen1.retired/part-0.parquet")
+    assert _os.path.exists(base + ".gen2/part-0.parquet")
+
+    # once a live generation exists again, GC sweeps the siblings
+    _os.makedirs(base)
+    deleted = gc_generations(base)
+    assert len(deleted) == 2 and not _os.path.exists(base + ".gen2")
