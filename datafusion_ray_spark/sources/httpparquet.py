@@ -30,12 +30,15 @@ import urllib.request
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
 from .s3store import (
+    DEFAULT_FOOTER_PLANNING_MAX_FILES,
     DEFAULT_PARTITION_BYTES,
     _FOOTER_PROBE,
     _enable_python_filter_pushdown,
     _pack_row_groups,
     _parse_columns,
     _parse_filters,
+    _range_plan,
+    _select_row_groups_for_range,
     _triples_from_pushed,
     redact_url,
 )
@@ -221,6 +224,22 @@ class _HTTPParquetReader(DataSourceReader):
             import pyarrow.parquet as pq
 
             urls = _urls(self.options)
+            max_footer_files = int(self.options.get(
+                "footer_planning_max_files",
+                DEFAULT_FOOTER_PLANNING_MAX_FILES,
+            ))
+            if len(urls) > max_footer_files:
+                # Hadoop split protocol over http: sizes come from HEAD
+                # probes (one tiny request per URL, no footer bytes);
+                # tasks read their own footers and claim row groups by
+                # midpoint, pruning task-side.
+                with ThreadPoolExecutor(
+                    max_workers=min(16, len(urls))
+                ) as pool:
+                    sizes = list(pool.map(_probe_size, urls))
+                plan = _range_plan(list(zip(urls, sizes)), self.part_bytes)
+                self._parts = [InputPartition(p) for p in plan]
+                return self._parts
 
             def footer(url):
                 size = _probe_size(url)
@@ -248,8 +267,18 @@ class _HTTPParquetReader(DataSourceReader):
             return
         import pyarrow.parquet as pq
 
-        url, size, row_groups = partition.value
-        pf = pq.ParquetFile(_RangedHTTPFile(url, size))
+        if len(partition.value) == 4:  # byte-range split (large listing)
+            url, size, start, end = partition.value
+            pf = pq.ParquetFile(_RangedHTTPFile(url, size))
+            row_groups = _select_row_groups_for_range(
+                pf.metadata, start, end,
+                _parse_filters(self.options) + self._pushed,
+            )
+            if not row_groups:
+                return
+        else:
+            url, size, row_groups = partition.value
+            pf = pq.ParquetFile(_RangedHTTPFile(url, size))
         cols = _parse_columns(self.options)
         for batch in pf.iter_batches(row_groups=row_groups, columns=cols):
             yield batch.select(cols) if cols else batch

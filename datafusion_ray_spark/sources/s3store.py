@@ -11,12 +11,17 @@ can still read S3 tables DISTRIBUTED rather than not at all.
 How it distributes (the same split Spark's own parquet source makes):
 
 - The PLANNER (driver) lists the prefix (one ``list_objects_v2`` page
-  walk), range-reads each file's FOOTER only, and emits one input
-  partition per contiguous run of row groups, packed to
-  ``partition_bytes`` (default 128 MB) — so a 100 TB prefix plans into
-  ~800k independent partitions without the driver ever touching data
-  bytes, and a single huge file still fans out across executors by row
-  group.
+  walk). For listings up to ``footer_planning_max_files`` (default 256)
+  it range-reads each file's FOOTER and emits one input partition per
+  contiguous run of row groups packed to ``partition_bytes`` (default
+  128 MB) — precise splits and plan-time stats pruning. BEYOND that it
+  switches to the Hadoop split protocol: byte-range partitions computed
+  from the listing's sizes ALONE (zero per-file driver round trips — a
+  100 TB / 800k-object prefix plans without the driver transferring
+  ~50 GB of footer tails), and each TASK reads its own footer, claims
+  the row groups whose byte midpoint falls in its range (contiguous
+  ranges tile the file, so exactly-once), and applies the same stats
+  pruning task-side.
 - EVERY EXECUTOR opens its own ranged reader over exactly its row groups
   (boto3 ``Range:`` GETs behind a seekable file object; pyarrow reads only
   the byte ranges those row groups cover) and yields ARROW BATCHES — the
@@ -69,6 +74,18 @@ from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 DEFAULT_PARTITION_BYTES = 128 << 20
 
 _FOOTER_PROBE = 64 << 10  # tail bytes fetched to parse most footers in one GET
+
+#: listings larger than this switch the planner from footer-based
+#: row-group packing (driver fetches every footer — precise splits and
+#: plan-time stats pruning, but O(files) driver round trips) to the
+#: Hadoop split protocol: byte-range partitions computed from the LISTING
+#: alone (sizes only, zero per-file round trips on the driver); each TASK
+#: reads its own footer and claims the row groups whose byte midpoint
+#: falls inside its range, applying the same stats pruning there. A
+#: 100 TB / 800k-object prefix plans without the driver transferring
+#: ~50 GB of footer tails. Override per-read with the
+#: ``footer_planning_max_files`` option.
+DEFAULT_FOOTER_PLANNING_MAX_FILES = 256
 
 
 def _client(opts: dict):
@@ -376,6 +393,57 @@ def _row_group_plan(client, bucket: str, objects, part_bytes: int,
     return _pack_row_groups(metas, part_bytes, filters)
 
 
+def _rg_span(rg_meta) -> tuple[int, int]:
+    """(first byte offset, total compressed bytes) of a row group — the
+    coordinates the Hadoop split-midpoint rule needs."""
+    starts = []
+    compressed = 0
+    for j in range(rg_meta.num_columns):
+        cc = rg_meta.column(j)
+        off = cc.dictionary_page_offset
+        starts.append(off if off is not None else cc.data_page_offset)
+        compressed += cc.total_compressed_size
+    return min(starts), compressed
+
+
+def _select_row_groups_for_range(meta, start: int, end: int,
+                                 filters) -> list[int]:
+    """TASK-side split resolution (Hadoop protocol): the row groups whose
+    byte MIDPOINT falls in [start, end) — contiguous ranges tile the
+    file, so every row group lands in exactly one partition — minus the
+    groups the footer stats refute for ``filters`` (same lossless pruning
+    the driver-side planner does, applied where the footer was read)."""
+    col_idx: dict[str, int] = {}
+    if filters and meta.num_row_groups:
+        rg0 = meta.row_group(0)
+        col_idx = {
+            rg0.column(i).path_in_schema: i for i in range(rg0.num_columns)
+        }
+    out = []
+    for rg in range(meta.num_row_groups):
+        rg_start, rg_bytes = _rg_span(meta.row_group(rg))
+        mid = rg_start + rg_bytes // 2
+        if not (start <= mid < end):
+            continue
+        if filters and not _rg_may_match(meta, rg, col_idx, filters):
+            continue
+        out.append(rg)
+    return out
+
+
+def _range_plan(objects, part_bytes: int):
+    """[(key, size, start, end), ...] — byte-range partitions from the
+    listing's sizes ALONE (no footer reads anywhere on the driver)."""
+    parts = []
+    for key, size in objects:
+        start = 0
+        while start < size:
+            end = min(start + part_bytes, size)
+            parts.append((key, size, start, end))
+            start = end
+    return parts
+
+
 def _pack_row_groups(metas, part_bytes: int, filters=()):
     """Shared planning core (s3 + http sources): pack each object's
     surviving row groups into contiguous runs of ~``part_bytes``;
@@ -466,18 +534,28 @@ class _S3ParquetReader(DataSourceReader):
         return filters
 
     def partitions(self):
-        # Cache the listing + row-group plan on the reader: repeated
-        # planner calls within one scan's lifetime must not re-pay the
-        # O(files) listing/footer round trips.
+        # Cache the listing + plan on the reader: repeated planner calls
+        # within one scan's lifetime must not re-pay the listing (or, in
+        # footer mode, the O(files) footer round trips).
         if self._parts is None:
             opts = self.options
             client = _client(opts)
             bucket, key = _split_url(opts["path"])
             objects = _list_parquet_objects(client, bucket, key)
-            plan = _row_group_plan(
-                client, bucket, objects, self.part_bytes,
-                filters=_parse_filters(opts) + self._pushed,
-            )
+            max_footer_files = int(opts.get(
+                "footer_planning_max_files",
+                DEFAULT_FOOTER_PLANNING_MAX_FILES,
+            ))
+            if len(objects) > max_footer_files:
+                # Hadoop split protocol: byte ranges from sizes alone —
+                # ZERO driver round trips beyond the listing; tasks read
+                # their own footers and claim row groups by midpoint.
+                plan = _range_plan(objects, self.part_bytes)
+            else:
+                plan = _row_group_plan(
+                    client, bucket, objects, self.part_bytes,
+                    filters=_parse_filters(opts) + self._pushed,
+                )
             self._parts = [InputPartition(p) for p in plan]
         return self._parts
 
@@ -490,11 +568,21 @@ class _S3ParquetReader(DataSourceReader):
             return
         import pyarrow.parquet as pq
 
-        key, size, row_groups = partition.value
         opts = self.options
         client = _client(opts)
         bucket, _ = _split_url(opts["path"])
-        pf = pq.ParquetFile(_RangedS3File(client, bucket, key, size))
+        if len(partition.value) == 4:  # byte-range split (large listing)
+            key, size, start, end = partition.value
+            pf = pq.ParquetFile(_RangedS3File(client, bucket, key, size))
+            row_groups = _select_row_groups_for_range(
+                pf.metadata, start, end,
+                _parse_filters(opts) + self._pushed,
+            )
+            if not row_groups:
+                return
+        else:
+            key, size, row_groups = partition.value
+            pf = pq.ParquetFile(_RangedS3File(client, bucket, key, size))
         cols = _parse_columns(opts)
         # Arrow fast path: yield RecordBatches, never per-row Python.
         # With a projection, pyarrow reads ONLY the requested columns'

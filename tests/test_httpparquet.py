@@ -385,3 +385,24 @@ def test_http_parquet_multi_url_provenance_and_conflicts(spark, multi_base):
 
     with pytest.raises(ValueError, match="EITHER a URL list OR manifest"):
         ctx.register_parquet("bad", urls, manifest=True)
+
+
+def test_http_parquet_range_split_protocol(spark, multi_base):
+    """Hadoop split protocol over http (forced via
+    footer_planning_max_files=1 on the 2-object dataset): planning needs
+    only HEAD probes; tasks claim row groups by byte midpoint — rows are
+    exactly-once and equal to the footer-planned read."""
+    from datafusion_ray_spark.context import DFRayContext
+
+    ctx = DFRayContext(spark=spark)
+    ctx.register_parquet(
+        "http_range_mode",
+        [f"{multi_base}/a.parquet", f"{multi_base}/b.parquet"],
+        partition_bytes=40_000, footer_planning_max_files=1,
+    )
+    df = spark.table("http_range_mode")
+    assert df.rdd.getNumPartitions() > 2  # multiple ranges per file
+    got = sorted(map(tuple, df.collect()))
+    assert got == _local_oracle_rows()
+    # pushFilters still prunes task-side: exact rows, no loss
+    assert df.where("k >= 60000").count() == 20_000
