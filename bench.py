@@ -258,8 +258,15 @@ def main() -> None:
                 host_start["load1_per_cpu"] > LOAD_WARN_THRESHOLD,
         },
     }
+    # A SUBSET run (--queries) must not clobber the committed full-registry
+    # detail baseline (this bit twice: r9's 31204a9 and a round-10 smoke) —
+    # route it to a scratch file unless --detail-out says otherwise.
+    default_name = (
+        "BENCH_DETAIL.json" if args.queries is None
+        else "BENCH_DETAIL_SUBSET.json"
+    )
     detail_path = args.detail_out or os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+        os.path.dirname(os.path.abspath(__file__)), default_name)
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1)
     # Full per-query record first (humans / logs)...
