@@ -325,9 +325,12 @@ class DFRayContext:
         # Multi-object http(s) datasets: a LIST of object URLs, or
         # ``manifest=True`` marking ``path`` as a URL whose body lists
         # them (one per line, # comments, relative entries resolve against
-        # the manifest's directory). No generic http listing protocol
-        # exists, so explicit enumeration is the multi-object analogue of
-        # the reference's object-store listing.
+        # the manifest's directory; an optional ``url<whitespace>bytes``
+        # size annotation lets split-mode planning skip every per-URL
+        # HEAD probe — ONE manifest fetch plans the dataset, the http
+        # analogue of s3 sizes riding the listing). No generic http
+        # listing protocol exists, so explicit enumeration is the
+        # multi-object analogue of the reference's object-store listing.
         manifest: str | None = None
         if options.pop("manifest", None):
             if isinstance(path, (list, tuple)):
@@ -397,25 +400,32 @@ class DFRayContext:
                 # footer, 403/404 after the probe, bad filter JSON) must
                 # surface as-is: silently downloading a broken or
                 # forbidden object to the driver masks the real cause.
-                msg = f"{type(exc).__name__}: {exc}"
-                range_unsupported = (
-                    "server ignored Range request" in msg
-                    or "cannot determine object size" in msg
-                    or "Accept-Ranges" in msg
+                # Detection is the source's RangeUnsupportedError contract:
+                # the type when the raise is driver-side, its sentinel
+                # token when Spark's worker boundary has flattened the
+                # exception to message text.
+                from .sources.httpparquet import (
+                    RANGE_UNSUPPORTED_TOKEN,
+                    RangeUnsupportedError,
                 )
+
+                range_unsupported = isinstance(
+                    exc, RangeUnsupportedError
+                ) or RANGE_UNSUPPORTED_TOKEN in f"{exc}"
                 if not range_unsupported:
                     raise
                 logger.info(
                     "server lacks Range support; driver-spool fallback"
                 )
-            from .sources.httpparquet import _urls as _resolve_urls
+            from .sources.httpparquet import _url_entries as _resolve_urls
 
             src_opts: dict[str, Any] = (
                 {"urls": url_list} if url_list is not None
                 else {"manifest": manifest} if manifest
                 else {"url": raw}
             )
-            local = [self._fetch_url(u) for u in _resolve_urls(src_opts)]
+            local = [self._fetch_url(u)
+                     for u, _size in _resolve_urls(src_opts)]
             self._register(name, shape(self.spark.read.parquet(*local)), raw)
             return
         if path.startswith(("s3a://", "gs://")):

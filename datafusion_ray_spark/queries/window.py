@@ -1,8 +1,9 @@
 """Driver certification-window DECLARATION (policy, not implementation).
 
 The external driver certifies the FIRST 50 registry entries per round, so
-the registry orders its dict as ``CERTIFICATION_PINNED`` then
-``CERTIFICATION_ROTATING`` then everything else. The lists here are the
+the registry orders its dict as ``CERTIFICATION_FLAGSHIPS`` then
+``CERTIFICATION_ROTATING`` then everything else (after the TPC-H suite,
+which the registry pins first by construction). The lists here are the
 output of the staleness ledger's picker
 (``python -m datafusion_ray_spark.certledger`` → ``CERT_LEDGER.json``) and
 ``tests/test_cert_ledger.py`` asserts they REPRODUCE it, so the shipped

@@ -180,6 +180,17 @@ def gc_generations(live_location: str) -> list[str]:
         if os.path.normpath(path) == live or not os.path.isdir(path):
             continue
         shutil.rmtree(path, ignore_errors=True)
+        if os.path.exists(path):
+            # A failed deletion (permissions, open handles) must stay
+            # VISIBLE — reporting it swept would mean it is never retried.
+            # It remains a retired sibling, so the next GC pass retries.
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "gc_generations could not remove %s; will retry next pass",
+                path,
+            )
+            continue
         deleted.append(path)
     return deleted
 

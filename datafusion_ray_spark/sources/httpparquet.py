@@ -44,46 +44,108 @@ from .s3store import (
 )
 
 
-def _urls(opts: dict) -> list[str]:
-    """The object URLs this scan covers. Three declaration forms:
+#: one manifest fetch serves a whole scan: ``schema()`` and the reader's
+#: ``partitions()`` both resolve the URL list, and fetching twice is a
+#: TOCTOU if the manifest changes between the calls — plan against ONE
+#: snapshot. Keyed by manifest URL; short TTL so repeated scans of a
+#: growing dataset still see appends. Driver-side only (executors never
+#: resolve manifests; partitions carry concrete URLs).
+_MANIFEST_TTL_S = 60.0
+_MANIFEST_CACHE: dict[str, tuple[float, list[tuple[str, int | None]]]] = {}
+
+
+def _parse_manifest(body: str, murl: str) -> list[tuple[str, int | None]]:
+    """Manifest body -> [(url, size_bytes | None)]. One entry per line,
+    ``#`` comments allowed; an entry is ``url`` or ``url<whitespace>bytes``
+    (the size-annotated form: with sizes the split planner needs ZERO
+    per-URL HEAD probes — one manifest fetch plans an 800k-object
+    dataset, matching the s3 path where sizes ride the listing).
+    Relative entries resolve against the manifest's directory — with any
+    query string / fragment stripped first, so a presigned manifest URL
+    (``.../manifest.txt?X-Amz-Signature=...``) doesn't leak its query
+    into every resolved object URL."""
+    base = murl.partition("?")[0].partition("#")[0].rsplit("/", 1)[0] + "/"
+    entries: list[tuple[str, int | None]] = []
+    for line in body.splitlines():
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        url, size = line, None
+        parts = line.rsplit(None, 1)
+        if len(parts) == 2 and parts[1].isdigit():
+            url, size = parts[0], int(parts[1])
+        if not url.startswith(("http://", "https://")):
+            url = base + url
+        entries.append((url, size))
+    if not entries:
+        raise FileNotFoundError(
+            f"manifest {redact_url(murl)} lists no parquet URLs"
+        )
+    return entries
+
+
+def _manifest_entries(murl: str) -> list[tuple[str, int | None]]:
+    import time
+
+    hit = _MANIFEST_CACHE.get(murl)
+    now = time.monotonic()
+    if hit is not None and now - hit[0] < _MANIFEST_TTL_S:
+        return hit[1]
+    with urllib.request.urlopen(murl, timeout=60.0) as resp:  # noqa: S310 - user-supplied source
+        body = resp.read().decode("utf-8", "replace")
+    entries = _parse_manifest(body, murl)
+    if len(_MANIFEST_CACHE) >= 8:  # bounded; oldest snapshot out
+        _MANIFEST_CACHE.pop(min(_MANIFEST_CACHE, key=lambda k: _MANIFEST_CACHE[k][0]))
+    _MANIFEST_CACHE[murl] = (now, entries)
+    return entries
+
+
+def _url_entries(opts: dict) -> list[tuple[str, int | None]]:
+    """The (url, known_size) pairs this scan covers. Three declaration
+    forms:
 
     - ``url``: one object (the round-9 surface, unchanged);
     - ``urls``: a JSON list of object URLs — the multi-object analogue of
       the reference's listing behavior over an http store, which has no
       generic listing protocol to discover objects with;
     - ``manifest``: a URL whose body LISTS object URLs (one per line,
-      ``#`` comments allowed) — how a 100 TB publisher actually exposes a
-      many-file dataset over plain http.
+      ``#`` comments allowed, optional ``url<whitespace>bytes`` size
+      annotation) — how a 100 TB publisher actually exposes a many-file
+      dataset over plain http.
+
+    Sizes are ``None`` where the declaration doesn't carry them; the
+    planner HEAD-probes only those.
     """
     import json
 
     if opts.get("manifest"):
-        murl = opts["manifest"]
-        with urllib.request.urlopen(murl, timeout=60.0) as resp:  # noqa: S310 - user-supplied source
-            body = resp.read().decode("utf-8", "replace")
-        base = murl.rsplit("/", 1)[0] + "/"
-        urls = []
-        for line in body.splitlines():
-            line = line.strip()
-            if not line or line.startswith("#"):
-                continue
-            # relative entries resolve against the manifest's directory
-            urls.append(
-                line if line.startswith(("http://", "https://"))
-                else base + line
-            )
-        if not urls:
-            raise FileNotFoundError(
-                f"manifest {redact_url(murl)} lists no parquet URLs"
-            )
-        return urls
+        return _manifest_entries(opts["manifest"])
     if opts.get("urls"):
         raw = opts["urls"]
         urls = json.loads(raw) if isinstance(raw, str) else list(raw)
         if not urls:
             raise ValueError("'urls' option is an empty list")
-        return [str(u) for u in urls]
-    return [opts["url"]]
+        return [(str(u), None) for u in urls]
+    return [(opts["url"], None)]
+
+
+#: stable machine-readable token for "this server cannot serve ranged
+#: reads". It is part of the error CONTRACT: the facade's driver-spool
+#: fallback keys on this token (plus the exception type driver-side)
+#: because Spark's Python-worker boundary erases Python exception types —
+#: only message text survives into the PySparkException the driver sees.
+#: Human wording around it may change; the token must not.
+RANGE_UNSUPPORTED_TOKEN = "[RANGE_UNSUPPORTED]"
+
+
+class RangeUnsupportedError(OSError):
+    """The http server cannot serve partial reads (no Range support or an
+    opaque object size) — the ONE failure the facade's driver-spool
+    fallback exists for. The token rides the message so the condition is
+    still detectable after Spark flattens the exception to text."""
+
+    def __init__(self, detail: str):
+        super().__init__(f"{RANGE_UNSUPPORTED_TOKEN} {detail}")
 
 
 def _probe_size(url: str, timeout: float = 60.0) -> int:
@@ -108,7 +170,9 @@ def _probe_size(url: str, timeout: float = 60.0) -> int:
         length = resp.headers.get("Content-Length")
         if resp.status == 200 and length:
             return int(length)
-    raise OSError(f"cannot determine object size for {redact_url(url)}")
+    raise RangeUnsupportedError(
+        f"cannot determine object size for {redact_url(url)}"
+    )
 
 
 class _RangedHTTPFile(io.RawIOBase):
@@ -145,7 +209,7 @@ class _RangedHTTPFile(io.RawIOBase):
         )
         with urllib.request.urlopen(req, timeout=self._timeout) as resp:  # noqa: S310
             if resp.status != 206:
-                raise OSError(
+                raise RangeUnsupportedError(
                     f"server ignored Range request for "
                     f"{redact_url(self._url)} (HTTP {resp.status}); "
                     "ranged parquet reads need Accept-Ranges: bytes"
@@ -186,8 +250,11 @@ class HTTPParquetDataSource(DataSource):
         from pyspark.sql.pandas.types import from_arrow_schema
 
         opts = dict(self.options)
-        url = _urls(opts)[0]  # parquet is self-describing; first footer
-        pf = pq.ParquetFile(_RangedHTTPFile(url, _probe_size(url)))
+        # parquet is self-describing; first footer. A manifest-carried
+        # size skips even the schema probe's HEAD.
+        url, size = _url_entries(opts)[0]
+        pf = pq.ParquetFile(_RangedHTTPFile(url, size if size is not None
+                                            else _probe_size(url)))
         arrow_schema = pf.schema_arrow
         cols = _parse_columns(opts)
         if cols:
@@ -223,38 +290,49 @@ class _HTTPParquetReader(DataSourceReader):
 
             import pyarrow.parquet as pq
 
-            urls = _urls(self.options)
+            entries = _url_entries(self.options)
             max_footer_files = int(self.options.get(
                 "footer_planning_max_files",
                 DEFAULT_FOOTER_PLANNING_MAX_FILES,
             ))
-            if len(urls) > max_footer_files:
-                # Hadoop split protocol over http: sizes come from HEAD
-                # probes (one tiny request per URL, no footer bytes);
-                # tasks read their own footers and claim row groups by
-                # midpoint, pruning task-side.
-                with ThreadPoolExecutor(
-                    max_workers=min(16, len(urls))
-                ) as pool:
-                    sizes = list(pool.map(_probe_size, urls))
-                plan = _range_plan(list(zip(urls, sizes)), self.part_bytes)
+            if len(entries) > max_footer_files:
+                # Hadoop split protocol over http: sizes come from the
+                # manifest when annotated (zero planning requests beyond
+                # the one manifest fetch — the analogue of s3 sizes
+                # riding the listing), HEAD probes only for entries that
+                # don't carry one; tasks read their own footers and claim
+                # row groups by midpoint, pruning task-side.
+                unsized = [u for u, s in entries if s is None]
+                if unsized:
+                    with ThreadPoolExecutor(
+                        max_workers=min(16, len(unsized))
+                    ) as pool:
+                        probed = dict(zip(unsized, pool.map(_probe_size,
+                                                            unsized)))
+                else:
+                    probed = {}
+                sized = [(u, s if s is not None else probed[u])
+                         for u, s in entries]
+                plan = _range_plan(sized, self.part_bytes)
                 self._parts = [InputPartition(p) for p in plan]
                 return self._parts
 
-            def footer(url):
-                size = _probe_size(url)
+            def footer(entry):
+                url, size = entry
+                if size is None:
+                    size = _probe_size(url)
                 meta = pq.ParquetFile(_RangedHTTPFile(url, size)).metadata
                 return url, size, meta
 
             # footers fetched CONCURRENTLY: planning a many-URL dataset
             # costs ~one round-trip latency, not one serial probe per URL
-            if len(urls) > 1:
+            if len(entries) > 1:
                 with ThreadPoolExecutor(
-                    max_workers=min(16, len(urls))
+                    max_workers=min(16, len(entries))
                 ) as pool:
-                    metas = list(pool.map(footer, urls))
+                    metas = list(pool.map(footer, entries))
             else:
-                metas = [footer(u) for u in urls]
+                metas = [footer(e) for e in entries]
             filters = _parse_filters(self.options) + self._pushed
             parts = _pack_row_groups(metas, self.part_bytes, filters)
             self._parts = [InputPartition(p) for p in parts]

@@ -601,19 +601,28 @@ def _enable_python_filter_pushdown(spark) -> None:
     conf."""
     key = "spark.sql.python.filterPushdown.enabled"
     try:
-        if spark.conf.get(key, "false") != "true":
-            # Visible, not silent: this is a session-wide toggle and also
-            # affects the user's OWN Python data sources. An explicit
-            # post-registration opt-out sticks (nothing re-asserts it) —
-            # scans of these formats then fail with Spark's error naming
-            # this conf.
-            import logging
+        if spark.conf.get(key, "false") == "true":
+            return  # already on (by us or the user) — nothing to re-assert
+        # An explicit user opt-out must STICK: once this facade has set the
+        # conf, a later `spark.conf.set(key, "false")` is the user's call
+        # and no subsequent register_* re-overrides it — scans of these
+        # formats then fail with Spark's error naming this conf.
+        flag = f"_dfrs_set_{key.replace('.', '_')}"
+        if getattr(spark, flag, False):
+            return
+        # Visible, not silent: this is a session-wide toggle and also
+        # affects the user's OWN Python data sources.
+        import logging
 
-            logging.getLogger(__name__).info(
-                "enabling %s (required by the s3parquet/httpparquet "
-                "pushFilters implementation)", key,
-            )
+        logging.getLogger(__name__).info(
+            "enabling %s (required by the s3parquet/httpparquet "
+            "pushFilters implementation)", key,
+        )
         spark.conf.set(key, "true")
+        try:
+            setattr(spark, flag, True)
+        except Exception:  # noqa: BLE001 - frozen session object: worst
+            pass           # case the next register re-checks the conf
     except Exception:  # noqa: BLE001 - conf locked; Spark's error names it
         pass
 
