@@ -28,10 +28,19 @@ This module makes that policy machine-checkable:
   declared order REPRODUCES the committed ledger's window, so the window
   shipped to the driver is provably the ledger's pick, not hand-waving.
 
-The file closure is deliberately conservative (file-level, transitive):
-touching a shared module marks every entry that can reach it stale. When
-more entries are stale than rotating slots, oldest-certified-first decides
-— exactly the decay ordering a finite certification budget should spend.
+The file closure is conservative (file-level, transitive): touching a
+shared module marks every entry that can reach it stale. When more entries
+are stale than rotating slots, oldest-certified-first decides — exactly
+the decay ordering a finite certification budget should spend.
+
+Round 11 sharpens staleness to PER-ENTRY granularity inside declaration
+modules: an entry's own declaration (its ``q("name", sql)`` /
+``SuiteEntry("name", ...)`` call) is hashed as a FRAGMENT and the rest of
+the module as a shared RESIDUAL, so appending a sibling query stales
+nothing, editing one entry's SQL stales only it, and the assembly-only
+``queries/registry.py`` leaves closures entirely (its per-entry run path —
+``register_tables`` + the SQL text — is hashed via ``sources/tables.py``
+and the fragment). See the "per-entry declaration fragments" section.
 """
 
 from __future__ import annotations
@@ -48,19 +57,26 @@ PACKAGE = "datafusion_ray_spark"
 PACKAGE_DIR = os.path.dirname(os.path.abspath(__file__))
 REPO_ROOT = os.path.dirname(PACKAGE_DIR)
 
-#: every entry's run path goes through the registry wrapper, but the
-#: registry module must NOT be transitively expanded: it imports the whole
-#: operator package to BUILD the entry dict, which is assembly plumbing,
-#: not part of any single entry's implementation — expanding it would put
-#: every operator file in every entry's closure and mark all 192 entries
-#: stale whenever any one file changes. It joins each closure as a LEAF.
-LEAF_IN_CLOSURE = ("queries/registry.py",)
-
-#: policy-only modules NEVER hashed into closures: the window declaration
-#: changes every round by design (the window moves) without altering any
-#: entry's implementation — including it would mark everything stale
-#: every round and make the staleness signal vacuous.
-EXCLUDE_FROM_CLOSURE = (f"{PACKAGE}.queries.window",)
+#: modules NEVER in closures (also invisible to import resolution, so
+#: importing them doesn't pull them in transitively):
+#:
+#: - ``queries.window`` is policy-only: the window declaration changes
+#:   every round BY DESIGN (the window moves) without altering any
+#:   entry's implementation — hashing it would mark everything stale
+#:   every round and make the staleness signal vacuous.
+#: - ``queries.registry`` is assembly plumbing (round 11, was a closure
+#:   LEAF in round 10): it imports EVERY query/operator module to build
+#:   the entry dict, so expanding it fused all 192 closures, and even as
+#:   a hashed leaf it was touched every round (appends, ordering), which
+#:   saturated the staleness signal — the round-10 verdict's finding.
+#:   Its only per-entry executable logic is the ``_sql_entry`` wrapper
+#:   (``register_tables`` + ``spark.sql``), both sides of which ARE
+#:   hashed: ``sources/tables.py`` joins every closure, and the SQL text
+#:   itself is the entry's FRAGMENT (below).
+EXCLUDE_FROM_CLOSURE = (
+    f"{PACKAGE}.queries.window",
+    f"{PACKAGE}.queries.registry",
+)
 
 _ROUND_MARKER = re.compile(r"^round (\d+): verdict/advice/correctness/bench")
 
@@ -204,6 +220,190 @@ def file_last_rounds() -> dict[str, int]:
 
 
 # ---------------------------------------------------------------------------
+# per-entry declaration fragments (round 11)
+#
+# File-level closures alone can't tell "this operator's code changed" from
+# "a sibling query was appended to the same module": the SQL suites pack
+# ~40 QueryDefs per module and the extension suites declare many
+# SuiteEntries per file, so any append staled every sibling and the
+# staleness signal saturated (round-10 verdict). The fix: inside each
+# DECLARATION module, an entry's own declaration — the innermost call
+# expression carrying its name literal (``q("name", "SELECT ...")`` /
+# ``SuiteEntry("name", run_fn, ...)``) — is hashed as that entry's
+# FRAGMENT, and everything else in the module (helpers, run-callable
+# bodies, shared constants) as the module's RESIDUAL shared by all its
+# entries. Appending a declaration changes neither existing fragments nor
+# the residual; editing one entry's SQL changes only its fragment; editing
+# a shared helper changes only the residual (staling the module's entries,
+# correctly, and nobody else's).
+#
+# Fragment history is computed per ROUND by extracting fragments from each
+# round's marker-commit blob (plus the working tree for the current
+# round), so "last touched" has the same round granularity as the
+# file-level signal — without importing historical code.
+
+
+@dataclass
+class FragmentState:
+    """Today's fragment view plus per-round touch history."""
+
+    modules: set[str]                      # repo-relative fragmented paths
+    frag_now: dict[str, dict[str, str]]    # path -> name -> fragment text
+    frag_touch: dict[tuple[str, str], int]  # (path, name) -> round
+    residual_now: dict[str, str]           # path -> residual sha
+    residual_touch: dict[str, int]         # path -> round
+
+    def has(self, name: str) -> bool:
+        return any(name in frags for frags in self.frag_now.values())
+
+
+def _extract_fragments(
+    source: str, names: set[str]
+) -> tuple[dict[str, str], str]:
+    """(entry name -> declaration fragment text, residual sha) for one
+    module source. A fragment is the source segment of the INNERMOST call
+    expression containing the entry's name as a string literal; the
+    residual is the module text with every claimed segment blanked."""
+    tree = ast.parse(source)
+    lines = source.splitlines(keepends=True)
+    offsets = [0]
+    for ln in lines:
+        offsets.append(offsets[-1] + len(ln))
+
+    def span(node) -> tuple[int, int]:
+        start = offsets[node.lineno - 1] + node.col_offset
+        end = offsets[node.end_lineno - 1] + node.end_col_offset
+        return start, end
+
+    frags: dict[str, set[str]] = {}
+    claimed: list[tuple[int, int]] = []
+
+    def visit(node, call_stack):
+        if isinstance(node, ast.Call):
+            call_stack = (*call_stack, node)
+        if (
+            isinstance(node, ast.Constant)
+            and isinstance(node.value, str)
+            and node.value in names
+            and call_stack
+        ):
+            inner = call_stack[-1]
+            seg = ast.get_source_segment(source, inner)
+            if seg is not None:
+                frags.setdefault(node.value, set()).add(seg)
+                claimed.append(span(inner))
+        for child in ast.iter_child_nodes(node):
+            visit(child, call_stack)
+
+    visit(tree, ())
+
+    residual_parts: list[str] = []
+    pos = 0
+    for start, end in sorted(claimed):
+        if start < pos:  # nested inside an already-claimed span
+            pos = max(pos, end)
+            continue
+        residual_parts.append(source[pos:start])
+        pos = end
+    residual_parts.append(source[pos:])
+    # Whitespace-only leftovers (the newline separating an APPENDED
+    # declaration from its neighbors) are dropped so that adding a new
+    # entry leaves the residual — and therefore every sibling's staleness
+    # — untouched; any real code change survives in some chunk.
+    residual_sha = hashlib.sha256(
+        "\x00".join(p.strip() for p in residual_parts if p.strip()).encode()
+    ).hexdigest()[:16]
+    return (
+        {n: "\n<|>\n".join(sorted(s)) for n, s in frags.items()},
+        residual_sha,
+    )
+
+
+def _round_marker_shas() -> dict[int, str]:
+    """Round -> the sha of its closing ``round N:`` marker commit (the
+    newest one wins if a marker was ever re-issued)."""
+    out: dict[int, str] = {}
+    for line in _git("log", "--format=%H %s").splitlines():
+        sha, _, subject = line.partition(" ")
+        m = _ROUND_MARKER.match(subject)
+        if m and int(m.group(1)) not in out:
+            out[int(m.group(1))] = sha
+    return out
+
+
+def _source_at_round(
+    path: str, rnd: int, current: int, markers: dict[int, str]
+) -> str | None:
+    """Module source as of round ``rnd``'s end (marker-commit blob), or
+    the working tree for the current round; None when absent."""
+    if rnd >= current:
+        full = os.path.join(REPO_ROOT, path)
+        if not os.path.exists(full):
+            return None
+        with open(full, encoding="utf-8") as fh:
+            return fh.read()
+    sha = markers.get(rnd)
+    if sha is None:
+        return None
+    try:
+        return _git("show", f"{sha}:{path}")
+    except subprocess.CalledProcessError:
+        return None  # module didn't exist at that round
+
+
+def fragment_state(names: set[str]) -> FragmentState:
+    """Discover today's declaration modules (any package module whose
+    source carries an entry-name literal inside a call) and compute each
+    fragment's and residual's last-changed round from marker-commit blobs.
+    A fragment/residual counts as touched in round r when its text first
+    appears or differs from round r-1's; parse failures of a historical
+    blob are treated as a change (conservative)."""
+    modmap = _module_map()
+    markers = _round_marker_shas()
+    current = (max(markers) + 1) if markers else 1
+
+    modules: set[str] = set()
+    frag_now: dict[str, dict[str, str]] = {}
+    residual_now: dict[str, str] = {}
+    for path in modmap.values():
+        with open(os.path.join(REPO_ROOT, path), encoding="utf-8") as fh:
+            src = fh.read()
+        frags, residual = _extract_fragments(src, names)
+        if frags:
+            modules.add(path)
+            frag_now[path] = frags
+            residual_now[path] = residual
+
+    frag_touch: dict[tuple[str, str], int] = {}
+    residual_touch: dict[str, int] = {}
+    for path in sorted(modules):
+        prev_frags: dict[str, str] | None = None  # None = module absent
+        prev_residual: str | None = None
+        for rnd in range(1, current + 1):
+            src = _source_at_round(path, rnd, current, markers)
+            if src is None:
+                frags, residual = {}, None
+            else:
+                try:
+                    frags, residual = _extract_fragments(src, names)
+                except SyntaxError:  # pragma: no cover - historic blob
+                    frags, residual = {}, f"unparseable-r{rnd}"
+            if residual != prev_residual:
+                residual_touch[path] = rnd
+            for name, text in frags.items():
+                if prev_frags is None or prev_frags.get(name) != text:
+                    frag_touch[(path, name)] = rnd
+            prev_frags, prev_residual = frags, residual
+    return FragmentState(
+        modules=modules,
+        frag_now=frag_now,
+        frag_touch=frag_touch,
+        residual_now=residual_now,
+        residual_touch=residual_touch,
+    )
+
+
+# ---------------------------------------------------------------------------
 # certification history
 
 
@@ -253,6 +453,7 @@ class LedgerEntry:
     last_touched_round: int
     stale: bool
     reasons: list[str] = field(default_factory=list)
+    fragment_hash: str | None = None  # own-declaration hash (round 11)
 
 
 def _entry_seed_modules(registry) -> dict[str, set[str]]:
@@ -290,15 +491,6 @@ def _entry_seed_modules(registry) -> dict[str, set[str]]:
     return seeds
 
 
-def _hash_files(paths: list[str]) -> str:
-    h = hashlib.sha256()
-    for rel in paths:
-        h.update(rel.encode())
-        with open(os.path.join(REPO_ROOT, rel), "rb") as fh:
-            h.update(hashlib.sha256(fh.read()).digest())
-    return h.hexdigest()[:16]
-
-
 def build_ledger(registry=None) -> dict[str, LedgerEntry]:
     if registry is None:
         from .queries.registry import build_registry
@@ -309,21 +501,49 @@ def build_ledger(registry=None) -> dict[str, LedgerEntry]:
     _, current = commit_rounds()
     certified = certified_rounds(before_round=current)
     seeds = _entry_seed_modules(registry)
+    frag = fragment_state(set(registry))
+
+    file_sha: dict[str, bytes] = {}
+
+    def sha_of(rel: str) -> bytes:
+        if rel not in file_sha:
+            with open(os.path.join(REPO_ROOT, rel), "rb") as fh:
+                file_sha[rel] = hashlib.sha256(fh.read()).digest()
+        return file_sha[rel]
 
     closure_cache: dict[frozenset, list[str]] = {}
     ledger: dict[str, LedgerEntry] = {}
     for name in registry:
         key = frozenset(seeds[name])
         if key not in closure_cache:
-            files = _closure(set(key), modmap)
-            for extra in LEAF_IN_CLOSURE:
-                rel = f"{PACKAGE}/{extra}"
-                if rel not in files:
-                    files.append(rel)
-            closure_cache[key] = sorted(files)
+            closure_cache[key] = _closure(set(key), modmap)
         files = closure_cache[key]
+        # An entry whose declaration can't be located anywhere falls back
+        # to whole-file treatment for every closure member (conservative).
+        fragmented = frag.has(name)
+
+        h = hashlib.sha256()
+        touches: list[tuple[int, str]] = []
+        own_frag = hashlib.sha256()
+        for f in files:
+            h.update(f.encode())
+            if fragmented and f in frag.modules:
+                # shared part of a declaration module: its residual
+                h.update(frag.residual_now[f].encode())
+                touches.append((frag.residual_touch.get(f, 0),
+                                f"{f} (shared)"))
+                ftext = frag.frag_now[f].get(name)
+                if ftext is not None:  # the entry's own declaration(s)
+                    h.update(ftext.encode())
+                    own_frag.update(ftext.encode())
+                    touches.append((frag.frag_touch.get((f, name), 0),
+                                    f"{f} (own declaration)"))
+            else:
+                h.update(sha_of(f))
+                touches.append((touched.get(f, 0), f))
+
         last_cert = certified.get(name)
-        last_touch = max((touched.get(f, 0) for f in files), default=0)
+        last_touch = max((r for r, _ in touches), default=0)
         stale = last_cert is None or last_touch > last_cert
         reasons = []
         if last_cert is None:
@@ -333,17 +553,18 @@ def build_ledger(registry=None) -> dict[str, LedgerEntry]:
                 f"code path touched in r{last_touch} after certification "
                 f"in r{last_cert}: "
                 + ", ".join(
-                    f for f in files if touched.get(f, 0) > last_cert
+                    what for r, what in touches if r > last_cert
                 )[:400]
             )
         ledger[name] = LedgerEntry(
             name=name,
             files=files,
-            code_hash=_hash_files(files),
+            code_hash=h.hexdigest()[:16],
             last_certified_round=last_cert,
             last_touched_round=last_touch,
             stale=stale,
             reasons=reasons,
+            fragment_hash=own_frag.hexdigest()[:16] if fragmented else None,
         )
     return ledger
 
@@ -378,6 +599,26 @@ def pinned_names() -> list[str]:
     )
 
 
+def package_tree_hash() -> str:
+    """One hash over every package source file's CURRENT bytes (working
+    tree, not HEAD). Stamped into the ledger at generation; the freshness
+    test recomputes it, so ANY package edit after regeneration — committed
+    or not — fails loudly until the ledger is regenerated. This enforces
+    regenerate-LAST (round-10 verdict #1: a ledger generated before the
+    round's final code commits recorded hashes the driver never
+    certified)."""
+    modmap = _module_map()
+    paths = sorted(modmap.values()) + [
+        f"{PACKAGE}/queries/window.py", f"{PACKAGE}/queries/registry.py",
+    ]
+    h = hashlib.sha256()
+    for rel in sorted(set(paths)):
+        h.update(rel.encode())
+        with open(os.path.join(REPO_ROOT, rel), "rb") as fh:
+            h.update(hashlib.sha256(fh.read()).digest())
+    return h.hexdigest()[:16]
+
+
 def main() -> None:
     from .queries.registry import build_registry
 
@@ -388,6 +629,7 @@ def main() -> None:
     window = pick_window(ledger, pinned)
     payload = {
         "generated_at_commit": _git("rev-parse", "HEAD").strip(),
+        "package_tree_hash": package_tree_hash(),
         "current_round": current,
         "window_size": 50,
         "policy": (
@@ -406,6 +648,7 @@ def main() -> None:
                 "last_touched_round": e.last_touched_round,
                 "stale": e.stale,
                 "code_hash": e.code_hash,
+                "fragment_hash": e.fragment_hash,
                 "files": e.files,
                 "reasons": e.reasons,
             }

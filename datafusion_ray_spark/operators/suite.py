@@ -13,82 +13,20 @@ from pyspark.sql import functions as F
 
 from ..sources.tables import load_table, spread
 from . import dedup, packing, text
-from .dedup import JACCARD_THRESHOLD, N_BANDS, ROWS_PER_BAND, N_HASHES
-
-# ---------------------------------------------------------------------------
-# DuckDB oracle SQL builders (mirror the constants in dedup.py / text.py).
-
-_WORDS = "string_split_regex(trim(text), '\\s+')"
-_SHINGLES = (
-    "list_distinct(CASE WHEN len(w) >= 3 THEN "
-    "list_transform(range(1, len(w) - 1), i -> concat_ws(' ', w[i], w[i+1], w[i+2])) "
-    "ELSE [] END)"
+from .dedup import JACCARD_THRESHOLD
+from .oracles import (
+    _hyperplane_values_sql,
+    incremental_dedup_oracle,
+    ivf_oracle,
+    minhash_pairs_oracle,
 )
+from .shared import _DOT_DEC, _NORM_X, _NORM_Y, _SHINGLES, _WORDS, _query_vec
 
-
-def _sig_exprs() -> str:
-    from .dedup import HASH_PREFIXES
-
-    exprs = []
-    for i in range(N_HASHES):
-        p, off = HASH_PREFIXES[i // 4], i % 4
-        inner = f"md5('{p}' || s)" if p else "md5(s)"
-        exprs.append(
-            f"list_aggregate(list_transform(sh, s -> substring({inner}, {off * 8 + 1}, 8)), 'min') AS sig_{i}"
-        )
-    return ",\n       ".join(exprs)
-
-
-def _band_rows() -> str:
-    selects = []
-    for b in range(N_BANDS):
-        cols = " || '|' || ".join(
-            f"sig_{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)
-        )
-        selects.append(
-            f"SELECT doc_id, sh, {b} AS band, md5({cols}) AS bucket FROM sigs"
-        )
-    return "\nUNION ALL\n".join(selects)
-
-
-def minhash_pairs_oracle() -> str:
-    return f"""
-WITH docs AS (
-    SELECT doc_id, {_WORDS} AS w FROM documents
-),
-shingled AS (
-    SELECT doc_id, {_SHINGLES} AS sh FROM docs
-),
-nonempty AS (SELECT * FROM shingled WHERE len(sh) > 0),
-sigs AS (
-    SELECT doc_id, sh,
-       {_sig_exprs()}
-    FROM nonempty
-),
-buckets AS (
-{_band_rows()}
-),
-cand AS (
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM buckets a JOIN buckets b
-      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-),
-verified AS (
-    SELECT
-        c.doc_a,
-        c.doc_b,
-        len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS inter,
-        len(sa.sh) + len(sb.sh) - len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS uni
-    FROM cand c
-    JOIN nonempty sa ON sa.doc_id = c.doc_a
-    JOIN nonempty sb ON sb.doc_id = c.doc_b
-)
-SELECT doc_a, doc_b,
-       ROUND(inter / uni, 6) AS jaccard,
-       inter / uni >= {JACCARD_THRESHOLD} AS is_near_dup
-FROM verified
-ORDER BY doc_a, doc_b
-"""
+# The SQL constants and cross-suite oracle builders moved to shared.py /
+# oracles.py in round 11 so sibling suites stop importing this module
+# (which fused every extension entry into one staleness closure); they
+# remain imported here because this module's own oracle f-strings and run
+# callables use them.
 
 
 def simhash_oracle() -> str:
@@ -281,11 +219,6 @@ ORDER BY doc_id
 
 # -- similarity-search oracles ---------------------------------------------
 
-_DOT_DEC = "CAST(SUM(CAST(x * y AS DECIMAL(28,14))) AS DOUBLE)"
-_NORM_X = "CAST(SUM(CAST(x * x AS DECIMAL(28,14))) AS DOUBLE)"
-_NORM_Y = "CAST(SUM(CAST(y * y AS DECIMAL(28,14))) AS DOUBLE)"
-
-
 def knn_oracle(k: int = 10) -> str:
     return f"""
 WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
@@ -309,16 +242,6 @@ FROM agg
 ORDER BY cosine DESC, vec_id
 LIMIT {k}
 """
-
-
-def _hyperplane_values_sql(n_planes: int | None = None) -> str:
-    from .similarity import HYPERPLANES, N_PLANES
-
-    rows = []
-    for j, vec in enumerate(HYPERPLANES[: n_planes or N_PLANES]):
-        arr = "[" + ", ".join(repr(v) for v in vec) + "]::DOUBLE[]"
-        rows.append(f"({j}, {arr})")
-    return ",\n       ".join(rows)
 
 
 def ann_lsh_oracle(k: int = 5) -> str:
@@ -384,63 +307,6 @@ SELECT doc_a, doc_b, ROUND(inter / uni, 6) AS jaccard
 FROM pairs
 WHERE ROUND(inter / uni, 6) >= {threshold}
 ORDER BY doc_a, doc_b
-"""
-
-
-def ivf_oracle(k: int = 10, nprobe: int = 2) -> str:
-    from .similarity import CENTROID_VEC_IDS
-
-    lo, hi = min(CENTROID_VEC_IDS), max(CENTROID_VEC_IDS)
-    return f"""
-WITH cents AS (
-    SELECT vec_id AS cid, embedding AS ce FROM embeddings
-    WHERE vec_id BETWEEN {lo} AND {hi}
-),
-pr AS (
-    SELECT e.vec_id, c.cid,
-           CAST(unnest(e.embedding) AS DOUBLE) AS x,
-           CAST(unnest(c.ce) AS DOUBLE) AS y
-    FROM embeddings e CROSS JOIN cents c
-),
-sc AS (
-    SELECT vec_id, cid,
-           ROUND({_DOT_DEC} / (SQRT({_NORM_X}) * SQRT({_NORM_Y})), 6) AS score
-    FROM pr GROUP BY vec_id, cid
-),
-assign AS (
-    SELECT vec_id, cid AS cell
-    FROM (SELECT vec_id, cid,
-                 ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) AS rn
-          FROM sc)
-    WHERE rn = 1
-),
-probe AS (
-    SELECT cid FROM (SELECT cid, ROW_NUMBER() OVER (ORDER BY score DESC, cid) AS rn
-                     FROM sc WHERE vec_id = 0)
-    WHERE rn <= {nprobe}
-),
-q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-cprod AS (
-    SELECT e.vec_id, a.cell,
-           CAST(unnest(e.embedding) AS DOUBLE) AS x,
-           CAST(unnest((SELECT qe FROM q)) AS DOUBLE) AS y
-    FROM embeddings e
-    JOIN assign a ON a.vec_id = e.vec_id
-    WHERE a.cell IN (SELECT cid FROM probe) AND e.vec_id <> 0
-),
-agg AS (
-    SELECT vec_id, cell, {_DOT_DEC} AS dot, {_NORM_X} AS norm2
-    FROM cprod GROUP BY vec_id, cell
-),
-qn AS (
-    SELECT SQRT(CAST(SUM(CAST(CAST(u AS DOUBLE) * CAST(u AS DOUBLE) AS DECIMAL(28,14))) AS DOUBLE)) AS qnorm
-    FROM (SELECT unnest(qe) AS u FROM q) t
-)
-SELECT vec_id, CAST(cell AS INT) AS cell,
-       ROUND(dot / (SQRT(norm2) * (SELECT qnorm FROM qn)), 6) AS cosine
-FROM agg
-ORDER BY cosine DESC, vec_id
-LIMIT {k}
 """
 
 
@@ -784,23 +650,6 @@ SELECT d.doc_id,
 FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d
 LEFT JOIN hits h ON d.doc_id = h.doc_id
 ORDER BY d.doc_id
-"""
-
-
-def incremental_dedup_oracle() -> str:
-    """Oracle: the full-corpus minhash pair set restricted to pairs that
-    involve a 'new' (src0) document — what the incremental ingest path
-    must equal by the per-document-determinism argument."""
-    return f"""
-WITH mp AS (
-{minhash_pairs_oracle()}
-)
-SELECT mp.doc_a, mp.doc_b, mp.jaccard, mp.is_near_dup
-FROM mp
-JOIN documents a ON a.doc_id = mp.doc_a
-JOIN documents b ON b.doc_id = mp.doc_b
-WHERE a.source = 'src0' OR b.source = 'src0'
-ORDER BY mp.doc_a, mp.doc_b
 """
 
 
@@ -1923,11 +1772,6 @@ def run_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
-    emb = load_table(spark, sf_dir, "embeddings")
-    return list(emb.where(F.col("vec_id") == 0).first()["embedding"])
-
-
 def run_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import similarity
 
@@ -2102,33 +1946,10 @@ def extension_entries():
                    substring_dup_oracle(),
                    "verbatim-substring duplication across docs "
                    "(winnowing-sampled shared spans, Lee et al. 2022)"),
-        *_round3_entries(),
     ]
-
-
-def _round3_entries():
-    from .suite2 import extension_entries2
-    from .suite3 import (
-        extension_entries3,
-        extension_entries3b,
-        extension_entries3c,
-        extension_entries3d,
-    )
-    from .sinks import extension_entries_sinks
-    from .suite4 import extension_entries4
-    from .suite5 import extension_entries5
-    from .suite6 import extension_entries6
-    from .suite7 import extension_entries7
-
-    return (
-        extension_entries2()
-        + extension_entries3()
-        + extension_entries3b()
-        + extension_entries3c()
-        + extension_entries3d()
-        + extension_entries4()
-        + extension_entries5()
-        + extension_entries6()
-        + extension_entries7()
-        + extension_entries_sinks()
-    )
+    # NOTE: this list is ONLY this module's own entries. Aggregation of
+    # the other suite modules' entry lists lives in queries/registry.py
+    # (assembly plumbing): keeping cross-suite imports out of here keeps
+    # each suite module's import closure ITS OWN, which is what lets the
+    # certification ledger stale exactly the entries whose operator file
+    # changed instead of fusing every extension entry into one closure.

@@ -290,7 +290,7 @@ ORDER BY step_no
 
 def run_ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import similarity
-    from .suite import _query_vec
+    from .shared import _query_vec
 
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.sq8_ann_topk(
@@ -392,7 +392,7 @@ r{i} AS (
 
 
 def extension_entries2() -> list:
-    """Entries appended to :func:`suite.extension_entries`."""
+    """Entries aggregated by queries/registry.py alongside the other suites."""
     from ..queries.registry import SuiteEntry
 
     return [
@@ -436,7 +436,7 @@ RERANK_CANDIDATES = 50
 
 def run_ann_sq8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import similarity
-    from .suite import _query_vec
+    from .shared import _query_vec
 
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.sq8_rerank_topk(
@@ -447,7 +447,7 @@ def run_ann_sq8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def sq8_rerank_oracle(k: int = 10) -> str:
     from .similarity import DIM, SQ_LEVELS
-    from .suite import _DOT_DEC, _NORM_X
+    from .shared import _DOT_DEC, _NORM_X
 
     return f"""
 WITH x AS (

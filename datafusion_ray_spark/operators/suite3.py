@@ -737,7 +737,7 @@ def run_dedup_apply_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_apply_quality_oracle() -> str:
-    from .suite import minhash_pairs_oracle
+    from .oracles import minhash_pairs_oracle
 
     return f"""
 WITH RECURSIVE mp AS (

@@ -20,11 +20,8 @@ from pyspark.sql import functions as F
 
 from ..sources.tables import load_table, spread
 from . import dedup
-from .suite import (
-    _SHINGLES,
-    _WORDS,
-    minhash_pairs_oracle,
-)
+from .oracles import minhash_pairs_oracle
+from .shared import _SHINGLES, _WORDS
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1410,7 +1407,8 @@ def run_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def knn_graph_oracle(k: int = KNN_GRAPH_K) -> str:
     from .similarity import MAX_PLANES, N_PLANES, TARGET_CELL
-    from .suite import _DOT_DEC, _hyperplane_values_sql
+    from .shared import _DOT_DEC
+    from .oracles import _hyperplane_values_sql
 
     return f"""
 WITH params AS (

@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 from ..sources.tables import load_table, spread
 from . import dedup
 from .similarity import _as_double, dot, norm
-from .suite import minhash_pairs_oracle
+from .oracles import minhash_pairs_oracle
 
 #: cosine at or above this (rounded to 6dp) marks a semantic near-dup /
 #: contaminated document.

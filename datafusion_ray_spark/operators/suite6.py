@@ -172,7 +172,7 @@ def bq_rerank_topk(
 
 
 def run_ann_bq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .suite import _query_vec
+    from .shared import _query_vec
 
     emb = load_table(spark, sf_dir, "embeddings")
     return bq_rerank_topk(
@@ -182,7 +182,7 @@ def run_ann_bq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def bq_oracle(k: int = 10) -> str:
     from .similarity import DIM
-    from .suite import _DOT_DEC, _NORM_X
+    from .shared import _DOT_DEC, _NORM_X
 
     half = DIM // 2
     return f"""
@@ -299,7 +299,7 @@ def run_text_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def text_kl_oracle() -> str:
-    from .suite import _WORDS
+    from .shared import _WORDS
 
     return f"""
 WITH tok AS (
@@ -703,7 +703,7 @@ def run_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def text_collocations_oracle() -> str:
-    from .suite import _WORDS
+    from .shared import _WORDS
 
     return f"""
 WITH d AS (SELECT {_WORDS} AS w FROM documents),

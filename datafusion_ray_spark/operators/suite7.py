@@ -294,7 +294,7 @@ def _ivf_search(spark: SparkSession, sf_dir: str, path: str,
     """Answer the query from the read-back index with the scan pruned to
     the ``nprobe`` probed cells (PartitionFilters; plan-asserted)."""
     from . import similarity
-    from .suite import _query_vec
+    from .shared import _query_vec
 
     qv = _query_vec(spark, sf_dir)
     probe = similarity.ivf_probe_cells(qv, centroids, nprobe=similarity.N_PROBE)
@@ -533,7 +533,7 @@ def run_dedup_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def extension_entries7():
     from ..queries.registry import SuiteEntry
-    from .suite import incremental_dedup_oracle, ivf_oracle
+    from .oracles import incremental_dedup_oracle, ivf_oracle
 
     return [
         SuiteEntry(

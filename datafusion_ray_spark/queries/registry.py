@@ -71,10 +71,38 @@ def build_registry() -> dict[str, SuiteEntry]:
                  **COVERAGE3_QUERIES, **COVERAGE4_QUERIES,
                  **PIPELINE_QUERIES}.values():
         unordered[qdef.name] = _sql_entry(qdef)
-    # Extension operators (DataFrame/Pandas-UDF implementations).
+    # Extension operators (DataFrame/Pandas-UDF implementations). The
+    # per-suite entry lists are aggregated HERE, not in operators/suite.py:
+    # this module is assembly plumbing excluded from the certification
+    # ledger's closures, so cross-suite imports in it don't fuse every
+    # extension entry into one shared staleness closure.
+    from ..operators.sinks import extension_entries_sinks
     from ..operators.suite import extension_entries
+    from ..operators.suite2 import extension_entries2
+    from ..operators.suite3 import (
+        extension_entries3,
+        extension_entries3b,
+        extension_entries3c,
+        extension_entries3d,
+    )
+    from ..operators.suite4 import extension_entries4
+    from ..operators.suite5 import extension_entries5
+    from ..operators.suite6 import extension_entries6
+    from ..operators.suite7 import extension_entries7
 
-    for entry in extension_entries():
+    for entry in (
+        extension_entries()
+        + extension_entries2()
+        + extension_entries3()
+        + extension_entries3b()
+        + extension_entries3c()
+        + extension_entries3d()
+        + extension_entries4()
+        + extension_entries5()
+        + extension_entries6()
+        + extension_entries7()
+        + extension_entries_sinks()
+    ):
         unordered[entry.name] = entry
 
     entries: dict[str, SuiteEntry] = {}

@@ -33,32 +33,33 @@ CERTIFICATION_FLAGSHIPS = [
     "mm_decode_features",                     # multimodal anchor
 ]
 
-#: Round-10 rotating slots = the ledger's pick over the r1-r9 driver
-#: certification union: stale entries first (code path touched after the
-#: last driver row — round 9's registry/tables/suite churn touched most
-#: closures, so staleness alone over-fills the 20 slots), broken by
-#: OLDEST certification first; every slot below was last driver-certified
-#: in ROUND 1 and has the round-1 → round-9 drift of eight rounds of
-#: optimizer/protocol/source changes to re-verify.
+#: Round-11 rotating slots = the ledger's pick under the sharpened
+#: per-entry staleness (declaration fragments + honest import closures —
+#: certledger.py round-11): stale-first, then OLDEST driver certification
+#: first. The slots below are the oldest-certified survivors of the
+#: round-10 re-certification: the remaining round-1 rows (whose closures
+#: were last touched by round 4's shared-layer work) and the round-2/3
+#: cohort whose operator files have churned through round 11's
+#: suite-decoupling refactor.
 CERTIFICATION_ROTATING = [
-    "agg_bool_bit",
-    "agg_listagg",
-    "agg_min_max_by",
-    "agg_percentile",
-    "agg_stats",
-    "cond_null_funcs",
-    "cross_join",
-    "cube_agg",
-    "datetime_funcs",
-    "distinct_proj",
-    "grouping_sets",
-    "join_full_outer",
-    "join_right_outer",
-    "join_semi_anti",
-    "limit_offset",
-    "rollup_agg",
-    "scalar_funcs",
-    "setop_except",
-    "setop_intersect",
-    "setop_union",
+    "setop_union_distinct",
+    "theta_join",
+    "unnest_explode",
+    "values_inline",
+    "win_frames",
+    "win_lag_lead",
+    "win_rank",
+    "dedup_simhash",
+    "ev_sliding_window",
+    "ev_tumbling_window",
+    "mm_meta_stats",
+    "sim_knn_brute",
+    "sketch_hll",
+    "split_train_test",
+    "text_lm_score",
+    "text_quality",
+    "text_winnow",
+    "contamination_ngram",
+    "dedup_containment",
+    "ev_funnel",
 ]

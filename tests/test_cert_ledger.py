@@ -108,6 +108,125 @@ def test_pick_window_policy():
     assert got6[-1] == "fresh_old"
 
 
+def test_fragment_extraction_granularity():
+    """Round-11 per-entry granularity, on a synthetic module: editing one
+    entry's declaration changes ONLY its fragment; editing a shared helper
+    changes ONLY the residual; fragments are the innermost call carrying
+    the name literal."""
+    from datafusion_ray_spark.certledger import _extract_fragments
+
+    src = (
+        "HELPER = 'SELECT 1'\n"
+        "def q(n, s):\n"
+        "    _Q[n] = (n, s)\n"
+        "q('alpha', 'SELECT a FROM t')\n"
+        "q('beta', f'{HELPER} UNION SELECT b')\n"
+    )
+    names = {"alpha", "beta"}
+    frags, residual = _extract_fragments(src, names)
+    assert set(frags) == names
+    assert "SELECT a FROM t" in frags["alpha"]
+    assert "beta" not in frags["alpha"]
+
+    # edit alpha's SQL -> only alpha's fragment moves
+    f2, r2 = _extract_fragments(
+        src.replace("SELECT a FROM t", "SELECT a2 FROM t"), names
+    )
+    assert f2["alpha"] != frags["alpha"]
+    assert f2["beta"] == frags["beta"]
+    assert r2 == residual
+
+    # edit the shared helper -> only the residual moves
+    f3, r3 = _extract_fragments(
+        src.replace("'SELECT 1'", "'SELECT 2'"), names
+    )
+    assert f3 == frags
+    assert r3 != residual
+
+
+def test_noop_append_stales_nothing_existing():
+    """Adding a new registry entry to a real declaration module changes
+    neither any existing entry's fragment nor the module residual — the
+    round-10 saturation (any append staled every sibling) is gone."""
+    from datafusion_ray_spark.certledger import _extract_fragments
+    from datafusion_ray_spark.queries.registry import build_registry
+
+    path = os.path.join(
+        REPO_ROOT, "datafusion_ray_spark", "queries", "coverage4.py"
+    )
+    with open(path, encoding="utf-8") as fh:
+        src = fh.read()
+    names = set(build_registry())
+    before_frags, before_residual = _extract_fragments(src, names)
+    assert before_frags, "coverage4.py hosts declarations"
+
+    appended = src + '\n_q("zz_new_entry", "SELECT 1 AS one", "noop")\n'
+    after_frags, after_residual = _extract_fragments(
+        appended, names | {"zz_new_entry"}
+    )
+    assert after_residual == before_residual
+    assert "zz_new_entry" in after_frags
+    for name, frag in before_frags.items():
+        assert after_frags[name] == frag, name
+
+
+def test_touch_one_operator_file_stales_only_its_entries():
+    """Integration: a working-tree edit to ONE operator file re-stales
+    exactly the entries whose import closure reaches it — every other
+    entry's ledger row is byte-identical. (eventops.py: the temporal-ops
+    family, 9 entries.)"""
+    from datafusion_ray_spark.certledger import build_ledger
+
+    target = os.path.join(
+        REPO_ROOT, "datafusion_ray_spark", "operators", "eventops.py"
+    )
+    rel = "datafusion_ray_spark/operators/eventops.py"
+    baseline = build_ledger()
+    reaches = {n for n, e in baseline.items() if rel in e.files}
+    assert 0 < len(reaches) < len(baseline) / 4, (
+        "eventops.py must be a narrow-reach file for this test"
+    )
+    with open(target, encoding="utf-8") as fh:
+        orig = fh.read()
+    try:
+        with open(target, "w", encoding="utf-8") as fh:
+            fh.write(orig + "\n# ledger-granularity probe\n")
+        edited = build_ledger()
+    finally:
+        with open(target, "w", encoding="utf-8") as fh:
+            fh.write(orig)
+    changed = {
+        n for n in baseline
+        if (baseline[n].code_hash, baseline[n].stale,
+            baseline[n].last_touched_round)
+        != (edited[n].code_hash, edited[n].stale,
+            edited[n].last_touched_round)
+    }
+    assert changed <= reaches, (
+        f"edit leaked beyond eventops closure: {sorted(changed - reaches)}"
+    )
+    for n in reaches:  # every reaching entry sees the touch
+        assert edited[n].code_hash != baseline[n].code_hash, n
+        assert edited[n].stale, n
+
+
+def test_ledger_regenerated_at_head(committed):
+    """Round-11 (round-10 verdict #1): the committed ledger must be
+    generated from the code the tree actually ships — the package tree
+    hash stamped at generation must match a live recompute. ANY package
+    edit after regeneration (committed or not) fails this test until
+    ``python -m datafusion_ray_spark.certledger`` is re-run, enforcing
+    regenerate-LAST; driver artifact commits (CORRECTNESS/VERDICT/bench
+    files) don't touch the package and pass."""
+    from datafusion_ray_spark.certledger import package_tree_hash
+
+    assert committed.get("package_tree_hash") == package_tree_hash(), (
+        "package source changed after CERT_LEDGER.json was generated — "
+        "rerun `python -m datafusion_ray_spark.certledger` as the LAST "
+        "step before the round's final commit"
+    )
+
+
 def test_certified_rounds_bounded():
     """certified_rounds(before_round=N) must ignore round >= N evidence
     (the current round's in-flight CORRECTNESS file)."""
