@@ -38,6 +38,17 @@ CORPUS_SIZED_OUTPUT = {
     "win_rolling_median", "text_normalize",
 }
 
+#: Calibration probes (round-11): three plan-stable TPC-H queries re-timed
+#: immediately AFTER the suite and compared against (a) their committed
+#: same-epoch walls and (b) their own walls from THIS run. Twice (r8, r10)
+#: a bench total moved on host weather and cost a round of post-hoc
+#: adjudication; the emitted inflation_factor lets a loaded run label
+#: ITSELF. Chosen for stability: their plans are shuffle-drift-gated and
+#: their implementations haven't changed since round 2, so a moved ratio
+#: means weather, not code — if a round DOES touch the TPC-H layer,
+#: read the factor that round with that in mind.
+CALIBRATION_PROBES = ("q1", "q6", "q18")
+
 
 def _host_load() -> dict:
     """One-line host-contention snapshot for the bench artifact."""
@@ -223,6 +234,71 @@ def main() -> None:
 
     from datafusion_ray_spark.hostinfo import host_epoch
 
+    # Calibration probe (see CALIBRATION_PROBES): re-time the probes now,
+    # after the whole suite, against the committed full-run detail read
+    # from disk BEFORE this run overwrites it.
+    committed_detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    committed_detail = None
+    try:
+        with open(committed_detail_path, encoding="utf-8") as f:
+            committed_detail = json.load(f)
+    except Exception:  # noqa: BLE001 - first run / missing baseline
+        pass
+    calibration = None
+    probe_names = [p for p in CALIBRATION_PROBES if p in per_query]
+    if probe_names:
+        probe_walls: dict[str, float] = {}
+        for p in probe_names:
+            best = None
+            for _ in range(max(2, args.runs)):
+                start = time.perf_counter()
+                registry[p].run(spark, args.sf_dir).collect()
+                el = time.perf_counter() - start
+                best = el if best is None else min(best, el)
+                spark.catalog.clearCache()
+            probe_walls[p] = round(best, 4)
+
+        def _median(xs: list[float]) -> float:
+            xs = sorted(xs)
+            mid = len(xs) // 2
+            return xs[mid] if len(xs) % 2 else (xs[mid - 1] + xs[mid]) / 2
+
+        # self-ratio ~1.0 when the weather held through the run; >1 means
+        # load ARRIVED mid-suite (the probes run last)
+        self_ratio = round(_median(
+            [probe_walls[p] / per_query[p] for p in probe_names
+             if per_query.get(p)]
+        ), 3)
+        inflation = None
+        baseline_epoch_match = False
+        if committed_detail:
+            base_q = committed_detail.get("queries", {})
+            baseline_epoch_match = (
+                committed_detail.get("epoch", {}).get("epoch_id")
+                == host_epoch()["epoch_id"]
+                and committed_detail.get("sf") == sf_val
+            )
+            ratios = [probe_walls[p] / base_q[p] for p in probe_names
+                      if base_q.get(p)]
+            if baseline_epoch_match and ratios:
+                inflation = round(_median(ratios), 3)
+        calibration = {
+            "probes": probe_walls,
+            "suite_walls": {p: per_query[p] for p in probe_names},
+            "self_ratio": self_ratio,
+            "inflation_factor": inflation,
+            "baseline_epoch_match": baseline_epoch_match,
+            "host_at_probe": _host_load(),
+        }
+        if inflation is not None and inflation > 1.2:
+            print(
+                f"bench: WARNING calibration inflation_factor={inflation} "
+                "vs the committed same-epoch baseline — this artifact's "
+                "absolute walls are contention-inflated; compare plans/"
+                "shuffle, not seconds", file=sys.stderr,
+            )
+
     host_end = _host_load()
     detail = {
         "metric": "suite_total_seconds",
@@ -257,6 +333,13 @@ def main() -> None:
             "contended_at_start":
                 host_start["load1_per_cpu"] > LOAD_WARN_THRESHOLD,
         },
+        # Self-adjudication (round-11): probe walls re-timed after the
+        # suite vs the committed same-epoch baseline (inflation_factor)
+        # and vs this run's own walls (self_ratio). A factor ~1.0 says
+        # the absolute seconds in this artifact are comparable to the
+        # committed baseline; >1.2 says the host was loaded and the
+        # artifact says so itself — no post-hoc forensics needed.
+        "calibration": calibration,
     }
     # A SUBSET run (--queries) must not clobber the committed full-registry
     # detail baseline (this bit twice: r9's 31204a9 and a round-10 smoke) —
@@ -307,8 +390,12 @@ def main() -> None:
         "families": families,
         "n_errors": len(errors),
         "err_queries": sorted(errors)[:20],
-        "detail_file": "BENCH_DETAIL.json",
+        "detail_file": os.path.basename(detail_path),
         "epoch_id": detail["epoch"]["epoch_id"],
+        "inflation_factor":
+            calibration["inflation_factor"] if calibration else None,
+        "calibration_self_ratio":
+            calibration["self_ratio"] if calibration else None,
     }
     print(json.dumps(summary))
     spark.stop()
