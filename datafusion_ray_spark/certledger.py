@@ -277,6 +277,7 @@ def _extract_fragments(
 
     frags: dict[str, set[str]] = {}
     claimed: list[tuple[int, int]] = []
+    claiming_calls: list[tuple[str, ast.Call]] = []
 
     def visit(node, call_stack):
         if isinstance(node, ast.Call):
@@ -292,10 +293,44 @@ def _extract_fragments(
             if seg is not None:
                 frags.setdefault(node.value, set()).add(seg)
                 claimed.append(span(inner))
+                claiming_calls.append((node.value, inner))
         for child in ast.iter_child_nodes(node):
             visit(child, call_stack)
 
     visit(tree, ())
+
+    # Second pass: an entry's declaration usually only REFERENCES its
+    # implementation (``SuiteEntry("x", run_x, x_oracle(), ...)``). Pull a
+    # module-level function into the entry's fragment when the declaration
+    # is its ONLY reference in the module — then editing ``run_x`` stales
+    # exactly entry x, not every entry homed in the file. Functions
+    # referenced more than once (shared helpers, oracle builders used by
+    # several declarations, f-string interpolated SQL helpers) stay in the
+    # shared residual: a single-count guard keeps this strictly
+    # conservative — a def can never be claimed away from an entry that
+    # also uses it.
+    module_defs = {
+        n.name: n for n in tree.body if isinstance(n, ast.FunctionDef)
+    }
+    ref_count: dict[str, int] = {}
+    for n in ast.walk(tree):
+        if isinstance(n, ast.Name) and n.id in module_defs:
+            ref_count[n.id] = ref_count.get(n.id, 0) + 1
+    for entry_name, call in claiming_calls:
+        cstart, cend = span(call)
+        for n in ast.walk(call):
+            if not (isinstance(n, ast.Name) and n.id in module_defs):
+                continue
+            if ref_count.get(n.id, 0) != 1:
+                continue  # shared helper — stays residual
+            fdef = module_defs[n.id]
+            fstart, fend = span(fdef)
+            if fstart <= cstart and cend <= fend:
+                continue  # def encloses the declaration itself
+            seg = ast.get_source_segment(source, fdef)
+            if seg is not None:
+                frags[entry_name].add(seg)
+                claimed.append((fstart, fend))
 
     residual_parts: list[str] = []
     pos = 0

@@ -151,6 +151,24 @@ def main() -> None:
     ).collect()[0].to_pydict()
     print(f"multi-object http parquet: n={agg['n'][0]} max_k={agg['mx'][0]}")
 
+    # --- size-annotated manifest: zero per-URL probes at planning ------
+    # `url<whitespace>bytes` lines are how a 100 TB publisher should ship
+    # a many-file dataset: with sizes in the manifest, split-mode
+    # planning (>footer_planning_max_files objects) issues NO HEAD/GET
+    # per object — one manifest fetch plans everything.
+    payloads["/manifest.txt"] = "".join(
+        f"{p.lstrip('/')}\t{len(b)}\n" for p, b in sorted(payloads.items())
+        if p.endswith(".parquet")
+    ).encode()
+    ctx.register_parquet(
+        "http_manifest", f"{base}/manifest.txt", manifest=True,
+        partition_bytes=4096, footer_planning_max_files=1,
+    )
+    agg = ctx.sql(
+        "SELECT COUNT(*) AS n, MIN(k) AS mn FROM http_manifest"
+    ).collect()[0].to_pydict()
+    print(f"sized-manifest http parquet: n={agg['n'][0]} min_k={agg['mn'][0]}")
+
     srv.shutdown()
     server.stop()
     ctx.spark.stop()

@@ -143,6 +143,45 @@ def test_fragment_extraction_granularity():
     assert f3 == frags
     assert r3 != residual
 
+    # a run callable referenced ONLY by its declaration is claimed into
+    # that entry's fragment: editing its body stales just that entry;
+    # a helper referenced twice stays shared residual
+    src_ext = (
+        "def run_gamma(s):\n    return s + 1\n"
+        "def shared_helper(s):\n    return s * 2\n"
+        "def run_delta(s):\n    return shared_helper(s)\n"
+        "def run_eps(s):\n    return shared_helper(s) - 1\n"
+        "E('gamma', run_gamma)\n"
+        "E('delta', run_delta)\n"
+        "E('eps', run_eps)\n"
+    )
+    ge, re0 = _extract_fragments(src_ext, {"gamma", "delta", "eps"})
+    assert "return s + 1" in ge["gamma"]          # run fn claimed
+    assert "shared_helper" not in ge["gamma"]
+    g2, re2 = _extract_fragments(
+        src_ext.replace("return s + 1", "return s + 2"),
+        {"gamma", "delta", "eps"},
+    )
+    assert g2["gamma"] != ge["gamma"]             # only gamma moves
+    assert g2["delta"] == ge["delta"] and g2["eps"] == ge["eps"]
+    assert re2 == re0
+    g3, re3 = _extract_fragments(                 # helper edit -> residual
+        src_ext.replace("return s * 2", "return s * 3"),
+        {"gamma", "delta", "eps"},
+    )
+    assert g3 == ge and re3 != re0
+
+    # reorder two adjacent declarations -> nothing moves (fragments are
+    # positionless and whitespace-only residual chunks are dropped)
+    reordered = src.replace(
+        "q('alpha', 'SELECT a FROM t')\nq('beta', f'{HELPER} UNION SELECT b')",
+        "q('beta', f'{HELPER} UNION SELECT b')\nq('alpha', 'SELECT a FROM t')",
+    )
+    assert reordered != src
+    f4, r4 = _extract_fragments(reordered, names)
+    assert f4 == frags
+    assert r4 == residual
+
 
 def test_noop_append_stales_nothing_existing():
     """Adding a new registry entry to a real declaration module changes
