@@ -386,6 +386,14 @@ def _source_at_round(
         return None  # module didn't exist at that round
 
 
+#: fragment_state memo, keyed by (HEAD, working-tree hash, names): the
+#: git-show history walk dominates build_ledger's cost and the test suite
+#: builds the ledger several times against an unchanged tree. Any package
+#: edit (the touch-one-file test's working-tree probe included) changes
+#: the tree hash and misses the memo.
+_FRAGMENT_MEMO: dict[tuple, "FragmentState"] = {}
+
+
 def fragment_state(names: set[str]) -> FragmentState:
     """Discover today's declaration modules (any package module whose
     source carries an entry-name literal inside a call) and compute each
@@ -393,6 +401,14 @@ def fragment_state(names: set[str]) -> FragmentState:
     A fragment/residual counts as touched in round r when its text first
     appears or differs from round r-1's; parse failures of a historical
     blob are treated as a change (conservative)."""
+    memo_key = (
+        _git("rev-parse", "HEAD").strip(),
+        package_tree_hash(),
+        frozenset(names),
+    )
+    hit = _FRAGMENT_MEMO.get(memo_key)
+    if hit is not None:
+        return hit
     modmap = _module_map()
     markers = _round_marker_shas()
     current = (max(markers) + 1) if markers else 1
@@ -429,13 +445,16 @@ def fragment_state(names: set[str]) -> FragmentState:
                 if prev_frags is None or prev_frags.get(name) != text:
                     frag_touch[(path, name)] = rnd
             prev_frags, prev_residual = frags, residual
-    return FragmentState(
+    state = FragmentState(
         modules=modules,
         frag_now=frag_now,
         frag_touch=frag_touch,
         residual_now=residual_now,
         residual_touch=residual_touch,
     )
+    _FRAGMENT_MEMO.clear()  # one live tree state at a time is enough
+    _FRAGMENT_MEMO[memo_key] = state
+    return state
 
 
 # ---------------------------------------------------------------------------
