@@ -245,59 +245,21 @@ def main() -> None:
             committed_detail = json.load(f)
     except Exception:  # noqa: BLE001 - first run / missing baseline
         pass
+    # The probe must never cost the round its bench artifact (same fault-
+    # isolation invariant as the suite loop above: the detail write and
+    # summary line below are unconditional) — a probe failure is recorded
+    # in the calibration record, not raised.
     calibration = None
     probe_names = [p for p in CALIBRATION_PROBES if p in per_query]
-    if probe_names:
-        probe_walls: dict[str, float] = {}
-        for p in probe_names:
-            best = None
-            for _ in range(max(2, args.runs)):
-                start = time.perf_counter()
-                registry[p].run(spark, args.sf_dir).collect()
-                el = time.perf_counter() - start
-                best = el if best is None else min(best, el)
-                spark.catalog.clearCache()
-            probe_walls[p] = round(best, 4)
-
-        def _median(xs: list[float]) -> float:
-            xs = sorted(xs)
-            mid = len(xs) // 2
-            return xs[mid] if len(xs) % 2 else (xs[mid - 1] + xs[mid]) / 2
-
-        # self-ratio ~1.0 when the weather held through the run; >1 means
-        # load ARRIVED mid-suite (the probes run last)
-        self_ratio = round(_median(
-            [probe_walls[p] / per_query[p] for p in probe_names
-             if per_query.get(p)]
-        ), 3)
-        inflation = None
-        baseline_epoch_match = False
-        if committed_detail:
-            base_q = committed_detail.get("queries", {})
-            baseline_epoch_match = (
-                committed_detail.get("epoch", {}).get("epoch_id")
-                == host_epoch()["epoch_id"]
-                and committed_detail.get("sf") == sf_val
-            )
-            ratios = [probe_walls[p] / base_q[p] for p in probe_names
-                      if base_q.get(p)]
-            if baseline_epoch_match and ratios:
-                inflation = round(_median(ratios), 3)
-        calibration = {
-            "probes": probe_walls,
-            "suite_walls": {p: per_query[p] for p in probe_names},
-            "self_ratio": self_ratio,
-            "inflation_factor": inflation,
-            "baseline_epoch_match": baseline_epoch_match,
-            "host_at_probe": _host_load(),
-        }
-        if inflation is not None and inflation > 1.2:
-            print(
-                f"bench: WARNING calibration inflation_factor={inflation} "
-                "vs the committed same-epoch baseline — this artifact's "
-                "absolute walls are contention-inflated; compare plans/"
-                "shuffle, not seconds", file=sys.stderr,
-            )
+    try:
+        calibration = _run_calibration(
+            spark, registry, args, probe_names, per_query,
+            committed_detail, sf_val, host_epoch,
+        ) if probe_names else None
+    except Exception as e:  # noqa: BLE001 - probe is advisory
+        calibration = {"error": f"{type(e).__name__}: {e}"[:300]}
+        print(f"bench: calibration probe failed: {calibration['error']}",
+              file=sys.stderr)
 
     host_end = _host_load()
     detail = {
@@ -393,9 +355,9 @@ def main() -> None:
         "detail_file": os.path.basename(detail_path),
         "epoch_id": detail["epoch"]["epoch_id"],
         "inflation_factor":
-            calibration["inflation_factor"] if calibration else None,
+            calibration.get("inflation_factor") if calibration else None,
         "calibration_self_ratio":
-            calibration["self_ratio"] if calibration else None,
+            calibration.get("self_ratio") if calibration else None,
     }
     print(json.dumps(summary))
     spark.stop()
@@ -404,6 +366,64 @@ def main() -> None:
     if errors and len(errors) > max(1, len(names)) * 0.2:
         return 1
     return 0
+
+
+def _run_calibration(
+    spark, registry, args, probe_names, per_query, committed_detail,
+    sf_val, host_epoch,
+) -> dict:
+    """Re-time the calibration probes under the SAME protocol as the
+    suite (min-of-args.runs — a different run count would bias both
+    ratios) and compare against the committed same-epoch baseline."""
+    probe_walls: dict[str, float] = {}
+    for p in probe_names:
+        best = None
+        for _ in range(args.runs):
+            start = time.perf_counter()
+            registry[p].run(spark, args.sf_dir).collect()
+            el = time.perf_counter() - start
+            best = el if best is None else min(best, el)
+            spark.catalog.clearCache()
+        probe_walls[p] = round(best, 4)
+
+    def _median(xs: list[float]) -> float:
+        xs = sorted(xs)
+        mid = len(xs) // 2
+        return xs[mid] if len(xs) % 2 else (xs[mid - 1] + xs[mid]) / 2
+
+    # self-ratio ~1.0 when the weather held through the run; >1 means
+    # load ARRIVED mid-suite (the probes run last)
+    self_ratio = round(_median(
+        [probe_walls[p] / per_query[p] for p in probe_names
+         if per_query.get(p)]
+    ), 3)
+    inflation = None
+    baseline_epoch_match = bool(committed_detail) and (
+        committed_detail.get("epoch", {}).get("epoch_id")
+        == host_epoch()["epoch_id"]
+        and committed_detail.get("sf") == sf_val
+    )
+    if baseline_epoch_match:
+        base_q = committed_detail.get("queries", {})
+        ratios = [probe_walls[p] / base_q[p] for p in probe_names
+                  if base_q.get(p)]
+        if ratios:
+            inflation = round(_median(ratios), 3)
+    if inflation is not None and inflation > 1.2:
+        print(
+            f"bench: WARNING calibration inflation_factor={inflation} "
+            "vs the committed same-epoch baseline — this artifact's "
+            "absolute walls are contention-inflated; compare plans/"
+            "shuffle, not seconds", file=sys.stderr,
+        )
+    return {
+        "probes": probe_walls,
+        "suite_walls": {p: per_query[p] for p in probe_names},
+        "self_ratio": self_ratio,
+        "inflation_factor": inflation,
+        "baseline_epoch_match": baseline_epoch_match,
+        "host_at_probe": _host_load(),
+    }
 
 
 def family_throughput() -> int:

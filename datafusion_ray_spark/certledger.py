@@ -170,6 +170,17 @@ def _git(*args: str) -> str:
     ).stdout
 
 
+def _log_markers() -> list[tuple[str, int | None]]:
+    """git log newest-first as (sha, marker round | None) — the ONE
+    marker walk ``commit_rounds`` and ``_round_marker_shas`` share."""
+    out: list[tuple[str, int | None]] = []
+    for line in _git("log", "--format=%H %s").splitlines():
+        sha, _, subject = line.partition(" ")
+        m = _ROUND_MARKER.match(subject)
+        out.append((sha, int(m.group(1)) if m else None))
+    return out
+
+
 def commit_rounds() -> tuple[dict[str, int], int]:
     """(commit sha -> round it belongs to, current round).
 
@@ -177,20 +188,14 @@ def commit_rounds() -> tuple[dict[str, int], int]:
     round N's closing marker, so commits NEWER than the newest marker are
     the current round (max marker + 1) and each older commit belongs to
     the first marker at-or-below it."""
-    lines = _git("log", "--format=%H %s").splitlines()
-    marker_round: list[int | None] = []
-    for line in lines:
-        sha, _, subject = line.partition(" ")
-        m = _ROUND_MARKER.match(subject)
-        marker_round.append(int(m.group(1)) if m else None)
-    markers = [r for r in marker_round if r is not None]
+    log = _log_markers()
+    markers = [r for _sha, r in log if r is not None]
     newest = max(markers) if markers else 0  # max, not first: a reverted/
     current = newest + 1                     # reordered marker must not
     # shift every round assignment below it
     rounds: dict[str, int] = {}
     rnd = current
-    for line, marker in zip(lines, marker_round):
-        sha = line.split(" ", 1)[0]
+    for sha, marker in log:
         if marker is not None:
             rnd = marker
         rounds[sha] = rnd
@@ -258,12 +263,16 @@ class FragmentState:
 
 
 def _extract_fragments(
-    source: str, names: set[str]
+    source: str, names: set[str], no_claim: frozenset[str] = frozenset()
 ) -> tuple[dict[str, str], str]:
     """(entry name -> declaration fragment text, residual sha) for one
     module source. A fragment is the source segment of the INNERMOST call
     expression containing the entry's name as a string literal; the
-    residual is the module text with every claimed segment blanked."""
+    residual is the module text with every claimed segment blanked.
+    ``no_claim`` lists function names that must stay in the shared
+    residual even when singly-referenced here (symbols other package
+    modules import — their editors' staleness must not be captured by
+    one entry)."""
     tree = ast.parse(source)
     lines = source.splitlines(keepends=True)
     offsets = [0]
@@ -321,8 +330,8 @@ def _extract_fragments(
         for n in ast.walk(call):
             if not (isinstance(n, ast.Name) and n.id in module_defs):
                 continue
-            if ref_count.get(n.id, 0) != 1:
-                continue  # shared helper — stays residual
+            if ref_count.get(n.id, 0) != 1 or n.id in no_claim:
+                continue  # shared helper / exported symbol — residual
             fdef = module_defs[n.id]
             fstart, fend = span(fdef)
             if fstart <= cstart and cend <= fend:
@@ -356,14 +365,45 @@ def _extract_fragments(
 
 def _round_marker_shas() -> dict[int, str]:
     """Round -> the sha of its closing ``round N:`` marker commit (the
-    newest one wins if a marker was ever re-issued)."""
+    newest one wins if a marker was ever re-issued), derived from the
+    same marker walk ``commit_rounds`` uses."""
     out: dict[int, str] = {}
-    for line in _git("log", "--format=%H %s").splitlines():
-        sha, _, subject = line.partition(" ")
-        m = _ROUND_MARKER.match(subject)
-        if m and int(m.group(1)) not in out:
-            out[int(m.group(1))] = sha
+    for sha, rnd in _log_markers():
+        if rnd is not None and rnd not in out:
+            out[rnd] = sha
     return out
+
+
+def _exported_symbols_map(modmap: dict[str, str]) -> dict[str, frozenset[str]]:
+    """Module path -> symbol names OTHER package modules import from it
+    (``from X import y``). Fragment-claiming bans these: a function other
+    modules execute must stale through the shared residual — being
+    singly-referenced in its HOME module does not make it private."""
+    out: dict[str, set[str]] = {}
+    for modname, path in modmap.items():
+        with open(os.path.join(REPO_ROOT, path), encoding="utf-8") as fh:
+            try:
+                tree = ast.parse(fh.read(), filename=path)
+            except SyntaxError:  # pragma: no cover - broken working tree
+                continue
+        is_pkg = path.endswith("__init__.py")
+        parts = modname.split(".")
+        for node in ast.walk(tree):
+            if not isinstance(node, ast.ImportFrom):
+                continue
+            if node.level == 0:
+                base = node.module or ""
+            else:
+                climb = node.level - (1 if is_pkg else 0)
+                anchor = parts[: len(parts) - climb] if climb else parts
+                base = ".".join(anchor)
+                if node.module:
+                    base = f"{base}.{node.module}" if base else node.module
+            if base in modmap and modmap[base] != path:
+                out.setdefault(modmap[base], set()).update(
+                    a.name for a in node.names
+                )
+    return {k: frozenset(v) for k, v in out.items()}
 
 
 def _source_at_round(
@@ -413,13 +453,20 @@ def fragment_state(names: set[str]) -> FragmentState:
     markers = _round_marker_shas()
     current = (max(markers) + 1) if markers else 1
 
+    # Exported-symbol ban from TODAY's import graph, applied uniformly to
+    # every round (a time-varying ban would make one semantic change look
+    # like many fragment touches).
+    exported = _exported_symbols_map(modmap)
+
     modules: set[str] = set()
     frag_now: dict[str, dict[str, str]] = {}
     residual_now: dict[str, str] = {}
     for path in modmap.values():
         with open(os.path.join(REPO_ROOT, path), encoding="utf-8") as fh:
             src = fh.read()
-        frags, residual = _extract_fragments(src, names)
+        frags, residual = _extract_fragments(
+            src, names, exported.get(path, frozenset())
+        )
         if frags:
             modules.add(path)
             frag_now[path] = frags
@@ -428,6 +475,7 @@ def fragment_state(names: set[str]) -> FragmentState:
     frag_touch: dict[tuple[str, str], int] = {}
     residual_touch: dict[str, int] = {}
     for path in sorted(modules):
+        no_claim = exported.get(path, frozenset())
         prev_frags: dict[str, str] | None = None  # None = module absent
         prev_residual: str | None = None
         for rnd in range(1, current + 1):
@@ -436,7 +484,8 @@ def fragment_state(names: set[str]) -> FragmentState:
                 frags, residual = {}, None
             else:
                 try:
-                    frags, residual = _extract_fragments(src, names)
+                    frags, residual = _extract_fragments(src, names,
+                                                         no_claim)
                 except SyntaxError:  # pragma: no cover - historic blob
                     frags, residual = {}, f"unparseable-r{rnd}"
             if residual != prev_residual:
@@ -531,7 +580,8 @@ def _entry_seed_modules(registry) -> dict[str, set[str]]:
     seeds: dict[str, set[str]] = {}
     for name, entry in registry.items():
         # tables.py (view registration + schema normalization) is on every
-        # entry's run path and IS expanded; registry.py joins as a leaf.
+        # entry's run path and IS expanded; registry.py is assembly-only
+        # and excluded from closures entirely (EXCLUDE_FROM_CLOSURE).
         mods = {f"{PACKAGE}.sources.tables"}
         if name in sql_home:
             mods.add(sql_home[name])

@@ -60,11 +60,14 @@ def _parse_manifest(body: str, murl: str) -> list[tuple[str, int | None]]:
     (the size-annotated form: with sizes the split planner needs ZERO
     per-URL HEAD probes — one manifest fetch plans an 800k-object
     dataset, matching the s3 path where sizes ride the listing).
-    Relative entries resolve against the manifest's directory — with any
-    query string / fragment stripped first, so a presigned manifest URL
-    (``.../manifest.txt?X-Amz-Signature=...``) doesn't leak its query
-    into every resolved object URL."""
-    base = murl.partition("?")[0].partition("#")[0].rsplit("/", 1)[0] + "/"
+    Entries resolve with URL-join semantics against the manifest's URL:
+    relative (``a.parquet``), root-relative (``/data/a.parquet``), and
+    absolute forms all work, and the manifest's own query string /
+    fragment never leaks into resolved object URLs — a presigned manifest
+    (``.../manifest.txt?X-Amz-Signature=...``) yields clean object
+    paths."""
+    from urllib.parse import urljoin
+
     entries: list[tuple[str, int | None]] = []
     for line in body.splitlines():
         line = line.strip()
@@ -74,9 +77,7 @@ def _parse_manifest(body: str, murl: str) -> list[tuple[str, int | None]]:
         parts = line.rsplit(None, 1)
         if len(parts) == 2 and parts[1].isdigit():
             url, size = parts[0], int(parts[1])
-        if not url.startswith(("http://", "https://")):
-            url = base + url
-        entries.append((url, size))
+        entries.append((urljoin(murl, url), size))
     if not entries:
         raise FileNotFoundError(
             f"manifest {redact_url(murl)} lists no parquet URLs"

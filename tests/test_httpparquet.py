@@ -407,12 +407,14 @@ def test_manifest_presigned_base_resolution_strips_query():
     murl = "https://h.example/d/manifest.txt?X-Amz-Signature=SECRET#frag"
     entries = _parse_manifest(
         "# comment\na.parquet\nsub/b.parquet 12345\n"
+        "/rooted/c.parquet 7\n"
         "https://other.example/c.parquet\n",
         murl,
     )
     assert entries == [
         ("https://h.example/d/a.parquet", None),
         ("https://h.example/d/sub/b.parquet", 12345),
+        ("https://h.example/rooted/c.parquet", 7),
         ("https://other.example/c.parquet", None),
     ]
     assert not any("SECRET" in u for u, _ in entries)
