@@ -339,22 +339,35 @@ class DFRayContext:
                     "manifest's URL as path, not both"
                 )
             manifest = str(path)
-        url_list: list[str] | None = None
+        # A list element is a URL or a (url, size_bytes) pair — sizes give
+        # the list form the same zero-probe split planning as a
+        # size-annotated manifest (the planner HEAD-probes only entries
+        # that don't carry one).
+        url_list: list | None = None
+        first_url: str | None = None
         if isinstance(path, (list, tuple)):
-            url_list = [str(u) for u in path]
-            if not url_list or not all(
-                u.startswith(("http://", "https://")) for u in url_list
+            url_list = []
+            for u in path:
+                if isinstance(u, (list, tuple)) and len(u) == 2:
+                    url_list.append([str(u[0]), int(u[1])])
+                else:
+                    url_list.append(str(u))
+            urls_only = [u[0] if isinstance(u, list) else u
+                         for u in url_list]
+            if not urls_only or not all(
+                u.startswith(("http://", "https://")) for u in urls_only
             ):
                 raise ValueError(
                     "register_parquet with a list takes http(s) object "
-                    f"URLs; got {url_list!r}"
+                    f"URLs (or [url, size] pairs); got {url_list!r}"
                 )
-            path = url_list[0]  # route into the http branch below
+            first_url = urls_only[0]
+            path = first_url  # route into the http branch below
             # provenance must not misreport a multi-object dataset as its
             # first object
             raw = (
-                url_list[0] if len(url_list) == 1
-                else f"{url_list[0]} (+{len(url_list) - 1} more objects)"
+                first_url if len(urls_only) == 1
+                else f"{first_url} (+{len(urls_only) - 1} more objects)"
             )
 
         path = self._normalize_path(path)

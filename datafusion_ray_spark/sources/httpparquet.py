@@ -108,7 +108,9 @@ def _url_entries(opts: dict) -> list[tuple[str, int | None]]:
     - ``url``: one object (the round-9 surface, unchanged);
     - ``urls``: a JSON list of object URLs — the multi-object analogue of
       the reference's listing behavior over an http store, which has no
-      generic listing protocol to discover objects with;
+      generic listing protocol to discover objects with; an element may
+      also be a ``[url, size_bytes]`` pair, giving the list form the same
+      zero-probe split planning as a size-annotated manifest;
     - ``manifest``: a URL whose body LISTS object URLs (one per line,
       ``#`` comments allowed, optional ``url<whitespace>bytes`` size
       annotation) — how a 100 TB publisher actually exposes a many-file
@@ -126,7 +128,13 @@ def _url_entries(opts: dict) -> list[tuple[str, int | None]]:
         urls = json.loads(raw) if isinstance(raw, str) else list(raw)
         if not urls:
             raise ValueError("'urls' option is an empty list")
-        return [(str(u), None) for u in urls]
+        entries = []
+        for u in urls:
+            if isinstance(u, (list, tuple)) and len(u) == 2:
+                entries.append((str(u[0]), int(u[1])))
+            else:
+                entries.append((str(u), None))
+        return entries
     return [(opts["url"], None)]
 
 

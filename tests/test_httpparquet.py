@@ -482,6 +482,42 @@ def test_sized_manifest_e2e_no_heads_oracle_equal(spark, multi_base):
     assert len(unranged) <= 2
 
 
+def test_sized_url_list_zero_probe_planning_and_facade(spark, multi_base):
+    """[url, size] pairs in the list form plan split mode with zero
+    object requests (parity with the sized manifest), end-to-end through
+    the facade with oracle-equal rows."""
+    import json as _json
+
+    from datafusion_ray_spark.context import DFRayContext
+    from datafusion_ray_spark.sources.httpparquet import _HTTPParquetReader
+
+    pairs = [
+        [f"{multi_base}{p}", len(b)]
+        for p, b in sorted(_MultiHandler.payloads.items())
+        if p.endswith(".parquet")
+    ]
+    _MultiHandler.requests = []
+    reader = _HTTPParquetReader(None, {
+        "urls": _json.dumps(pairs),
+        "footer_planning_max_files": "1",
+        "partition_bytes": "40000",
+    })
+    assert len(reader.partitions()) > 2
+    assert _MultiHandler.requests == [], (
+        f"sized url-list planning issued requests: {_MultiHandler.requests}"
+    )
+
+    ctx = DFRayContext(spark=spark)
+    ctx.register_parquet(
+        "http_sized_urls", pairs,
+        partition_bytes=40_000, footer_planning_max_files=1,
+    )
+    df = spark.table("http_sized_urls")
+    assert sorted(map(tuple, df.collect())) == _local_oracle_rows()
+    heads = [r for r in _MultiHandler.requests if r[0] == "HEAD"]
+    assert heads == []
+
+
 def test_http_parquet_range_split_protocol(spark, multi_base):
     """Hadoop split protocol over http (forced via
     footer_planning_max_files=1 on the 2-object dataset): planning needs
