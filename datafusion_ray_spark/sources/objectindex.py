@@ -1,0 +1,558 @@
+"""Object-store-safe persisted index: manifest-committed, pointer-swapped.
+
+``sources/bucketing.py``'s path-addressed compaction swap is two directory
+RENAMES — correct on a local filesystem, impossible on an object store
+(S3 has no atomic rename; "renaming" a 100 TB index would copy it). Its
+docstring says so and points here: this module is the object-store shape
+of the same lifecycle, the way table formats in the Iceberg/Delta family
+solve it (log-structured metadata over immutable data files):
+
+- **Data objects are immutable.** Every write lands NEW objects under
+  ``data/<col>=<value>/part-<uuid>.parquet``; nothing is ever renamed,
+  overwritten, or touched in place. Old snapshots keep reading their own
+  objects through any number of later commits.
+- **A version manifest names the snapshot.** ``meta/v<N>.json`` lists
+  every (key, bytes, rows, partition-value) the version contains. Reads
+  plan from the manifest — explicit keys WITH sizes — so a scan does
+  ZERO ListObjects/HeadObject calls and can never observe a concurrent
+  writer's half-landed objects (the listing-vs-commit race a
+  prefix-listing reader has by construction).
+- **The commit is ONE pointer write.** ``_CURRENT`` holds the live
+  version name; publishing is a single small-object PUT (atomic on S3 —
+  readers see the old pointer or the new one, never a torn state; local
+  twin is ``os.replace``). A failure anywhere before the pointer write
+  leaves the old version live and at worst orphans data objects for GC.
+- **Append and compaction are just commits.** Append = new objects +
+  a manifest referencing parent objects ∪ batch objects. Compaction =
+  rewrite to one-object-per-partition + a manifest referencing only the
+  new objects — the old generation's objects stay byte-untouched until
+  :func:`gc_index` sweeps versions that fell out of the retention set.
+
+Single-writer, many-reader: like the bucketing compactors, concurrent
+COMMITS are not arbitrated here (S3 gained compare-and-swap via
+``If-Match`` preconditions in 2024; moto predates it, so last-writer-wins
+is documented instead) — run one maintenance job per index. Readers need
+no coordination at all: :func:`read_index` resolves the pointer once and
+builds the scan from that manifest's explicit object list, so an open
+DataFrame is pinned to its snapshot for its whole lifetime.
+
+Spark-side mechanics: the writer is ``repartition(partition_col)`` →
+``mapInArrow`` — each task buffers its partition values' Arrow batches
+and PUTs parquet objects of ~``target_object_bytes`` (boto3; this
+environment has no hadoop-aws jars, and the reference's object-store
+path is likewise its own client, `/root/reference/src/util.rs:523-580`).
+Reads ride ``sources/s3store.py``'s ``paths`` form (row-group splitting,
+footer-stats pruning, automatic ``pushFilters`` — all inherited), or a
+pinned file list via the native parquet reader for local roots.
+
+At 100 TB: partition pruning is a manifest filter (no listing of a
+million-object prefix), appends cost O(batch), compaction streams
+through executors without ever holding two copies of a partition, and
+the snapshot pointer means a week-long training job reads one consistent
+index version while ingest keeps committing behind it.
+
+Exercised end-to-end (local + live moto S3) in tests/test_objectindex.py,
+including the IVF cell-index lifecycle that motivated it
+(tests mirror operators/suite7.py's persisted-IVF semantics).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import time
+import uuid
+from typing import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .s3store import _client, _split_url
+
+#: roll a new data object once this many buffered Arrow bytes accumulate
+#: for one partition value (uncompressed estimate; parquet lands smaller).
+DEFAULT_TARGET_OBJECT_BYTES = 128 << 20
+
+_POINTER = "_CURRENT"
+_META_DIR = "meta"
+_DATA_DIR = "data"
+
+
+def _vname(version: int) -> str:
+    return f"v{version:08d}"
+
+
+# ---------------------------------------------------------------------------
+# Store: the ~5 object operations the protocol needs, over s3:// or a
+# local directory. Small on purpose — everything protocol-shaped lives in
+# the functions below, so the two backends cannot drift.
+
+
+class _LocalStore:
+    def __init__(self, root: str):
+        self.root = os.path.abspath(root)
+
+    def url(self, rel: str) -> str:
+        return os.path.join(self.root, *rel.split("/"))
+
+    def get_text(self, rel: str) -> str | None:
+        try:
+            with open(self.url(rel), "r", encoding="utf-8") as f:
+                return f.read()
+        except FileNotFoundError:
+            return None
+
+    def put_bytes(self, rel: str, data: bytes) -> None:
+        path = self.url(rel)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)  # atomic publish, the local twin of S3 PUT
+
+    def put_text(self, rel: str, text: str) -> None:
+        self.put_bytes(rel, text.encode("utf-8"))
+
+    def list(self, rel_prefix: str) -> list[tuple[str, int, float]]:
+        """[(rel_key, size_bytes, mtime_epoch)] under the prefix."""
+        base = self.url(rel_prefix)
+        out = []
+        for dirpath, _dirs, files in os.walk(base):
+            for name in files:
+                p = os.path.join(dirpath, name)
+                st = os.stat(p)
+                rel = os.path.relpath(p, self.root).replace(os.sep, "/")
+                out.append((rel, st.st_size, st.st_mtime))
+        return sorted(out)
+
+    def delete(self, rel: str) -> None:
+        try:
+            os.remove(self.url(rel))
+        except FileNotFoundError:
+            pass
+        # prune now-empty partition directories so local layouts don't
+        # accumulate husks (object stores have no directories to prune)
+        d = os.path.dirname(self.url(rel))
+        while d.startswith(self.root) and d != self.root:
+            try:
+                os.rmdir(d)
+            except OSError:
+                break
+            d = os.path.dirname(d)
+
+
+class _S3Store:
+    def __init__(self, root_url: str, opts: dict):
+        self.bucket, prefix = _split_url(root_url)
+        self.prefix = prefix.rstrip("/")
+        self.opts = dict(opts)
+        self._client = None  # lazy: constructed task-side after pickling
+
+    def _c(self):
+        if self._client is None:
+            self._client = _client(self.opts)
+        return self._client
+
+    def __getstate__(self):
+        return {k: v for k, v in self.__dict__.items() if k != "_client"}
+
+    def __setstate__(self, state):
+        self.__dict__.update(state, _client=None)
+
+    def _key(self, rel: str) -> str:
+        return f"{self.prefix}/{rel}" if self.prefix else rel
+
+    def url(self, rel: str) -> str:
+        return f"s3://{self.bucket}/{self._key(rel)}"
+
+    def get_text(self, rel: str) -> str | None:
+        try:
+            obj = self._c().get_object(Bucket=self.bucket, Key=self._key(rel))
+            return obj["Body"].read().decode("utf-8")
+        except Exception as exc:
+            code = str(
+                getattr(exc, "response", {}).get("Error", {}).get("Code", "")
+            )
+            if code in ("404", "NoSuchKey", "NotFound"):
+                return None
+            raise
+
+    def put_bytes(self, rel: str, data: bytes) -> None:
+        # One PUT is atomic on S3: the object appears complete or not at
+        # all — exactly the property the pointer/manifest writes rely on.
+        self._c().put_object(Bucket=self.bucket, Key=self._key(rel), Body=data)
+
+    def put_text(self, rel: str, text: str) -> None:
+        self.put_bytes(rel, text.encode("utf-8"))
+
+    def list(self, rel_prefix: str) -> list[tuple[str, int, float]]:
+        prefix = self._key(rel_prefix).rstrip("/") + "/"
+        strip = len(self._key("")) if self.prefix else 0
+        out, token = [], None
+        while True:
+            kwargs = {"Bucket": self.bucket, "Prefix": prefix}
+            if token:
+                kwargs["ContinuationToken"] = token
+            page = self._c().list_objects_v2(**kwargs)
+            for obj in page.get("Contents", []):
+                rel = obj["Key"][strip:]
+                out.append(
+                    (rel, obj["Size"], obj["LastModified"].timestamp())
+                )
+            if not page.get("IsTruncated"):
+                break
+            token = page["NextContinuationToken"]
+        return sorted(out)
+
+    def delete(self, rel: str) -> None:
+        self._c().delete_object(Bucket=self.bucket, Key=self._key(rel))
+
+
+def _store_for(root: str, opts: dict | None):
+    if root.startswith(("s3://", "s3a://", "gs://")):
+        return _S3Store(root, opts or {})
+    return _LocalStore(root)
+
+
+# ---------------------------------------------------------------------------
+# Manifest protocol
+
+
+def current_version(root: str, opts: dict | None = None) -> int | None:
+    """The live committed version number, or ``None`` for a fresh root."""
+    text = _store_for(root, opts).get_text(_POINTER)
+    return int(text.strip().lstrip("v")) if text else None
+
+
+def load_manifest(root: str, version: int | None = None,
+                  opts: dict | None = None) -> dict:
+    """The manifest of ``version`` (default: the live one)."""
+    store = _store_for(root, opts)
+    if version is None:
+        text = store.get_text(_POINTER)
+        if text is None:
+            raise FileNotFoundError(
+                f"{root} has no {_POINTER} pointer — not an index root, or "
+                "no version was ever committed"
+            )
+        version = int(text.strip().lstrip("v"))
+    body = store.get_text(f"{_META_DIR}/{_vname(version)}.json")
+    if body is None:
+        raise FileNotFoundError(
+            f"index manifest {_vname(version)} missing under {root}"
+        )
+    return json.loads(body)
+
+
+def _commit(store, *, op: str, parent: int | None, partition_col: str,
+            objects: list[dict]) -> dict:
+    version = (parent or 0) + 1
+    manifest = {
+        "version": version,
+        "parent": parent,
+        "op": op,
+        "partition_col": partition_col,
+        "rows": sum(o["rows"] for o in objects),
+        "objects": sorted(objects, key=lambda o: o["key"]),
+    }
+    # Order is the protocol: manifest first (unreferenced until the
+    # pointer moves), pointer last (THE commit). A crash between the two
+    # leaves the parent live and the manifest as sweepable garbage.
+    store.put_text(
+        f"{_META_DIR}/{_vname(version)}.json",
+        json.dumps(manifest, indent=1, sort_keys=True),
+    )
+    store.put_text(_POINTER, _vname(version) + "\n")
+    return manifest
+
+
+def _sanitize_part(value) -> str:
+    """Partition value as a key-path segment (hive-ish, strictly safe)."""
+    s = str(value)
+    return "".join(
+        c if c.isalnum() or c in "-_." else f"%{ord(c):02X}" for c in s
+    ) or "_empty_"
+
+
+# ---------------------------------------------------------------------------
+# Distributed writer
+
+
+def _write_data_objects(
+    df: DataFrame,
+    store,
+    partition_col: str,
+    target_object_bytes: int,
+) -> list[dict]:
+    """Land ``df`` as immutable parquet objects under ``data/``, one-ish
+    object per partition value (``repartition(partition_col)`` →
+    ``mapInArrow``; a task holding several values flushes each value's
+    buffer separately, and a value bigger than ``target_object_bytes``
+    rolls extra objects — nothing ever buffers more than the target).
+    Each task PUTs via its own boto3 client (no hadoop-aws needed) and
+    returns one manifest row per object written; the driver only ever
+    sees (key, bytes, rows, part) triples, never data."""
+    import pyarrow as pa
+
+    out_schema = "key string, bytes long, rows long, part string"
+
+    def task(batches: Iterable["pa.RecordBatch"]):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        results: list[tuple[str, int, int, str]] = []
+        buf: dict[str, list] = {}
+        buf_bytes: dict[str, int] = {}
+
+        def flush(part: str) -> None:
+            chunks = buf.pop(part, [])
+            buf_bytes.pop(part, None)
+            if not chunks:
+                return
+            table = pa.Table.from_batches(chunks)
+            sink = io.BytesIO()
+            pq.write_table(table, sink)
+            key = (
+                f"{_DATA_DIR}/{partition_col}={_sanitize_part(part)}/"
+                f"part-{uuid.uuid4().hex}.parquet"
+            )
+            data = sink.getvalue()
+            store.put_bytes(key, data)
+            results.append((key, len(data), table.num_rows, part))
+
+        for batch in batches:
+            idx = batch.schema.get_field_index(partition_col)
+            if idx < 0:
+                raise KeyError(
+                    f"partition column {partition_col!r} not in schema "
+                    f"{batch.schema.names}"
+                )
+            col = batch.column(idx)
+            if col.null_count:
+                raise ValueError(
+                    f"null {partition_col!r} value: index partition keys "
+                    "must be non-null (assign a sentinel cell upstream)"
+                )
+            import pyarrow.compute as pc
+
+            for part_scalar in pc.unique(col):
+                part = str(part_scalar.as_py())
+                sub = batch.filter(pc.equal(col, part_scalar))
+                buf.setdefault(part, []).append(sub)
+                buf_bytes[part] = buf_bytes.get(part, 0) + sub.nbytes
+                if buf_bytes[part] >= target_object_bytes:
+                    flush(part)
+        for part in list(buf):
+            flush(part)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array([r[0] for r in results], pa.string()),
+                pa.array([r[1] for r in results], pa.int64()),
+                pa.array([r[2] for r in results], pa.int64()),
+                pa.array([r[3] for r in results], pa.string()),
+            ],
+            schema=pa.schema(
+                [("key", pa.string()), ("bytes", pa.int64()),
+                 ("rows", pa.int64()), ("part", pa.string())]
+            ),
+        )
+
+    rows = (
+        df.repartition(partition_col)
+        .mapInArrow(task, out_schema)
+        .collect()
+    )
+    return [
+        {"key": r["key"], "bytes": r["bytes"], "rows": r["rows"],
+         "part": r["part"]}
+        for r in rows
+    ]
+
+
+def write_index(
+    df: DataFrame,
+    root: str,
+    partition_col: str = "cell",
+    mode: str = "overwrite",
+    opts: dict | None = None,
+    target_object_bytes: int = DEFAULT_TARGET_OBJECT_BYTES,
+) -> dict:
+    """Commit ``df`` to the index at ``root`` and return the manifest.
+
+    ``mode="overwrite"`` publishes a version containing only this write's
+    objects (the parent's objects stay on store for pinned readers until
+    GC). ``mode="append"`` publishes parent ∪ batch — O(batch) work at
+    any corpus size, existing objects byte-untouched, and unlike the
+    local ``partitionBy`` append a reader can NEVER observe half a batch:
+    the new objects are invisible until the pointer moves."""
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+    store = _store_for(root, opts)
+    parent = current_version(root, opts)
+    objects = _write_data_objects(df, store, partition_col, target_object_bytes)
+    if mode == "append" and parent is not None:
+        parent_manifest = load_manifest(root, parent, opts)
+        if parent_manifest["partition_col"] != partition_col:
+            raise ValueError(
+                f"append partitions by {partition_col!r} but the live "
+                f"version is keyed on {parent_manifest['partition_col']!r}"
+            )
+        objects = parent_manifest["objects"] + objects
+    return _commit(
+        store, op=mode, parent=parent, partition_col=partition_col,
+        objects=objects,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reader
+
+
+def read_index(
+    spark: SparkSession,
+    root: str,
+    partitions: Iterable | None = None,
+    version: int | None = None,
+    opts: dict | None = None,
+    scan_options: dict | None = None,
+) -> DataFrame:
+    """Scan the index — a SNAPSHOT pinned at resolve time.
+
+    ``partitions`` prunes to those partition values (the manifest filter
+    that replaces directory pruning: at nprobe=4 over a million-cell
+    index this is 4 dict lookups, not a prefix listing). The scan is the
+    manifest's explicit ``[url, size]`` list, so planning does zero
+    ListObjects/HeadObject calls and later commits/GC of OTHER versions
+    cannot disturb it. ``version`` time-travels to an older snapshot."""
+    manifest = load_manifest(root, version, opts)
+    store = _store_for(root, opts)
+    objects = manifest["objects"]
+    if not objects:
+        raise ValueError(
+            f"index version {manifest['version']} at {root} is empty"
+        )
+    selected = objects
+    if partitions is not None:
+        wanted = {str(p) for p in partitions}
+        selected = [o for o in objects if o["part"] in wanted]
+    # An empty pruned selection still needs the index schema: scan one
+    # object under an always-false predicate (footer-only cost).
+    schema_only = not selected
+    if schema_only:
+        selected = objects[:1]
+
+    if isinstance(store, _S3Store):
+        from .s3store import register_s3_parquet
+
+        register_s3_parquet(spark)
+        reader = spark.read.format("s3parquet").option(
+            "paths",
+            json.dumps([[store.url(o["key"]), o["bytes"]] for o in selected]),
+        )
+        for k in ("endpoint_url", "region", "access_key", "secret_key",
+                  "anon"):
+            if opts and opts.get(k) is not None:
+                reader = reader.option(k, str(opts[k]))
+        for k, v in (scan_options or {}).items():
+            reader = reader.option(k, str(v))
+        out = reader.load()
+    else:
+        out = spark.read.parquet(*[store.url(o["key"]) for o in selected])
+    if schema_only:
+        from pyspark.sql import functions as F
+
+        out = out.where(F.lit(False))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Maintenance: compaction and GC — both just commits over immutable data
+
+
+def compact_index(
+    spark: SparkSession,
+    root: str,
+    opts: dict | None = None,
+    target_object_bytes: int = DEFAULT_TARGET_OBJECT_BYTES,
+) -> dict:
+    """Rewrite the live version to ~one object per partition value and
+    commit the result as a NEW version — the object-store twin of
+    ``bucketing.compact_partitioned``, with the rename pair replaced by
+    the pointer write. The old version's objects are not touched (pinned
+    readers finish undisturbed); they leave the store only when
+    :func:`gc_index` drops the old version from the retention set.
+    Row-count-verified against the live manifest BEFORE the pointer
+    moves; a mismatch abandons the new objects to GC and leaves the old
+    version live."""
+    store = _store_for(root, opts)
+    live = load_manifest(root, None, opts)
+    snapshot = read_index(spark, root, version=live["version"], opts=opts)
+    objects = _write_data_objects(
+        snapshot, store, live["partition_col"], target_object_bytes
+    )
+    rows_new = sum(o["rows"] for o in objects)
+    if rows_new != live["rows"]:
+        raise RuntimeError(
+            f"compaction row-count mismatch for {root}: "
+            f"{live['rows']} -> {rows_new}; keeping {_vname(live['version'])}"
+            " live (new objects left for gc_index)"
+        )
+    return _commit(
+        store, op="compact", parent=live["version"],
+        partition_col=live["partition_col"], objects=objects,
+    )
+
+
+def retained_versions(root: str, keep: int = 2,
+                      opts: dict | None = None) -> list[int]:
+    """The live version and up to ``keep - 1`` ancestors — the snapshots
+    :func:`gc_index` preserves (grace for pinned readers, one compaction
+    cycle per retained ancestor, same story as ``gc_generations``)."""
+    versions = []
+    v: int | None = current_version(root, opts)
+    while v is not None and len(versions) < keep:
+        versions.append(v)
+        v = load_manifest(root, v, opts).get("parent")
+    return versions
+
+
+def gc_index(
+    root: str,
+    keep: int = 2,
+    opts: dict | None = None,
+    min_age_seconds: float = 0.0,
+) -> list[str]:
+    """Sweep everything the retained versions don't reference: data
+    objects from expired versions, manifests outside the retention set,
+    and orphans from crashed writers (objects landed but never
+    committed). Returns the deleted keys.
+
+    Refuses (returns ``[]``) when the pointer is missing but data exists —
+    that is a CRASH STATE, not garbage, exactly like ``gc_generations``'s
+    live-directory rule: sweeping here could delete every copy.
+    ``min_age_seconds`` shields a concurrent writer's not-yet-committed
+    objects; set it above the longest expected write when GC runs beside
+    ingest."""
+    store = _store_for(root, opts)
+    if current_version(root, opts) is None:
+        return []
+    retained = set(retained_versions(root, keep, opts))
+    referenced: set[str] = set()
+    for v in retained:
+        referenced.update(
+            o["key"] for o in load_manifest(root, v, opts)["objects"]
+        )
+    retained_meta = {f"{_META_DIR}/{_vname(v)}.json" for v in retained}
+    now = time.time()
+    deleted = []
+    for rel, _size, mtime in store.list(_DATA_DIR):
+        if rel in referenced or now - mtime < min_age_seconds:
+            continue
+        store.delete(rel)
+        deleted.append(rel)
+    for rel, _size, mtime in store.list(_META_DIR):
+        if rel in retained_meta or now - mtime < min_age_seconds:
+            continue
+        store.delete(rel)
+        deleted.append(rel)
+    return deleted

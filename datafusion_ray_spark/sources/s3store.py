@@ -364,6 +364,69 @@ def _list_parquet_objects(client, bucket: str, key: str) -> list[tuple[str, int]
     return sorted(out)
 
 
+def _path_entries(opts: dict) -> list[tuple[str, int | None]] | None:
+    """Explicit-object declaration for a scan: ``paths`` is a JSON list of
+    ``s3://bucket/key`` URLs, each optionally a ``[url, size_bytes]``
+    pair — the s3 twin of httpparquet's ``urls`` form. A fully
+    size-annotated list plans with ZERO ListObjects and ZERO HeadObject
+    calls, which is how a manifest-committed table (sources/objectindex)
+    turns its manifest into a scan: the manifest already knows every
+    object and its size, so re-listing the store would only re-discover
+    what the commit recorded — and could observe uncommitted writers.
+    Returns ``None`` when the option is absent (prefix-listing mode)."""
+    import json
+
+    raw = opts.get("paths")
+    if not raw:
+        return None
+    urls = json.loads(raw) if isinstance(raw, str) else list(raw)
+    if not urls:
+        raise ValueError("'paths' option is an empty list")
+    entries: list[tuple[str, int | None]] = []
+    for u in urls:
+        if isinstance(u, (list, tuple)) and len(u) == 2:
+            entries.append((str(u[0]), int(u[1])))
+        else:
+            entries.append((str(u), None))
+    return entries
+
+
+def _bucket_and_objects(client, opts: dict) -> tuple[str, list[tuple[str, int]]]:
+    """Resolve the scan's (bucket, [(key, size), ...]) from either
+    declaration form: explicit ``paths`` (sizes HEAD-probed only where
+    the declaration doesn't carry them) or ``path`` prefix listing. All
+    ``paths`` entries must live in ONE bucket — a partition records only
+    its key, and the read path binds one client+bucket per scan."""
+    entries = _path_entries(opts)
+    if entries is None:
+        bucket, key = _split_url(opts["path"])
+        return bucket, _list_parquet_objects(client, bucket, key)
+    bucket = None
+    objects: list[tuple[str, int]] = []
+    for url, size in entries:
+        b, k = _split_url(url)
+        if bucket is None:
+            bucket = b
+        elif b != bucket:
+            raise ValueError(
+                "'paths' entries span buckets "
+                f"({bucket!r} vs {b!r}); one scan binds one bucket — "
+                "register one table per bucket"
+            )
+        if size is None:
+            size = client.head_object(Bucket=b, Key=k)["ContentLength"]
+        objects.append((k, int(size)))
+    return bucket, sorted(objects)
+
+
+def _scan_bucket(opts: dict) -> str:
+    """The one bucket this scan reads from (task-side, no round trips)."""
+    entries = _path_entries(opts)
+    if entries is None:
+        return _split_url(opts["path"])[0]
+    return _split_url(entries[0][0])[0]
+
+
 def _row_group_plan(client, bucket: str, objects, part_bytes: int,
                     filters=()):
     """[(key, size, [rg, ...]), ...] — contiguous row-group runs packed to
@@ -474,7 +537,10 @@ def _pack_row_groups(metas, part_bytes: int, filters=()):
 
 
 class S3ParquetDataSource(DataSource):
-    """``spark.read.format("s3parquet").option("path", "s3://b/prefix")``."""
+    """``spark.read.format("s3parquet").option("path", "s3://b/prefix")``,
+    or ``.option("paths", json_list)`` — an explicit object list whose
+    elements may be ``[url, size_bytes]`` pairs for zero-probe planning
+    (the scan form a manifest-committed table resolves to)."""
 
     @classmethod
     def name(cls) -> str:
@@ -488,8 +554,7 @@ class S3ParquetDataSource(DataSource):
 
         opts = self._opts()
         client = _client(opts)
-        bucket, key = _split_url(opts["path"])
-        objects = _list_parquet_objects(client, bucket, key)
+        bucket, objects = _bucket_and_objects(client, opts)
         import pyarrow.parquet as pq
 
         k, size = objects[0]
@@ -540,8 +605,7 @@ class _S3ParquetReader(DataSourceReader):
         if self._parts is None:
             opts = self.options
             client = _client(opts)
-            bucket, key = _split_url(opts["path"])
-            objects = _list_parquet_objects(client, bucket, key)
+            bucket, objects = _bucket_and_objects(client, opts)
             max_footer_files = int(opts.get(
                 "footer_planning_max_files",
                 DEFAULT_FOOTER_PLANNING_MAX_FILES,
@@ -570,7 +634,7 @@ class _S3ParquetReader(DataSourceReader):
 
         opts = self.options
         client = _client(opts)
-        bucket, _ = _split_url(opts["path"])
+        bucket = _scan_bucket(opts)
         if len(partition.value) == 4:  # byte-range split (large listing)
             key, size, start, end = partition.value
             pf = pq.ParquetFile(_RangedS3File(client, bucket, key, size))

@@ -648,3 +648,109 @@ def test_range_split_protocol_large_listing(s3_endpoint, bucket):
         b.num_rows for p in reader.partitions() for b in reader.read(p)
     )
     assert rows_footer == rows
+
+
+# ---------------------------------------------------------------------------
+# Explicit-object scans: the `paths` option (round-11, the form
+# sources/objectindex.py's manifest-committed reads resolve to)
+
+
+def test_paths_option_reads_explicit_objects(spark, s3_endpoint, bucket):
+    """A JSON object list replaces prefix listing entirely — the same
+    rows as the prefix scan of the two supplier parts."""
+    import json
+
+    want = _read(spark, s3_endpoint, "s3://graft/dir")
+    got = _read(
+        spark, s3_endpoint, "s3://graft/dir",
+        paths=json.dumps(
+            ["s3://graft/dir/part-0.parquet", "s3://graft/dir/part-1.parquet"]
+        ),
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+def test_paths_sized_entries_skip_all_discovery(s3_endpoint, bucket):
+    """[url, size] pairs: planning issues ZERO ListObjects and HEADs only
+    the entries whose size the declaration omitted."""
+    import json
+
+    from datafusion_ray_spark.sources import s3store
+
+    client = boto3.client("s3", endpoint_url=s3_endpoint)
+    size0 = client.head_object(Bucket="graft", Key="dir/part-0.parquet")[
+        "ContentLength"
+    ]
+
+    real_client = s3store._client
+    counts = {"list_objects_v2": 0, "head_object": 0}
+
+    class Recorder:
+        def __init__(self, inner):
+            self.inner = inner
+
+        def list_objects_v2(self, **kw):
+            counts["list_objects_v2"] += 1
+            return self.inner.list_objects_v2(**kw)
+
+        def head_object(self, **kw):
+            counts["head_object"] += 1
+            return self.inner.head_object(**kw)
+
+        def __getattr__(self, attr):
+            return getattr(self.inner, attr)
+
+    opts = {
+        "endpoint_url": s3_endpoint, "access_key": "testing",
+        "secret_key": "testing", "region": "us-east-1",
+        "paths": json.dumps(
+            [["s3://graft/dir/part-0.parquet", size0],
+             "s3://graft/dir/part-1.parquet"]  # size omitted -> one HEAD
+        ),
+    }
+    s3store._client = lambda _o: Recorder(real_client(_o))
+    try:
+        reader = s3store._S3ParquetReader(None, dict(opts))
+        rows = sum(
+            b.num_rows for p in reader.partitions() for b in reader.read(p)
+        )
+    finally:
+        s3store._client = real_client
+    assert rows > 0
+    assert counts == {"list_objects_v2": 0, "head_object": 1}
+
+    # fully sized: zero discovery of any kind
+    counts.update(list_objects_v2=0, head_object=0)
+    size1 = client.head_object(Bucket="graft", Key="dir/part-1.parquet")[
+        "ContentLength"
+    ]
+    opts["paths"] = json.dumps(
+        [["s3://graft/dir/part-0.parquet", size0],
+         ["s3://graft/dir/part-1.parquet", size1]]
+    )
+    s3store._client = lambda _o: Recorder(real_client(_o))
+    try:
+        reader = s3store._S3ParquetReader(None, dict(opts))
+        rows2 = sum(
+            b.num_rows for p in reader.partitions() for b in reader.read(p)
+        )
+    finally:
+        s3store._client = real_client
+    assert rows2 == rows
+    assert counts == {"list_objects_v2": 0, "head_object": 0}
+
+
+def test_paths_validation_errors():
+    import pytest as _pytest
+
+    from datafusion_ray_spark.sources.s3store import _bucket_and_objects
+
+    with _pytest.raises(ValueError, match="empty list"):
+        _bucket_and_objects(None, {"paths": "[]"})
+    with _pytest.raises(ValueError, match="span buckets"):
+        _bucket_and_objects(
+            None,
+            {"paths": '[["s3://a/x.parquet", 1], ["s3://b/y.parquet", 1]]'},
+        )
