@@ -698,6 +698,43 @@ class DFRayContext:
             name, "iceberg", self._normalize_path(table_or_path)
         )
 
+    def register_index(
+        self,
+        name: str,
+        root: str,
+        partitions: Any = None,
+        version: int | None = None,
+        **options: Any,
+    ) -> None:
+        """Register a SNAPSHOT of a manifest-committed index
+        (``sources/objectindex.py`` — the object-store-safe index layout:
+        immutable data objects, versioned manifests, one atomic
+        ``_CURRENT`` pointer) as a named table.
+
+        The pointer is resolved HERE, once: the registered table reads
+        that version's explicit object list for its whole lifetime, so
+        queries against ``name`` stay consistent while ingest keeps
+        committing behind it (re-register to pick up the new pointer).
+        ``partitions`` prunes via the manifest (e.g. the probed IVF
+        cells); ``version`` time-travels to an older snapshot. Client
+        options (``endpoint_url``, ``access_key``/``secret_key``,
+        ``region``, ``anon``) split off for the store; the rest ride the
+        scan (``partition_bytes`` etc.). Local directory roots work
+        identically (pinned file list)."""
+        from .sources.objectindex import read_index
+
+        opts = {
+            k: options.pop(k)
+            for k in ("endpoint_url", "access_key", "secret_key",
+                      "region", "anon")
+            if k in options
+        }
+        df = read_index(
+            self.spark, root, partitions=partitions, version=version,
+            opts=opts or None, scan_options=options or None,
+        )
+        self._register(name, df, root)
+
     def _register_lakehouse(self, name: str, fmt: str, location: str) -> None:
         try:
             df = self.spark.read.format(fmt).load(location)

@@ -245,16 +245,17 @@ def load_manifest(root: str, version: int | None = None,
 
 
 def _commit(store, *, op: str, parent: int | None, partition_col: str,
-            objects: list[dict]) -> dict:
+            objects: list[dict], extra_meta: dict | None = None) -> dict:
     version = (parent or 0) + 1
-    manifest = {
-        "version": version,
-        "parent": parent,
-        "op": op,
-        "partition_col": partition_col,
-        "rows": sum(o["rows"] for o in objects),
-        "objects": sorted(objects, key=lambda o: o["key"]),
-    }
+    manifest = dict(extra_meta or {})  # protocol keys always win below
+    manifest.update(
+        version=version,
+        parent=parent,
+        op=op,
+        partition_col=partition_col,
+        rows=sum(o["rows"] for o in objects),
+        objects=sorted(objects, key=lambda o: o["key"]),
+    )
     # Order is the protocol: manifest first (unreferenced until the
     # pointer moves), pointer last (THE commit). A crash between the two
     # leaves the parent live and the manifest as sweepable garbage.
@@ -376,6 +377,7 @@ def write_index(
     mode: str = "overwrite",
     opts: dict | None = None,
     target_object_bytes: int = DEFAULT_TARGET_OBJECT_BYTES,
+    extra_meta: dict | None = None,
 ) -> dict:
     """Commit ``df`` to the index at ``root`` and return the manifest.
 
@@ -384,7 +386,12 @@ def write_index(
     GC). ``mode="append"`` publishes parent ∪ batch — O(batch) work at
     any corpus size, existing objects byte-untouched, and unlike the
     local ``partitionBy`` append a reader can NEVER observe half a batch:
-    the new objects are invisible until the pointer moves."""
+    the new objects are invisible until the pointer moves.
+
+    ``extra_meta`` rides into the manifest (protocol keys win) — e.g.
+    the streaming ingester's ``stream_app_id``/``stream_batch_id``
+    idempotence record (the Delta ``txn`` pattern: a commit that carries
+    the batch identity makes replays detectable)."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
     store = _store_for(root, opts)
@@ -398,9 +405,18 @@ def write_index(
                 f"version is keyed on {parent_manifest['partition_col']!r}"
             )
         objects = parent_manifest["objects"] + objects
+        # a manual append between streamed commits must not erase the
+        # stream's idempotence record — carry it unless overridden
+        carried = {
+            k: parent_manifest[k]
+            for k in ("stream_app_id", "stream_batch_id")
+            if k in parent_manifest
+        }
+        carried.update(extra_meta or {})
+        extra_meta = carried or None
     return _commit(
         store, op=mode, parent=parent, partition_col=partition_col,
-        objects=objects,
+        objects=objects, extra_meta=extra_meta,
     )
 
 
@@ -474,6 +490,7 @@ def compact_index(
     root: str,
     opts: dict | None = None,
     target_object_bytes: int = DEFAULT_TARGET_OBJECT_BYTES,
+    extra_meta: dict | None = None,
 ) -> dict:
     """Rewrite the live version to ~one object per partition value and
     commit the result as a NEW version — the object-store twin of
@@ -497,9 +514,18 @@ def compact_index(
             f"{live['rows']} -> {rows_new}; keeping {_vname(live['version'])}"
             " live (new objects left for gc_index)"
         )
+    # carry forward the parent's idempotence record (a compaction must
+    # not make the last ingest batch look un-landed after a restart)
+    carried = {
+        k: live[k]
+        for k in ("stream_app_id", "stream_batch_id")
+        if k in live
+    }
+    carried.update(extra_meta or {})
     return _commit(
         store, op="compact", parent=live["version"],
         partition_col=live["partition_col"], objects=objects,
+        extra_meta=carried or None,
     )
 
 

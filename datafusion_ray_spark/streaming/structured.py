@@ -1193,3 +1193,84 @@ def ivf_ingest_stream(
         )
         .start()
     )
+
+
+def objectindex_ingest_stream(
+    df: DataFrame,
+    root: str,
+    partition_col: str = "cell",
+    opts: dict | None = None,
+    app_id: str | None = None,
+    checkpoint_dir: str | None = None,
+    compact_every_n_triggers: int | None = None,
+    gc_keep: int | None = None,
+) -> "object":
+    """Continuous ingest into the manifest-committed object-store index
+    (``sources.objectindex``) — the third member of the index-ingest
+    family, and the only one with EXACTLY-ONCE commits.
+
+    Each micro-batch lands as ONE atomic index commit (new immutable
+    objects + a manifest + the pointer PUT), so a reader can never
+    observe half a trigger — a guarantee the local ``partitionBy`` twins
+    cannot make. With ``app_id`` set, every commit records
+    ``(stream_app_id, stream_batch_id)`` in its manifest (the Delta
+    ``txn`` pattern) and a RE-DELIVERED batch — restart replay under the
+    same checkpoint, or a whole re-run against the same index — is
+    detected and skipped: at-least-once delivery becomes exactly-once
+    index contents. Compactions and manual appends carry the record
+    forward, so the protection survives maintenance. Without ``app_id``
+    the semantics match the local twins (at-least-once, searcher-side
+    dedup).
+
+    ``compact_every_n_triggers`` commits a compaction every Nth batch
+    (serialized with appends on the streaming thread); ``gc_keep``
+    additionally sweeps versions beyond that retention after each
+    compaction — a fully self-maintaining ingest loop. Pass a durable
+    ``checkpoint_dir`` in production; the mkdtemp default is for
+    one-shot availableNow drains.
+
+    Returns the started StreamingQuery (caller awaits termination).
+    """
+    from ..sources.objectindex import (
+        compact_index, gc_index, load_manifest, write_index,
+    )
+
+    def land(batch_df: DataFrame, batch_id: int) -> None:
+        if app_id is not None:
+            try:
+                live = load_manifest(root, opts=opts)
+            except FileNotFoundError:
+                live = None
+            if (
+                live is not None
+                and live.get("stream_app_id") == app_id
+                and live.get("stream_batch_id") is not None
+                and live["stream_batch_id"] >= batch_id
+            ):
+                return  # replayed batch: its commit is already live
+        meta = (
+            {"stream_app_id": app_id, "stream_batch_id": batch_id}
+            if app_id is not None
+            else None
+        )
+        write_index(
+            batch_df, root, partition_col=partition_col, mode="append",
+            opts=opts, extra_meta=meta,
+        )
+        if (
+            compact_every_n_triggers
+            and (batch_id + 1) % compact_every_n_triggers == 0
+        ):
+            compact_index(batch_df.sparkSession, root, opts=opts)
+            if gc_keep:
+                gc_index(root, keep=gc_keep, opts=opts)
+
+    return (
+        df.writeStream.foreachBatch(land)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            checkpoint_dir or tempfile.mkdtemp(prefix="dfrs_oidx_ingest_ckpt_"),
+        )
+        .start()
+    )

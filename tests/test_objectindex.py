@@ -353,3 +353,72 @@ def test_s3_ivf_probed_search_matches_in_plan(spark, sf_dir, s3_opts):
     assert [tuple(r) for r in got.collect()] == [
         tuple(r) for r in want.collect()
     ]
+
+
+# ---------------------------------------------------------------------------
+# Streaming ingest (exactly-once commits) and the facade surface
+
+
+def test_streaming_ingest_exactly_once(spark, tmp_path):
+    """Each trigger is one atomic commit; with app_id set, the manifest's
+    (stream_app_id, stream_batch_id) record makes replays no-ops — a
+    full re-run of the stream against the same index changes nothing."""
+    from datafusion_ray_spark.streaming import structured
+
+    src = str(tmp_path / "src")
+    for lo, hi in ((0, 40), (40, 70), (70, 100)):
+        _toy(spark, lo, hi).coalesce(1).write.mode("append").parquet(src)
+    root = str(tmp_path / "idx")
+
+    def drain(ckpt: str):
+        stream = (
+            spark.readStream.schema(_toy(spark, 0, 1).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = structured.objectindex_ingest_stream(
+            stream, root, app_id="ingest-a",
+            checkpoint_dir=str(tmp_path / ckpt),
+            compact_every_n_triggers=2, gc_keep=2,
+        )
+        q.awaitTermination()
+
+    drain("ckpt1")
+    live = oi.load_manifest(root)
+    assert live["stream_app_id"] == "ingest-a"
+    assert live["stream_batch_id"] == 2  # last of batches 0,1,2
+    # v1 append, v2 append, v3 compact (after batch 1), v4 append
+    assert live["version"] == 4
+    assert _rows(oi.read_index(spark, root)) == _rows(_toy(spark, 0, 100))
+    # compaction carried the idempotence record forward
+    assert oi.load_manifest(root, 3)["op"] == "compact"
+    assert oi.load_manifest(root, 3)["stream_batch_id"] == 1
+
+    # whole-stream replay (fresh checkpoint, same app): every batch is
+    # detected as already-committed — zero new versions, zero new rows
+    drain("ckpt2")
+    assert oi.current_version(root) == 4
+    assert _rows(oi.read_index(spark, root)) == _rows(_toy(spark, 0, 100))
+
+
+def test_facade_register_index_pins_a_snapshot(spark, tmp_path):
+    from datafusion_ray_spark.context import DFRayContext
+
+    root = str(tmp_path / "idx")
+    oi.write_index(_toy(spark, 0, 100), root)
+    ctx = DFRayContext(spark=spark)
+    ctx.register_index("toy_idx", root, partitions=[1, 3])
+    got = spark.sql(
+        "SELECT cell, count(*) AS n FROM toy_idx GROUP BY cell ORDER BY cell"
+    ).collect()
+    assert [(r["cell"], r["n"]) for r in got] == [(1, 20), (3, 20)]
+    # the registration is a SNAPSHOT: a later commit doesn't leak in
+    oi.write_index(
+        _toy(spark, 100, 200).where("cell in (1,3)"), root, mode="append"
+    )
+    still = spark.sql("SELECT count(*) AS n FROM toy_idx").collect()[0]["n"]
+    assert still == 40
+    # re-register to adopt the new pointer
+    ctx.register_index("toy_idx", root, partitions=[1, 3])
+    now = spark.sql("SELECT count(*) AS n FROM toy_idx").collect()[0]["n"]
+    assert now == 80
