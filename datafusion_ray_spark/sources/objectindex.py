@@ -11,30 +11,46 @@ solve it (log-structured metadata over immutable data files):
   ``data/<col>=<value>/part-<uuid>.parquet``; nothing is ever renamed,
   overwritten, or touched in place. Old snapshots keep reading their own
   objects through any number of later commits.
-- **A version manifest names the snapshot.** ``meta/v<N>.json`` lists
-  every (key, bytes, rows, partition-value) the version contains. Reads
+- **A version manifest names the snapshot.** ``meta/v<N>-<nonce>.json``
+  (nonce-named: racing writers can never overwrite each other's
+  metadata) lists every (key, bytes, rows, partition-value) the version
+  contains, plus its parent's name — the committed history is a chain
+  walked from the pointer, never a listing. Reads
   plan from the manifest — explicit keys WITH sizes — so a scan does
   ZERO ListObjects/HeadObject calls and can never observe a concurrent
   writer's half-landed objects (the listing-vs-commit race a
   prefix-listing reader has by construction).
-- **The commit is ONE pointer write.** ``_CURRENT`` holds the live
-  version name; publishing is a single small-object PUT (atomic on S3 —
-  readers see the old pointer or the new one, never a torn state; local
-  twin is ``os.replace``). A failure anywhere before the pointer write
-  leaves the old version live and at worst orphans data objects for GC.
+- **The commit is ONE pointer compare-and-swap.** ``_CURRENT`` holds
+  the live manifest name; publishing is a single conditional small-object
+  PUT (readers see the old pointer or the new one, never a torn state,
+  and a racing commit FAILS instead of being overwritten). A failure
+  anywhere before the pointer write leaves the old version live and at
+  worst orphans metadata/data objects for GC.
 - **Append and compaction are just commits.** Append = new objects +
   a manifest referencing parent objects ∪ batch objects. Compaction =
   rewrite to one-object-per-partition + a manifest referencing only the
   new objects — the old generation's objects stay byte-untouched until
   :func:`gc_index` sweeps versions that fell out of the retention set.
 
-Single-writer, many-reader: like the bucketing compactors, concurrent
-COMMITS are not arbitrated here (S3 gained compare-and-swap via
-``If-Match`` preconditions in 2024; moto predates it, so last-writer-wins
-is documented instead) — run one maintenance job per index. Readers need
-no coordination at all: :func:`read_index` resolves the pointer once and
-builds the scan from that manifest's explicit object list, so an open
-DataFrame is pinned to its snapshot for its whole lifetime.
+Many-writer, many-reader — no coordination service. Commits are
+OPTIMISTICALLY CONCURRENT: manifests carry a nonce in their name (two
+racing writers can never overwrite each other's metadata), and the
+pointer write is a COMPARE-AND-SWAP — S3's conditional writes
+(``If-Match`` on the ETag read at resolve time, ``If-None-Match: *``
+for the first commit; GA on real S3 since late 2024 and supported by
+this environment's moto), with an ``O_EXCL``-locked check-and-replace
+as the local twin. A writer that loses the race gets
+:class:`CommitConflictError`; appends transparently RE-RESOLVE and
+retry the commit (their data objects are already landed and stay
+valid — only the cheap metadata step repeats), so two concurrent
+appends both land with neither update lost. Compactions do NOT retry
+(their row-count verification is against the version they read) — the
+conflict surfaces and the caller re-runs against the new head. Stores
+without conditional-write support degrade to last-writer-wins with a
+logged warning. Readers need no coordination at all: :func:`read_index`
+resolves the pointer once and builds the scan from that manifest's
+explicit object list, so an open DataFrame is pinned to its snapshot
+for its whole lifetime.
 
 Spark-side mechanics: the writer is ``repartition(partition_col)`` →
 ``mapInArrow`` — each task buffers its partition values' Arrow batches
@@ -73,9 +89,20 @@ from .s3store import _client, _split_url
 #: for one partition value (uncompressed estimate; parquet lands smaller).
 DEFAULT_TARGET_OBJECT_BYTES = 128 << 20
 
+#: append-commit retries on pointer CAS conflict before giving up (each
+#: retry repeats only the metadata step, never the data write).
+_COMMIT_RETRIES = 5
+
 _POINTER = "_CURRENT"
 _META_DIR = "meta"
 _DATA_DIR = "data"
+
+
+class CommitConflictError(RuntimeError):
+    """Another writer committed between this writer's resolve and its
+    pointer compare-and-swap. Appends handle this internally (re-resolve
+    and retry the metadata step); compactions surface it — re-run against
+    the new head."""
 
 
 def _vname(version: int) -> str:
@@ -112,6 +139,42 @@ class _LocalStore:
 
     def put_text(self, rel: str, text: str) -> None:
         self.put_bytes(rel, text.encode("utf-8"))
+
+    def get_text_versioned(self, rel: str) -> tuple[str | None, object]:
+        """(content, CAS token). Locally the content IS the token: the
+        check-and-replace in :meth:`put_text_if` compares bytes."""
+        text = self.get_text(rel)
+        return text, text
+
+    def put_text_if(self, rel: str, text: str, token: object) -> None:
+        """Check-and-replace under an ``O_EXCL`` lock file — the local
+        twin of S3's conditional PUT. ``token`` is the content observed
+        at resolve time (``None`` = "must not exist yet")."""
+        path = self.url(rel)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        lock = path + ".lock"
+        deadline = time.monotonic() + 10.0
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(fd)
+                break
+            except FileExistsError:
+                if time.monotonic() > deadline:
+                    raise RuntimeError(
+                        f"pointer lock {lock} held for >10s — crashed "
+                        "writer? remove the lock file to recover"
+                    ) from None
+                time.sleep(0.01)
+        try:
+            if self.get_text(rel) != token:
+                raise CommitConflictError(
+                    f"{rel} changed since resolve (another writer "
+                    "committed); re-resolve and retry"
+                )
+            self.put_bytes(rel, text.encode("utf-8"))
+        finally:
+            os.unlink(lock)
 
     def list(self, rel_prefix: str) -> list[tuple[str, int, float]]:
         """[(rel_key, size_bytes, mtime_epoch)] under the prefix."""
@@ -185,6 +248,57 @@ class _S3Store:
     def put_text(self, rel: str, text: str) -> None:
         self.put_bytes(rel, text.encode("utf-8"))
 
+    def get_text_versioned(self, rel: str) -> tuple[str | None, object]:
+        """(content, CAS token) — the token is the object's ETag, the
+        value S3's ``If-Match`` precondition checks."""
+        try:
+            obj = self._c().get_object(Bucket=self.bucket, Key=self._key(rel))
+            return obj["Body"].read().decode("utf-8"), obj.get("ETag")
+        except Exception as exc:
+            code = str(
+                getattr(exc, "response", {}).get("Error", {}).get("Code", "")
+            )
+            if code in ("404", "NoSuchKey", "NotFound"):
+                return None, None
+            raise
+
+    def put_text_if(self, rel: str, text: str, token: object) -> None:
+        """Conditional PUT: ``If-Match`` on the resolve-time ETag, or
+        ``If-None-Match: *`` for a first commit. A 412 means another
+        writer won the race -> :class:`CommitConflictError`. Stores that
+        reject the precondition ARGUMENT (no conditional-write support)
+        degrade to an unconditional PUT with a logged warning —
+        last-writer-wins, the pre-2024 S3 reality."""
+        kwargs = {"Bucket": self.bucket, "Key": self._key(rel),
+                  "Body": text.encode("utf-8")}
+        if token is None:
+            kwargs["IfNoneMatch"] = "*"
+        else:
+            kwargs["IfMatch"] = token
+        try:
+            self._c().put_object(**kwargs)
+        except Exception as exc:
+            code = str(
+                getattr(exc, "response", {}).get("Error", {}).get("Code", "")
+            )
+            if code in ("PreconditionFailed", "412",
+                        "ConditionalRequestConflict"):
+                raise CommitConflictError(
+                    f"{rel} changed since resolve (another writer "
+                    "committed); re-resolve and retry"
+                ) from exc
+            if code in ("NotImplemented", "InvalidArgument",
+                        "InvalidRequest"):
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "store does not support conditional writes; pointer "
+                    "commit degrades to last-writer-wins"
+                )
+                self.put_bytes(rel, text.encode("utf-8"))
+                return
+            raise
+
     def list(self, rel_prefix: str) -> list[tuple[str, int, float]]:
         prefix = self._key(rel_prefix).rstrip("/") + "/"
         strip = len(self._key("")) if self.prefix else 0
@@ -218,52 +332,92 @@ def _store_for(root: str, opts: dict | None):
 # Manifest protocol
 
 
+def _manifest_name(manifest: dict) -> str:
+    """A manifest's file name stem (``v<N>-<nonce>``); legacy manifests
+    written before nonce-naming resolve to the bare ``v<N>``."""
+    return manifest.get("name") or _vname(manifest["version"])
+
+
+def _load_by_name(store, name: str) -> dict:
+    body = store.get_text(f"{_META_DIR}/{name}.json")
+    if body is None:
+        raise FileNotFoundError(f"index manifest {name} missing")
+    return json.loads(body)
+
+
+def _resolve_head(store, root: str) -> tuple[dict | None, object]:
+    """(live manifest or None, pointer CAS token) in ONE pointer read —
+    the atom every commit's optimistic-concurrency check is built on."""
+    text, token = store.get_text_versioned(_POINTER)
+    if text is None:
+        return None, None
+    return _load_by_name(store, text.strip()), token
+
+
 def current_version(root: str, opts: dict | None = None) -> int | None:
     """The live committed version number, or ``None`` for a fresh root."""
     text = _store_for(root, opts).get_text(_POINTER)
-    return int(text.strip().lstrip("v")) if text else None
+    if text is None:
+        return None
+    return int(text.strip().split("-")[0].lstrip("v"))
 
 
 def load_manifest(root: str, version: int | None = None,
                   opts: dict | None = None) -> dict:
-    """The manifest of ``version`` (default: the live one)."""
+    """The manifest of ``version`` (default: the live one). Older
+    versions are reached by walking the live manifest's parent chain —
+    the only versions addressable are the committed ancestors of the
+    head, which is exactly the time-travel contract."""
     store = _store_for(root, opts)
-    if version is None:
-        text = store.get_text(_POINTER)
-        if text is None:
-            raise FileNotFoundError(
-                f"{root} has no {_POINTER} pointer — not an index root, or "
-                "no version was ever committed"
-            )
-        version = int(text.strip().lstrip("v"))
-    body = store.get_text(f"{_META_DIR}/{_vname(version)}.json")
-    if body is None:
+    head, _token = _resolve_head(store, root)
+    if head is None:
         raise FileNotFoundError(
-            f"index manifest {_vname(version)} missing under {root}"
+            f"{root} has no {_POINTER} pointer — not an index root, or "
+            "no version was ever committed"
         )
-    return json.loads(body)
+    m = head
+    while version is not None and m["version"] != version:
+        if m["version"] < version or m.get("parent") is None:
+            raise FileNotFoundError(
+                f"version {version} is not on the committed chain of "
+                f"{root} (head is {head['version']})"
+            )
+        parent_name = m.get("parent_name") or _vname(m["parent"])
+        m = _load_by_name(store, parent_name)
+    return m
 
 
-def _commit(store, *, op: str, parent: int | None, partition_col: str,
-            objects: list[dict], extra_meta: dict | None = None) -> dict:
-    version = (parent or 0) + 1
+def _commit(store, *, op: str, parent_manifest: dict | None,
+            partition_col: str, objects: list[dict],
+            extra_meta: dict | None = None, token: object = None) -> dict:
+    parent_version = parent_manifest["version"] if parent_manifest else None
+    version = (parent_version or 0) + 1
+    # The nonce makes every commit ATTEMPT's metadata file unique: two
+    # racing writers may both stage a v<N> manifest, but neither can
+    # overwrite the other's — only the pointer CAS decides which one
+    # becomes v<N>, and the loser's file is unreferenced garbage for GC.
+    name = f"{_vname(version)}-{uuid.uuid4().hex[:8]}"
     manifest = dict(extra_meta or {})  # protocol keys always win below
     manifest.update(
         version=version,
-        parent=parent,
+        name=name,
+        parent=parent_version,
+        parent_name=_manifest_name(parent_manifest) if parent_manifest else None,
         op=op,
         partition_col=partition_col,
         rows=sum(o["rows"] for o in objects),
         objects=sorted(objects, key=lambda o: o["key"]),
     )
     # Order is the protocol: manifest first (unreferenced until the
-    # pointer moves), pointer last (THE commit). A crash between the two
-    # leaves the parent live and the manifest as sweepable garbage.
+    # pointer moves), pointer CAS last (THE commit — conditioned on the
+    # resolve-time token, so a racing commit raises instead of being
+    # silently overwritten). A crash between the two leaves the parent
+    # live and the manifest as sweepable garbage.
     store.put_text(
-        f"{_META_DIR}/{_vname(version)}.json",
+        f"{_META_DIR}/{name}.json",
         json.dumps(manifest, indent=1, sort_keys=True),
     )
-    store.put_text(_POINTER, _vname(version) + "\n")
+    store.put_text_if(_POINTER, name + "\n", token)
     return manifest
 
 
@@ -378,6 +532,7 @@ def write_index(
     opts: dict | None = None,
     target_object_bytes: int = DEFAULT_TARGET_OBJECT_BYTES,
     extra_meta: dict | None = None,
+    pre_commit_hook=None,
 ) -> dict:
     """Commit ``df`` to the index at ``root`` and return the manifest.
 
@@ -391,32 +546,54 @@ def write_index(
     ``extra_meta`` rides into the manifest (protocol keys win) — e.g.
     the streaming ingester's ``stream_app_id``/``stream_batch_id``
     idempotence record (the Delta ``txn`` pattern: a commit that carries
-    the batch identity makes replays detectable)."""
+    the batch identity makes replays detectable).
+
+    Concurrency: the commit is a pointer compare-and-swap against the
+    head resolved here. If another writer commits in between, the data
+    objects (already landed, still valid) are kept and only the cheap
+    metadata step re-resolves and retries — so concurrent appends all
+    land with no lost updates. ``pre_commit_hook(head_manifest)`` is a
+    test seam invoked once after the data objects land, before the first
+    commit attempt — the window a racing commit would occupy."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
     store = _store_for(root, opts)
-    parent = current_version(root, opts)
-    objects = _write_data_objects(df, store, partition_col, target_object_bytes)
-    if mode == "append" and parent is not None:
-        parent_manifest = load_manifest(root, parent, opts)
-        if parent_manifest["partition_col"] != partition_col:
-            raise ValueError(
-                f"append partitions by {partition_col!r} but the live "
-                f"version is keyed on {parent_manifest['partition_col']!r}"
+    head, token = _resolve_head(store, root)
+    new_objects = _write_data_objects(
+        df, store, partition_col, target_object_bytes
+    )
+    if pre_commit_hook is not None:
+        pre_commit_hook(head)
+    for _attempt in range(_COMMIT_RETRIES):
+        objects = new_objects
+        meta = extra_meta
+        if mode == "append" and head is not None:
+            if head["partition_col"] != partition_col:
+                raise ValueError(
+                    f"append partitions by {partition_col!r} but the live "
+                    f"version is keyed on {head['partition_col']!r}"
+                )
+            objects = head["objects"] + new_objects
+            # a manual append between streamed commits must not erase the
+            # stream's idempotence record — carry it unless overridden
+            carried = {
+                k: head[k]
+                for k in ("stream_app_id", "stream_batch_id")
+                if k in head
+            }
+            carried.update(extra_meta or {})
+            meta = carried or None
+        try:
+            return _commit(
+                store, op=mode, parent_manifest=head,
+                partition_col=partition_col, objects=objects,
+                extra_meta=meta, token=token,
             )
-        objects = parent_manifest["objects"] + objects
-        # a manual append between streamed commits must not erase the
-        # stream's idempotence record — carry it unless overridden
-        carried = {
-            k: parent_manifest[k]
-            for k in ("stream_app_id", "stream_batch_id")
-            if k in parent_manifest
-        }
-        carried.update(extra_meta or {})
-        extra_meta = carried or None
-    return _commit(
-        store, op=mode, parent=parent, partition_col=partition_col,
-        objects=objects, extra_meta=extra_meta,
+        except CommitConflictError:
+            head, token = _resolve_head(store, root)
+    raise CommitConflictError(
+        f"gave up committing to {root} after {_COMMIT_RETRIES} conflicts "
+        "— a writer is committing faster than this one can re-resolve"
     )
 
 
@@ -500,9 +677,14 @@ def compact_index(
     :func:`gc_index` drops the old version from the retention set.
     Row-count-verified against the live manifest BEFORE the pointer
     moves; a mismatch abandons the new objects to GC and leaves the old
-    version live."""
+    version live. A pointer CAS conflict (a writer committed mid-rewrite)
+    also aborts — the verification was against a head that is no longer
+    live — surfacing :class:`CommitConflictError`; re-run against the
+    new head (the staged objects are GC-sweepable orphans)."""
     store = _store_for(root, opts)
-    live = load_manifest(root, None, opts)
+    live, token = _resolve_head(store, root)
+    if live is None:
+        raise FileNotFoundError(f"{root} has no committed version")
     snapshot = read_index(spark, root, version=live["version"], opts=opts)
     objects = _write_data_objects(
         snapshot, store, live["partition_col"], target_object_bytes
@@ -523,10 +705,28 @@ def compact_index(
     }
     carried.update(extra_meta or {})
     return _commit(
-        store, op="compact", parent=live["version"],
+        store, op="compact", parent_manifest=live,
         partition_col=live["partition_col"], objects=objects,
-        extra_meta=carried or None,
+        extra_meta=carried or None, token=token,
     )
+
+
+def _retained_manifests(store, root: str, keep: int) -> list[dict]:
+    """The live manifest and up to ``keep - 1`` ancestors (chain ends
+    early if an ancestor's manifest was already GC'd)."""
+    out: list[dict] = []
+    m, _token = _resolve_head(store, root)
+    while m is not None and len(out) < keep:
+        out.append(m)
+        if m.get("parent") is None:
+            break
+        try:
+            m = _load_by_name(
+                store, m.get("parent_name") or _vname(m["parent"])
+            )
+        except FileNotFoundError:
+            break
+    return out
 
 
 def retained_versions(root: str, keep: int = 2,
@@ -534,12 +734,8 @@ def retained_versions(root: str, keep: int = 2,
     """The live version and up to ``keep - 1`` ancestors — the snapshots
     :func:`gc_index` preserves (grace for pinned readers, one compaction
     cycle per retained ancestor, same story as ``gc_generations``)."""
-    versions = []
-    v: int | None = current_version(root, opts)
-    while v is not None and len(versions) < keep:
-        versions.append(v)
-        v = load_manifest(root, v, opts).get("parent")
-    return versions
+    store = _store_for(root, opts)
+    return [m["version"] for m in _retained_manifests(store, root, keep)]
 
 
 def gc_index(
@@ -562,13 +758,13 @@ def gc_index(
     store = _store_for(root, opts)
     if current_version(root, opts) is None:
         return []
-    retained = set(retained_versions(root, keep, opts))
+    retained = _retained_manifests(store, root, keep)
     referenced: set[str] = set()
-    for v in retained:
-        referenced.update(
-            o["key"] for o in load_manifest(root, v, opts)["objects"]
-        )
-    retained_meta = {f"{_META_DIR}/{_vname(v)}.json" for v in retained}
+    for m in retained:
+        referenced.update(o["key"] for o in m["objects"])
+    retained_meta = {
+        f"{_META_DIR}/{_manifest_name(m)}.json" for m in retained
+    }
     now = time.time()
     deleted = []
     for rel, _size, mtime in store.list(_DATA_DIR):

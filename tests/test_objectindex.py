@@ -121,7 +121,7 @@ def test_compaction_mismatch_aborts_and_gc_sweeps_orphans(spark, tmp_path):
     root = str(tmp_path / "idx")
     oi.write_index(_toy(spark, 0, 60), root)
     live = oi.load_manifest(root)
-    meta_path = os.path.join(root, "meta", f"v{live['version']:08d}.json")
+    meta_path = os.path.join(root, "meta", f"{live['name']}.json")
     with open(meta_path) as f:
         tampered = json.load(f)
     tampered["rows"] += 1  # simulate a lost-row compaction
@@ -148,17 +148,19 @@ def test_gc_retention_window_and_crash_state_refusal(spark, tmp_path):
     oi.write_index(_toy(spark, 50, 80), root, mode="append")  # v2
     oi.compact_index(spark, root)  # v3
     assert oi.retained_versions(root, keep=2) == [3, 2]
+    v1_meta = f"meta/{oi.load_manifest(root, 1)['name']}.json"
+    v2_meta = f"meta/{oi.load_manifest(root, 2)['name']}.json"
     deleted = oi.gc_index(root, keep=2)
     # v3 references only compacted objects; v2 references v1's ∪ batch —
     # so every pre-compaction object is still referenced via v2: only
     # v1's manifest leaves, no data objects do.
-    assert deleted == ["meta/v00000001.json"]
+    assert deleted == [v1_meta]
     assert _rows(oi.read_index(spark, root, version=2)) == _rows(
         _toy(spark, 0, 80)
     )
     # drop to keep=1: v2 leaves, and with it every non-compacted object
     deleted2 = oi.gc_index(root, keep=1)
-    assert "meta/v00000002.json" in deleted2
+    assert v2_meta in deleted2
     assert any(k.startswith("data/") for k in deleted2)
     assert _rows(oi.read_index(spark, root)) == _rows(_toy(spark, 0, 80))
     # crash state: pointer gone but data present -> refuse to sweep
@@ -422,3 +424,94 @@ def test_facade_register_index_pins_a_snapshot(spark, tmp_path):
     ctx.register_index("toy_idx", root, partitions=[1, 3])
     now = spark.sql("SELECT count(*) AS n FROM toy_idx").collect()[0]["n"]
     assert now == 80
+
+
+# ---------------------------------------------------------------------------
+# Optimistic concurrency: pointer CAS + nonce-named manifests
+
+
+def test_local_pointer_cas_semantics(tmp_path):
+    store = oi._store_for(str(tmp_path / "idx"), None)
+    # create-if-absent: a stale "absent" token loses once someone commits
+    store.put_text_if("_CURRENT", "a\n", None)
+    with pytest.raises(oi.CommitConflictError):
+        store.put_text_if("_CURRENT", "b\n", None)
+    # swap conditioned on the resolve-time token
+    text, token = store.get_text_versioned("_CURRENT")
+    assert text == "a\n"
+    store.put_text_if("_CURRENT", "b\n", token)
+    with pytest.raises(oi.CommitConflictError):
+        store.put_text_if("_CURRENT", "c\n", token)  # token now stale
+    assert store.get_text("_CURRENT") == "b\n"
+
+
+def test_concurrent_append_retries_and_loses_no_update(spark, tmp_path):
+    """The lost-update scenario: a second writer commits INSIDE the first
+    writer's resolve→commit window. The first writer's CAS fails, it
+    re-resolves, and BOTH batches land exactly once."""
+    root = str(tmp_path / "idx")
+    oi.write_index(_toy(spark, 0, 50), root)  # v1
+
+    def racing_commit(head_manifest):
+        assert head_manifest["version"] == 1
+        oi.write_index(_toy(spark, 100, 130), root, mode="append")  # v2
+
+    final = oi.write_index(
+        _toy(spark, 50, 80), root, mode="append",
+        pre_commit_hook=racing_commit,
+    )
+    # the outer append re-resolved onto the racer's commit as its parent
+    assert final["version"] == 3 and final["parent"] == 2
+    assert _rows(oi.read_index(spark, root)) == (
+        _rows(_toy(spark, 0, 80)) | _rows(_toy(spark, 100, 130))
+    )
+    # the abandoned first-attempt manifest is unreferenced garbage for GC
+    metas_on_disk = {
+        rel for rel, _s, _m in oi._store_for(root, None).list("meta")
+    }
+    chain = {
+        f"meta/{oi.load_manifest(root, v)['name']}.json" for v in (1, 2, 3)
+    }
+    assert chain < metas_on_disk  # the orphan attempt is the difference
+    deleted = set(oi.gc_index(root, keep=3))
+    assert metas_on_disk - chain <= deleted
+
+
+def test_concurrent_compaction_conflict_surfaces(spark, tmp_path):
+    """A commit racing a compaction must abort the compaction (its
+    row-count verification no longer describes the head)."""
+    root = str(tmp_path / "idx")
+    oi.write_index(_toy(spark, 0, 50), root)
+    oi.write_index(_toy(spark, 50, 70), root, mode="append")
+
+    # slip a commit between the compactor's resolve and its CAS
+    real_commit = oi._commit
+    def hijacked(store, **kw):
+        oi._commit = real_commit  # restore before the inner write commits
+        oi.write_index(_toy(spark, 100, 110), root, mode="append")
+        return real_commit(store, **kw)
+
+    oi._commit = hijacked
+    try:
+        with pytest.raises(oi.CommitConflictError):
+            oi.compact_index(spark, root)
+    finally:
+        oi._commit = real_commit
+    # the racer's append is live and nothing was lost
+    assert _rows(oi.read_index(spark, root)) == (
+        _rows(_toy(spark, 0, 70)) | _rows(_toy(spark, 100, 110))
+    )
+
+
+@pytestmark_s3
+def test_s3_pointer_cas_semantics(s3_opts):
+    store = oi._store_for("s3://idx/indexes/cas", s3_opts)
+    store.put_text_if("_CURRENT", "a\n", None)
+    with pytest.raises(oi.CommitConflictError):
+        store.put_text_if("_CURRENT", "b\n", None)
+    text, token = store.get_text_versioned("_CURRENT")
+    assert text == "a\n" and token
+    store.put_text_if("_CURRENT", "b\n", token)
+    with pytest.raises(oi.CommitConflictError):
+        store.put_text_if("_CURRENT", "c\n", token)
+    assert store.get_text("_CURRENT") == "b\n"
