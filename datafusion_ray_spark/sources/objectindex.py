@@ -389,7 +389,9 @@ def load_manifest(root: str, version: int | None = None,
 
 def _commit(store, *, op: str, parent_manifest: dict | None,
             partition_col: str, objects: list[dict],
-            extra_meta: dict | None = None, token: object = None) -> dict:
+            extra_meta: dict | None = None, token: object = None,
+            schema_json: str | None = None,
+            sort_by: list[str] | None = None) -> dict:
     parent_version = parent_manifest["version"] if parent_manifest else None
     version = (parent_version or 0) + 1
     # The nonce makes every commit ATTEMPT's metadata file unique: two
@@ -405,6 +407,8 @@ def _commit(store, *, op: str, parent_manifest: dict | None,
         parent_name=_manifest_name(parent_manifest) if parent_manifest else None,
         op=op,
         partition_col=partition_col,
+        schema=schema_json,
+        sort_by=sort_by,
         rows=sum(o["rows"] for o in objects),
         objects=sorted(objects, key=lambda o: o["key"]),
     )
@@ -419,6 +423,34 @@ def _commit(store, *, op: str, parent_manifest: dict | None,
     )
     store.put_text_if(_POINTER, name + "\n", token)
     return manifest
+
+
+def _check_append_compat(head: dict, partition_col: str,
+                         schema_json: str) -> None:
+    """Fail an incompatible append BEFORE paying its data write: the
+    batch must be keyed on the live partition column and carry the EXACT
+    live schema (the reader plans one scan over old ∪ new objects with
+    no schema merging — a drifted batch would corrupt every read, not
+    just its own rows)."""
+    if head["partition_col"] != partition_col:
+        raise ValueError(
+            f"append partitions by {partition_col!r} but the live "
+            f"version is keyed on {head['partition_col']!r}"
+        )
+    want = head.get("schema")
+    if want is not None and schema_json != want:
+        def fields(sj: str) -> list[str]:
+            return [
+                f"{f['name']}:{f['type']}"
+                for f in json.loads(sj).get("fields", [])
+            ]
+
+        raise ValueError(
+            "append schema mismatch: the index has fields "
+            f"{fields(want)} but the batch has {fields(schema_json)}; "
+            "indexes require exact schema equality — align column order "
+            "and types, or rebuild with mode='overwrite'"
+        )
 
 
 def _sanitize_part(value) -> str:
@@ -438,6 +470,8 @@ def _write_data_objects(
     store,
     partition_col: str,
     target_object_bytes: int,
+    sort_by: list[str] | None = None,
+    row_group_rows: int | None = None,
 ) -> list[dict]:
     """Land ``df`` as immutable parquet objects under ``data/``, one-ish
     object per partition value (``repartition(partition_col)`` →
@@ -465,8 +499,20 @@ def _write_data_objects(
             if not chunks:
                 return
             table = pa.Table.from_batches(chunks)
+            if sort_by:
+                # stats clustering: a sorted object gives every row group
+                # tight min/max footer stats on the sort columns, so the
+                # inherited pushFilters pruning (s3store) drops row
+                # groups a range predicate refutes — zone maps for free.
+                table = table.sort_by([(c, "ascending") for c in sort_by])
             sink = io.BytesIO()
-            pq.write_table(table, sink)
+            # row_group_rows bounds pruning granularity: smaller groups =
+            # finer footer-stats pruning, more footer overhead.
+            pq.write_table(
+                table, sink,
+                **({"row_group_size": row_group_rows} if row_group_rows
+                   else {}),
+            )
             key = (
                 f"{_DATA_DIR}/{partition_col}={_sanitize_part(part)}/"
                 f"part-{uuid.uuid4().hex}.parquet"
@@ -533,8 +579,17 @@ def write_index(
     target_object_bytes: int = DEFAULT_TARGET_OBJECT_BYTES,
     extra_meta: dict | None = None,
     pre_commit_hook=None,
+    sort_by: list[str] | None = None,
+    row_group_rows: int | None = None,
 ) -> dict:
     """Commit ``df`` to the index at ``root`` and return the manifest.
+
+    ``sort_by`` sorts each landed object on those columns (stats
+    clustering): every row group then carries tight footer min/max on
+    the sort keys, so a range predicate over the index scan prunes row
+    groups through the inherited ``pushFilters`` path — zone maps
+    without any extra structure. The live sort spec is recorded in the
+    manifest; appends default to it and compaction preserves it.
 
     ``mode="overwrite"`` publishes a version containing only this write's
     objects (the parent's objects stay on store for pinned readers until
@@ -559,8 +614,14 @@ def write_index(
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
     store = _store_for(root, opts)
     head, token = _resolve_head(store, root)
+    schema_json = df.schema.json()
+    if mode == "append" and head is not None:
+        _check_append_compat(head, partition_col, schema_json)
+        if sort_by is None:  # appends inherit the live clustering spec
+            sort_by = head.get("sort_by")
     new_objects = _write_data_objects(
-        df, store, partition_col, target_object_bytes
+        df, store, partition_col, target_object_bytes, sort_by,
+        row_group_rows,
     )
     if pre_commit_hook is not None:
         pre_commit_hook(head)
@@ -568,11 +629,7 @@ def write_index(
         objects = new_objects
         meta = extra_meta
         if mode == "append" and head is not None:
-            if head["partition_col"] != partition_col:
-                raise ValueError(
-                    f"append partitions by {partition_col!r} but the live "
-                    f"version is keyed on {head['partition_col']!r}"
-                )
+            _check_append_compat(head, partition_col, schema_json)
             objects = head["objects"] + new_objects
             # a manual append between streamed commits must not erase the
             # stream's idempotence record — carry it unless overridden
@@ -587,7 +644,8 @@ def write_index(
             return _commit(
                 store, op=mode, parent_manifest=head,
                 partition_col=partition_col, objects=objects,
-                extra_meta=meta, token=token,
+                extra_meta=meta, token=token, schema_json=schema_json,
+                sort_by=sort_by,
             )
         except CommitConflictError:
             head, token = _resolve_head(store, root)
@@ -687,7 +745,8 @@ def compact_index(
         raise FileNotFoundError(f"{root} has no committed version")
     snapshot = read_index(spark, root, version=live["version"], opts=opts)
     objects = _write_data_objects(
-        snapshot, store, live["partition_col"], target_object_bytes
+        snapshot, store, live["partition_col"], target_object_bytes,
+        live.get("sort_by"),
     )
     rows_new = sum(o["rows"] for o in objects)
     if rows_new != live["rows"]:
@@ -708,6 +767,8 @@ def compact_index(
         store, op="compact", parent_manifest=live,
         partition_col=live["partition_col"], objects=objects,
         extra_meta=carried or None, token=token,
+        schema_json=live.get("schema") or snapshot.schema.json(),
+        sort_by=live.get("sort_by"),
     )
 
 

@@ -515,3 +515,97 @@ def test_s3_pointer_cas_semantics(s3_opts):
     with pytest.raises(oi.CommitConflictError):
         store.put_text_if("_CURRENT", "c\n", token)
     assert store.get_text("_CURRENT") == "b\n"
+
+
+def test_append_schema_drift_rejected_before_data_write(spark, tmp_path):
+    """A drifted batch must fail BEFORE landing any objects: the reader
+    plans one scan over old ∪ new with no schema merging, so a silent
+    append would corrupt every read."""
+    root = str(tmp_path / "idx")
+    oi.write_index(_toy(spark, 0, 30), root)
+    store = oi._store_for(root, None)
+    n_before = len(store.list("data"))
+    drifted = _toy(spark, 30, 40).selectExpr("*", "1 as extra")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        oi.write_index(drifted, root, mode="append")
+    # column-order drift is drift too
+    reordered = _toy(spark, 30, 40).select("val", "cell", "id")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        oi.write_index(reordered, root, mode="append")
+    assert len(store.list("data")) == n_before, "no objects may land"
+    assert oi.current_version(root) == 1
+
+
+# ---------------------------------------------------------------------------
+# Stats clustering (sort_by) + pruning granularity (row_group_rows)
+
+
+def test_sort_by_clusters_objects_and_is_inherited(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "idx")
+    m1 = oi.write_index(
+        _toy(spark, 0, 300), root, sort_by=["id"], row_group_rows=20
+    )
+    assert m1["sort_by"] == ["id"]
+    for obj in m1["objects"]:
+        t = pq.read_table(os.path.join(root, obj["key"]))
+        ids = t.column("id").to_pylist()
+        assert ids == sorted(ids), "object must be sorted on the sort key"
+        assert pq.ParquetFile(
+            os.path.join(root, obj["key"])
+        ).metadata.num_row_groups >= 2
+    # appends inherit the clustering spec; compaction preserves it
+    m2 = oi.write_index(_toy(spark, 300, 400), root, mode="append")
+    assert m2["sort_by"] == ["id"]
+    m3 = oi.compact_index(spark, root)
+    assert m3["sort_by"] == ["id"]
+    for obj in m3["objects"]:
+        ids = pq.read_table(
+            os.path.join(root, obj["key"])
+        ).column("id").to_pylist()
+        assert ids == sorted(ids)
+    assert _rows(oi.read_index(spark, root)) == _rows(_toy(spark, 0, 400))
+
+
+@pytestmark_s3
+def test_s3_sorted_index_prunes_row_groups_via_pushdown(spark, s3_opts):
+    """The point of sort_by: tight per-row-group min/max on the sort key
+    lets the inherited pushFilters path refute most row groups of a
+    range predicate — asserted at the reader level, same harness as the
+    s3store pushdown tests."""
+    from pyspark.sql.datasource import GreaterThanOrEqual
+
+    from datafusion_ray_spark.sources import s3store
+
+    root = "s3://idx/indexes/sorted"
+    m = oi.write_index(
+        _toy(spark, 0, 40_000, n_cells=2), root, opts=s3_opts,
+        sort_by=["id"], row_group_rows=2_500,
+    )
+    store = oi._store_for(root, s3_opts)
+    reader_opts = dict(
+        s3_opts, partition_bytes="1",
+        paths=json.dumps(
+            [[store.url(o["key"]), o["bytes"]] for o in m["objects"]]
+        ),
+    )
+
+    def scan(pushed):
+        reader = s3store._S3ParquetReader(None, dict(reader_opts))
+        if pushed:
+            reader.pushFilters(pushed)
+        parts = reader.partitions()
+        rows = sum(
+            b.num_rows for p in parts for b in reader.read(p)
+        )
+        return len(parts), rows
+
+    n_full, rows_full = scan(None)
+    assert rows_full == 40_000 and n_full >= 16  # 2 objects x 8 groups
+    n_pruned, rows_pruned = scan([GreaterThanOrEqual(("id",), 35_000)])
+    assert rows_pruned == 5_000
+    assert n_pruned <= n_full / 4, (
+        f"sorted row groups should mostly refute id>=35000: "
+        f"{n_pruned}/{n_full} planned"
+    )
