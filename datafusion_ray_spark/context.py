@@ -719,8 +719,10 @@ class DFRayContext:
         cells); ``version`` time-travels to an older snapshot. Client
         options (``endpoint_url``, ``access_key``/``secret_key``,
         ``region``, ``anon``) split off for the store; the rest ride the
-        scan (``partition_bytes`` etc.). Local directory roots work
-        identically (pinned file list)."""
+        scan (``partition_bytes`` etc. — object-store roots only; a
+        local directory root reads through the native parquet reader
+        with a pinned file list and REJECTS scan options loudly rather
+        than dropping them)."""
         from .sources.objectindex import read_index
 
         opts = {

@@ -93,6 +93,10 @@ DEFAULT_TARGET_OBJECT_BYTES = 128 << 20
 #: retry repeats only the metadata step, never the data write).
 _COMMIT_RETRIES = 5
 
+#: gc_index's default shield for concurrent writers' not-yet-committed
+#: objects (data and staged manifests) — see its docstring.
+DEFAULT_GC_GRACE_SECONDS = 900.0
+
 _POINTER = "_CURRENT"
 _META_DIR = "meta"
 _DATA_DIR = "data"
@@ -287,8 +291,12 @@ class _S3Store:
                     f"{rel} changed since resolve (another writer "
                     "committed); re-resolve and retry"
                 ) from exc
-            if code in ("NotImplemented", "InvalidArgument",
-                        "InvalidRequest"):
+            if code == "NotImplemented":
+                # ONLY the explicit capability signal degrades — generic
+                # InvalidArgument/InvalidRequest cover too many unrelated
+                # malformed-request conditions, and misreading one as
+                # "no CAS support" would silently reopen the lost-update
+                # window the conditional write exists to close.
                 import logging
 
                 logging.getLogger(__name__).warning(
@@ -391,7 +399,8 @@ def _commit(store, *, op: str, parent_manifest: dict | None,
             partition_col: str, objects: list[dict],
             extra_meta: dict | None = None, token: object = None,
             schema_json: str | None = None,
-            sort_by: list[str] | None = None) -> dict:
+            sort_by: list[str] | None = None,
+            row_group_rows: int | None = None) -> dict:
     parent_version = parent_manifest["version"] if parent_manifest else None
     version = (parent_version or 0) + 1
     # The nonce makes every commit ATTEMPT's metadata file unique: two
@@ -409,6 +418,7 @@ def _commit(store, *, op: str, parent_manifest: dict | None,
         partition_col=partition_col,
         schema=schema_json,
         sort_by=sort_by,
+        row_group_rows=row_group_rows,
         rows=sum(o["rows"] for o in objects),
         objects=sorted(objects, key=lambda o: o["key"]),
     )
@@ -425,6 +435,34 @@ def _commit(store, *, op: str, parent_manifest: dict | None,
     return manifest
 
 
+def _merge_streams(parent_manifest: dict, extra_meta: dict | None) -> dict | None:
+    """The commit's ``streams`` record: parent's per-app map merged with
+    this commit's entry. One slot per stream app — a second stream (or a
+    manual append) must never erase another app's replay protection."""
+    merged = dict(parent_manifest.get("streams") or {})
+    extra = dict(extra_meta or {})
+    merged.update(extra.pop("streams", None) or {})
+    if merged:
+        extra["streams"] = merged
+    return extra or None
+
+
+def _strip_nullability(node):
+    """Schema-JSON tree with ``nullable``/``metadata`` dropped at every
+    level: appends must match on names and types — nullability drifts on
+    every parquet round trip and changes nothing for the no-merge
+    reader."""
+    if isinstance(node, dict):
+        return {
+            k: _strip_nullability(v)
+            for k, v in node.items()
+            if k not in ("nullable", "metadata")
+        }
+    if isinstance(node, list):
+        return [_strip_nullability(x) for x in node]
+    return node
+
+
 def _check_append_compat(head: dict, partition_col: str,
                          schema_json: str) -> None:
     """Fail an incompatible append BEFORE paying its data write: the
@@ -438,18 +476,21 @@ def _check_append_compat(head: dict, partition_col: str,
             f"version is keyed on {head['partition_col']!r}"
         )
     want = head.get("schema")
-    if want is not None and schema_json != want:
+    if want is not None and (
+        _strip_nullability(json.loads(schema_json))
+        != _strip_nullability(json.loads(want))
+    ):
         def fields(sj: str) -> list[str]:
             return [
-                f"{f['name']}:{f['type']}"
+                f"{f['name']}:{json.dumps(_strip_nullability(f['type']))}"
                 for f in json.loads(sj).get("fields", [])
             ]
 
         raise ValueError(
             "append schema mismatch: the index has fields "
             f"{fields(want)} but the batch has {fields(schema_json)}; "
-            "indexes require exact schema equality — align column order "
-            "and types, or rebuild with mode='overwrite'"
+            "indexes require matching column names, order, and types — "
+            "align the batch, or rebuild with mode='overwrite'"
         )
 
 
@@ -598,10 +639,11 @@ def write_index(
     local ``partitionBy`` append a reader can NEVER observe half a batch:
     the new objects are invisible until the pointer moves.
 
-    ``extra_meta`` rides into the manifest (protocol keys win) — e.g.
-    the streaming ingester's ``stream_app_id``/``stream_batch_id``
-    idempotence record (the Delta ``txn`` pattern: a commit that carries
-    the batch identity makes replays detectable).
+    ``extra_meta`` rides into the manifest (protocol keys win). Its
+    ``streams`` key is special: a ``{app_id: batch_id}`` idempotence
+    record (the Delta ``txn`` pattern) that MERGES with the parent's map
+    on every commit — one slot per stream app, so two streams ingesting
+    into one index never erase each other's replay protection.
 
     Concurrency: the commit is a pointer compare-and-swap against the
     head resolved here. If another writer commits in between, the data
@@ -619,6 +661,8 @@ def write_index(
         _check_append_compat(head, partition_col, schema_json)
         if sort_by is None:  # appends inherit the live clustering spec
             sort_by = head.get("sort_by")
+        if row_group_rows is None:
+            row_group_rows = head.get("row_group_rows")
     new_objects = _write_data_objects(
         df, store, partition_col, target_object_bytes, sort_by,
         row_group_rows,
@@ -628,24 +672,29 @@ def write_index(
     for _attempt in range(_COMMIT_RETRIES):
         objects = new_objects
         meta = extra_meta
+        # The manifest records the index's clustering SPEC (what appends
+        # and compactions apply), re-derived from the head on every
+        # attempt: a fresh-root append that loses its CAS race to a
+        # sort_by-bearing first commit must not erase that spec. This
+        # batch's objects were sorted per the ORIGINAL resolve — pruning
+        # stays correct either way (stats are per-row-group regardless);
+        # the next compaction restores full clustering.
+        manifest_sort = sort_by
+        manifest_rgr = row_group_rows
         if mode == "append" and head is not None:
             _check_append_compat(head, partition_col, schema_json)
+            if manifest_sort is None:
+                manifest_sort = head.get("sort_by")
+            if manifest_rgr is None:
+                manifest_rgr = head.get("row_group_rows")
             objects = head["objects"] + new_objects
-            # a manual append between streamed commits must not erase the
-            # stream's idempotence record — carry it unless overridden
-            carried = {
-                k: head[k]
-                for k in ("stream_app_id", "stream_batch_id")
-                if k in head
-            }
-            carried.update(extra_meta or {})
-            meta = carried or None
+            meta = _merge_streams(head, extra_meta)
         try:
             return _commit(
                 store, op=mode, parent_manifest=head,
                 partition_col=partition_col, objects=objects,
                 extra_meta=meta, token=token, schema_json=schema_json,
-                sort_by=sort_by,
+                sort_by=manifest_sort, row_group_rows=manifest_rgr,
             )
         except CommitConflictError:
             head, token = _resolve_head(store, root)
@@ -708,6 +757,13 @@ def read_index(
             reader = reader.option(k, str(v))
         out = reader.load()
     else:
+        if scan_options:
+            raise ValueError(
+                "scan_options ride the s3parquet source and apply only "
+                "to object-store roots; this root is a local directory "
+                "read by the native parquet reader — drop the options "
+                f"({sorted(scan_options)}) or move the index to s3://"
+            )
         out = spark.read.parquet(*[store.url(o["key"]) for o in selected])
     if schema_only:
         from pyspark.sql import functions as F
@@ -746,7 +802,7 @@ def compact_index(
     snapshot = read_index(spark, root, version=live["version"], opts=opts)
     objects = _write_data_objects(
         snapshot, store, live["partition_col"], target_object_bytes,
-        live.get("sort_by"),
+        live.get("sort_by"), live.get("row_group_rows"),
     )
     rows_new = sum(o["rows"] for o in objects)
     if rows_new != live["rows"]:
@@ -755,20 +811,15 @@ def compact_index(
             f"{live['rows']} -> {rows_new}; keeping {_vname(live['version'])}"
             " live (new objects left for gc_index)"
         )
-    # carry forward the parent's idempotence record (a compaction must
-    # not make the last ingest batch look un-landed after a restart)
-    carried = {
-        k: live[k]
-        for k in ("stream_app_id", "stream_batch_id")
-        if k in live
-    }
-    carried.update(extra_meta or {})
+    # carry forward the per-app idempotence records (a compaction must
+    # not make any stream's last ingest batch look un-landed)
     return _commit(
         store, op="compact", parent_manifest=live,
         partition_col=live["partition_col"], objects=objects,
-        extra_meta=carried or None, token=token,
+        extra_meta=_merge_streams(live, extra_meta), token=token,
         schema_json=live.get("schema") or snapshot.schema.json(),
         sort_by=live.get("sort_by"),
+        row_group_rows=live.get("row_group_rows"),
     )
 
 
@@ -803,7 +854,7 @@ def gc_index(
     root: str,
     keep: int = 2,
     opts: dict | None = None,
-    min_age_seconds: float = 0.0,
+    min_age_seconds: float = DEFAULT_GC_GRACE_SECONDS,
 ) -> list[str]:
     """Sweep everything the retained versions don't reference: data
     objects from expired versions, manifests outside the retention set,
@@ -812,14 +863,24 @@ def gc_index(
 
     Refuses (returns ``[]``) when the pointer is missing but data exists —
     that is a CRASH STATE, not garbage, exactly like ``gc_generations``'s
-    live-directory rule: sweeping here could delete every copy.
-    ``min_age_seconds`` shields a concurrent writer's not-yet-committed
-    objects; set it above the longest expected write when GC runs beside
-    ingest."""
+    live-directory rule: sweeping here could delete every copy. The same
+    refusal applies when the pointer names a missing manifest.
+
+    ``min_age_seconds`` is the CONCURRENT-WRITER shield and it defaults
+    ON (15 min): a writer mid-commit has landed objects — data AND its
+    staged manifest — that nothing references yet; a zero-grace sweep
+    could delete that manifest in the window before its pointer CAS
+    lands, and the CAS would then SUCCEED (the pointer token never
+    changed) leaving ``_CURRENT`` naming a deleted manifest. Keep the
+    default unless provably no writer is in flight (tests, offline
+    maintenance) — then 0 gives an eager sweep."""
     store = _store_for(root, opts)
     if current_version(root, opts) is None:
         return []
-    retained = _retained_manifests(store, root, keep)
+    try:
+        retained = _retained_manifests(store, root, keep)
+    except FileNotFoundError:
+        return []  # pointer names a missing manifest: corrupt, refuse
     referenced: set[str] = set()
     for m in retained:
         referenced.update(o["key"] for o in m["objects"])

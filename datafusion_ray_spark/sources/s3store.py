@@ -582,6 +582,11 @@ class _S3ParquetReader(DataSourceReader):
         self.part_bytes = int(
             options.get("partition_bytes", DEFAULT_PARTITION_BYTES)
         )
+        # Resolved ONCE and pickled to executors: with an explicit-list
+        # scan the `paths` option IS the manifest, and re-deriving the
+        # bucket per read() call would re-parse that JSON once per
+        # partition (O(partitions x manifest) at index scale).
+        self._bucket = _scan_bucket(options)
         self._parts: list | None = None
         self._pushed: list[tuple[str, str, object]] = []
 
@@ -634,7 +639,7 @@ class _S3ParquetReader(DataSourceReader):
 
         opts = self.options
         client = _client(opts)
-        bucket = _scan_bucket(opts)
+        bucket = self._bucket
         if len(partition.value) == 4:  # byte-range split (large listing)
             key, size, start, end = partition.value
             pf = pq.ParquetFile(_RangedS3File(client, bucket, key, size))

@@ -1204,6 +1204,7 @@ def objectindex_ingest_stream(
     checkpoint_dir: str | None = None,
     compact_every_n_triggers: int | None = None,
     gc_keep: int | None = None,
+    gc_min_age_seconds: float | None = None,
 ) -> "object":
     """Continuous ingest into the manifest-committed object-store index
     (``sources.objectindex``) — the third member of the index-ingest
@@ -1212,27 +1213,32 @@ def objectindex_ingest_stream(
     Each micro-batch lands as ONE atomic index commit (new immutable
     objects + a manifest + the pointer PUT), so a reader can never
     observe half a trigger — a guarantee the local ``partitionBy`` twins
-    cannot make. With ``app_id`` set, every commit records
-    ``(stream_app_id, stream_batch_id)`` in its manifest (the Delta
-    ``txn`` pattern) and a RE-DELIVERED batch — restart replay under the
-    same checkpoint, or a whole re-run against the same index — is
-    detected and skipped: at-least-once delivery becomes exactly-once
-    index contents. Compactions and manual appends carry the record
-    forward, so the protection survives maintenance. Without ``app_id``
-    the semantics match the local twins (at-least-once, searcher-side
-    dedup).
+    cannot make. With ``app_id`` set, every commit records its slot in
+    the manifest's per-app ``streams`` map (``{app_id: batch_id}`` — the
+    Delta ``txn`` pattern), and a RE-DELIVERED batch — restart replay
+    under the same checkpoint, or a whole re-run against the same index
+    — is detected and skipped: at-least-once delivery becomes
+    exactly-once index contents. The map MERGES on every commit, so
+    several streams (and manual appends, and compactions) ingesting into
+    one index never erase each other's replay protection. Without
+    ``app_id`` the semantics match the local twins (at-least-once,
+    searcher-side dedup).
 
     ``compact_every_n_triggers`` commits a compaction every Nth batch
     (serialized with appends on the streaming thread); ``gc_keep``
     additionally sweeps versions beyond that retention after each
-    compaction — a fully self-maintaining ingest loop. Pass a durable
-    ``checkpoint_dir`` in production; the mkdtemp default is for
+    compaction — a fully self-maintaining ingest loop.
+    ``gc_min_age_seconds`` (default: ``gc_index``'s 15-minute grace)
+    shields OTHER writers' in-flight commits from that sweep; lower it
+    only when this stream is provably the index's one writer. Pass a
+    durable ``checkpoint_dir`` in production; the mkdtemp default is for
     one-shot availableNow drains.
 
     Returns the started StreamingQuery (caller awaits termination).
     """
     from ..sources.objectindex import (
-        compact_index, gc_index, load_manifest, write_index,
+        DEFAULT_GC_GRACE_SECONDS, compact_index, gc_index, load_manifest,
+        write_index,
     )
 
     def land(batch_df: DataFrame, batch_id: int) -> None:
@@ -1241,17 +1247,11 @@ def objectindex_ingest_stream(
                 live = load_manifest(root, opts=opts)
             except FileNotFoundError:
                 live = None
-            if (
-                live is not None
-                and live.get("stream_app_id") == app_id
-                and live.get("stream_batch_id") is not None
-                and live["stream_batch_id"] >= batch_id
-            ):
+            landed = (live or {}).get("streams", {}).get(app_id)
+            if landed is not None and landed >= batch_id:
                 return  # replayed batch: its commit is already live
         meta = (
-            {"stream_app_id": app_id, "stream_batch_id": batch_id}
-            if app_id is not None
-            else None
+            {"streams": {app_id: batch_id}} if app_id is not None else None
         )
         write_index(
             batch_df, root, partition_col=partition_col, mode="append",
@@ -1263,7 +1263,14 @@ def objectindex_ingest_stream(
         ):
             compact_index(batch_df.sparkSession, root, opts=opts)
             if gc_keep:
-                gc_index(root, keep=gc_keep, opts=opts)
+                gc_index(
+                    root, keep=gc_keep, opts=opts,
+                    min_age_seconds=(
+                        DEFAULT_GC_GRACE_SECONDS
+                        if gc_min_age_seconds is None
+                        else gc_min_age_seconds
+                    ),
+                )
 
     return (
         df.writeStream.foreachBatch(land)

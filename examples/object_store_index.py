@@ -66,7 +66,7 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     # compaction is just another commit; GC sweeps beyond retention
     m3 = oi.compact_index(spark, root)
     print(f"v{m3['version']}: compacted to {len(m3['objects'])} objects")
-    swept = oi.gc_index(root, keep=2)
+    swept = oi.gc_index(root, keep=2, min_age_seconds=0)
     print(f"gc swept {len(swept)} keys; live rows:",
           oi.read_index(spark, root).count())
 

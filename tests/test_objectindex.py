@@ -136,7 +136,7 @@ def test_compaction_mismatch_aborts_and_gc_sweeps_orphans(spark, tmp_path):
     orphans = on_disk - live_keys
     assert orphans, "aborted compaction should have landed orphan objects"
     # ...and GC sweeps exactly them (live version fully retained)
-    deleted = set(oi.gc_index(root))
+    deleted = set(oi.gc_index(root, min_age_seconds=0))
     assert orphans <= deleted
     assert not (live_keys & deleted)
     assert _rows(oi.read_index(spark, root)) == _rows(_toy(spark, 0, 60))
@@ -150,7 +150,7 @@ def test_gc_retention_window_and_crash_state_refusal(spark, tmp_path):
     assert oi.retained_versions(root, keep=2) == [3, 2]
     v1_meta = f"meta/{oi.load_manifest(root, 1)['name']}.json"
     v2_meta = f"meta/{oi.load_manifest(root, 2)['name']}.json"
-    deleted = oi.gc_index(root, keep=2)
+    deleted = oi.gc_index(root, keep=2, min_age_seconds=0)
     # v3 references only compacted objects; v2 references v1's ∪ batch —
     # so every pre-compaction object is still referenced via v2: only
     # v1's manifest leaves, no data objects do.
@@ -159,7 +159,7 @@ def test_gc_retention_window_and_crash_state_refusal(spark, tmp_path):
         _toy(spark, 0, 80)
     )
     # drop to keep=1: v2 leaves, and with it every non-compacted object
-    deleted2 = oi.gc_index(root, keep=1)
+    deleted2 = oi.gc_index(root, keep=1, min_age_seconds=0)
     assert v2_meta in deleted2
     assert any(k.startswith("data/") for k in deleted2)
     assert _rows(oi.read_index(spark, root)) == _rows(_toy(spark, 0, 80))
@@ -251,8 +251,8 @@ def test_s3_lifecycle_end_to_end(spark, s3_opts):
     ) == _rows(_toy(spark, 0, 160))
     # retention GC: keep live + parent, sweep v1's manifest only (its
     # objects are still referenced by v2), then keep=1 frees real data
-    oi.gc_index(root, keep=2, opts=s3_opts)
-    deleted = oi.gc_index(root, keep=1, opts=s3_opts)
+    oi.gc_index(root, keep=2, opts=s3_opts, min_age_seconds=0)
+    deleted = oi.gc_index(root, keep=1, opts=s3_opts, min_age_seconds=0)
     assert any(k.startswith("data/") for k in deleted)
     assert _rows(oi.read_index(spark, root, opts=s3_opts)) == _rows(
         _toy(spark, 0, 160)
@@ -363,7 +363,7 @@ def test_s3_ivf_probed_search_matches_in_plan(spark, sf_dir, s3_opts):
 
 def test_streaming_ingest_exactly_once(spark, tmp_path):
     """Each trigger is one atomic commit; with app_id set, the manifest's
-    (stream_app_id, stream_batch_id) record makes replays no-ops — a
+    per-app streams record makes replays no-ops — a
     full re-run of the stream against the same index changes nothing."""
     from datafusion_ray_spark.streaming import structured
 
@@ -387,14 +387,13 @@ def test_streaming_ingest_exactly_once(spark, tmp_path):
 
     drain("ckpt1")
     live = oi.load_manifest(root)
-    assert live["stream_app_id"] == "ingest-a"
-    assert live["stream_batch_id"] == 2  # last of batches 0,1,2
+    assert live["streams"] == {"ingest-a": 2}  # last of batches 0,1,2
     # v1 append, v2 append, v3 compact (after batch 1), v4 append
     assert live["version"] == 4
     assert _rows(oi.read_index(spark, root)) == _rows(_toy(spark, 0, 100))
     # compaction carried the idempotence record forward
     assert oi.load_manifest(root, 3)["op"] == "compact"
-    assert oi.load_manifest(root, 3)["stream_batch_id"] == 1
+    assert oi.load_manifest(root, 3)["streams"] == {"ingest-a": 1}
 
     # whole-stream replay (fresh checkpoint, same app): every batch is
     # detected as already-committed — zero new versions, zero new rows
@@ -473,7 +472,7 @@ def test_concurrent_append_retries_and_loses_no_update(spark, tmp_path):
         f"meta/{oi.load_manifest(root, v)['name']}.json" for v in (1, 2, 3)
     }
     assert chain < metas_on_disk  # the orphan attempt is the difference
-    deleted = set(oi.gc_index(root, keep=3))
+    deleted = set(oi.gc_index(root, keep=3, min_age_seconds=0))
     assert metas_on_disk - chain <= deleted
 
 
@@ -609,3 +608,38 @@ def test_s3_sorted_index_prunes_row_groups_via_pushdown(spark, s3_opts):
         f"sorted row groups should mostly refute id>=35000: "
         f"{n_pruned}/{n_full} planned"
     )
+
+
+def test_streams_map_merges_across_apps_and_maintenance(spark, tmp_path):
+    """One idempotence slot PER stream app: another app's commit, a
+    manual append, and a compaction must all preserve every app's
+    replay-protection record."""
+    root = str(tmp_path / "idx")
+    oi.write_index(_toy(spark, 0, 30), root, extra_meta={"streams": {"a": 1}})
+    oi.write_index(_toy(spark, 30, 40), root, mode="append")  # manual
+    oi.write_index(
+        _toy(spark, 40, 50), root, mode="append",
+        extra_meta={"streams": {"b": 7}},  # a second stream app
+    )
+    assert oi.load_manifest(root)["streams"] == {"a": 1, "b": 7}
+    oi.compact_index(spark, root)
+    assert oi.load_manifest(root)["streams"] == {"a": 1, "b": 7}
+
+
+def test_gc_default_grace_shields_inflight_and_refuses_corruption(spark, tmp_path):
+    """By default GC must NOT sweep young unreferenced keys — a writer
+    mid-commit has a staged manifest nothing references yet, and
+    deleting it would let its pointer CAS succeed onto a missing
+    manifest. And a pointer already naming a missing manifest is
+    corruption: refuse, never sweep."""
+    root = str(tmp_path / "idx")
+    oi.write_index(_toy(spark, 0, 30), root)
+    oi.write_index(_toy(spark, 30, 50), root, mode="append")
+    oi.compact_index(spark, root)
+    # everything expired-but-young is shielded by the default grace
+    assert oi.gc_index(root, keep=1) == []
+    assert oi.gc_index(root, keep=1, min_age_seconds=0) != []
+    # corrupt pointer: live manifest file missing -> refusal, no sweep
+    live = oi.load_manifest(root)
+    os.remove(os.path.join(root, "meta", f"{live['name']}.json"))
+    assert oi.gc_index(root, min_age_seconds=0) == []
