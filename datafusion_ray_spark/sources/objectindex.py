@@ -638,6 +638,13 @@ def write_index(
     any corpus size, existing objects byte-untouched, and unlike the
     local ``partitionBy`` append a reader can NEVER observe half a batch:
     the new objects are invisible until the pointer moves.
+    ``mode="replace"`` is dynamic partition overwrite: the partition
+    values PRESENT IN THE BATCH are replaced wholesale (their old
+    objects drop out of the manifest — still on store for pinned
+    readers until GC), every other partition rides through untouched —
+    how a pipeline re-embeds a subset of cells, applies a per-partition
+    TTL, or backfills one day without rewriting the corpus. All three
+    modes are one atomic commit.
 
     ``extra_meta`` rides into the manifest (protocol keys win). Its
     ``streams`` key is special: a ``{app_id: batch_id}`` idempotence
@@ -652,12 +659,14 @@ def write_index(
     land with no lost updates. ``pre_commit_hook(head_manifest)`` is a
     test seam invoked once after the data objects land, before the first
     commit attempt — the window a racing commit would occupy."""
-    if mode not in ("overwrite", "append"):
-        raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+    if mode not in ("overwrite", "append", "replace"):
+        raise ValueError(
+            f"mode must be overwrite|append|replace, got {mode!r}"
+        )
     store = _store_for(root, opts)
     head, token = _resolve_head(store, root)
     schema_json = df.schema.json()
-    if mode == "append" and head is not None:
+    if mode in ("append", "replace") and head is not None:
         _check_append_compat(head, partition_col, schema_json)
         if sort_by is None:  # appends inherit the live clustering spec
             sort_by = head.get("sort_by")
@@ -681,13 +690,17 @@ def write_index(
         # the next compaction restores full clustering.
         manifest_sort = sort_by
         manifest_rgr = row_group_rows
-        if mode == "append" and head is not None:
+        if mode in ("append", "replace") and head is not None:
             _check_append_compat(head, partition_col, schema_json)
             if manifest_sort is None:
                 manifest_sort = head.get("sort_by")
             if manifest_rgr is None:
                 manifest_rgr = head.get("row_group_rows")
-            objects = head["objects"] + new_objects
+            kept = head["objects"]
+            if mode == "replace":
+                batch_parts = {o["part"] for o in new_objects}
+                kept = [o for o in kept if o["part"] not in batch_parts]
+            objects = kept + new_objects
             meta = _merge_streams(head, extra_meta)
         try:
             return _commit(

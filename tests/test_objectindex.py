@@ -643,3 +643,32 @@ def test_gc_default_grace_shields_inflight_and_refuses_corruption(spark, tmp_pat
     live = oi.load_manifest(root)
     os.remove(os.path.join(root, "meta", f"{live['name']}.json"))
     assert oi.gc_index(root, min_age_seconds=0) == []
+
+
+def test_replace_is_dynamic_partition_overwrite(spark, tmp_path):
+    """mode='replace': partitions present in the batch are swapped
+    wholesale in one atomic commit; every other partition's objects ride
+    through byte-identical, and pinned readers keep the old snapshot."""
+    root = str(tmp_path / "idx")
+    v1 = oi.write_index(_toy(spark, 0, 100), root, sort_by=["id"])
+    # re-derive cells 1 and 3 with different contents (shifted ids)
+    fresh = _toy(spark, 200, 240).where("cell in (1, 3)")
+    v2 = oi.write_index(fresh, root, mode="replace")
+    assert v2["op"] == "replace" and v2["parent"] == 1
+    assert v2["sort_by"] == ["id"]  # spec inherited like an append
+    untouched_v1 = {o["key"] for o in v1["objects"] if o["part"] not in ("1", "3")}
+    v2_keys = {o["key"] for o in v2["objects"]}
+    assert untouched_v1 < v2_keys, "untouched partitions must ride through"
+    assert not any(
+        o["key"] in v2_keys for o in v1["objects"] if o["part"] in ("1", "3")
+    ), "replaced partitions' old objects must drop out of the manifest"
+    want = _rows(_toy(spark, 0, 100).where("cell not in (1, 3)")) | _rows(fresh)
+    assert _rows(oi.read_index(spark, root)) == want
+    # the pre-replace snapshot is still fully readable
+    assert _rows(oi.read_index(spark, root, version=1)) == _rows(
+        _toy(spark, 0, 100)
+    )
+    # a replace on a fresh root behaves like overwrite
+    root2 = str(tmp_path / "idx2")
+    m = oi.write_index(_toy(spark, 0, 20), root2, mode="replace")
+    assert m["version"] == 1 and m["rows"] == 20
