@@ -89,6 +89,7 @@ def build_registry() -> dict[str, SuiteEntry]:
     from ..operators.suite5 import extension_entries5
     from ..operators.suite6 import extension_entries6
     from ..operators.suite7 import extension_entries7
+    from ..operators.suite8 import extension_entries8
 
     for entry in (
         extension_entries()
@@ -101,6 +102,7 @@ def build_registry() -> dict[str, SuiteEntry]:
         + extension_entries5()
         + extension_entries6()
         + extension_entries7()
+        + extension_entries8()
         + extension_entries_sinks()
     ):
         unordered[entry.name] = entry

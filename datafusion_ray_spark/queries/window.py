@@ -36,12 +36,18 @@ CERTIFICATION_FLAGSHIPS = [
 #: Round-11 rotating slots = the ledger's pick under the sharpened
 #: per-entry staleness (declaration fragments + honest import closures —
 #: certledger.py round-11): stale-first, then OLDEST driver certification
-#: first. The slots below are the oldest-certified survivors of the
-#: round-10 re-certification: the remaining round-1 rows (whose closures
-#: were last touched by round 4's shared-layer work) and the round-2/3
-#: cohort whose operator files have churned through round 11's
-#: suite-decoupling refactor.
+#: first. NEVER-certified entries outrank everything (the rounds-4..9
+#: rule that rotated every new declaration through the window), so the
+#: two round-11 object-store-index entries (suite8) lead; the rest are
+#: the oldest-certified survivors of the round-10 re-certification: the
+#: remaining round-1 rows (whose closures were last touched by round 4's
+#: shared-layer work) and the round-2/3 cohort whose operator files have
+#: churned through round 11's suite-decoupling refactor (the last two of
+#: that cohort, dedup_containment and ev_funnel, were displaced by the
+#: new entries and stay first in line for round 12).
 CERTIFICATION_ROTATING = [
+    "sim_oidx_persist",
+    "sim_oidx_replace",
     "setop_union_distinct",
     "theta_join",
     "unnest_explode",
@@ -60,6 +66,4 @@ CERTIFICATION_ROTATING = [
     "text_quality",
     "text_winnow",
     "contamination_ngram",
-    "dedup_containment",
-    "ev_funnel",
 ]
