@@ -672,3 +672,53 @@ def test_replace_is_dynamic_partition_overwrite(spark, tmp_path):
     root2 = str(tmp_path / "idx2")
     m = oi.write_index(_toy(spark, 0, 20), root2, mode="replace")
     assert m["version"] == 1 and m["rows"] == 20
+
+
+@pytestmark_s3
+def test_s3_concurrent_appenders_lose_no_updates(spark, s3_opts):
+    """The CAS claim under REAL contention: four writers race appends
+    against live moto with no coordination. Every batch must land
+    exactly once — version chain linear, rows the exact union, every
+    commit's parent the previous commit."""
+    import threading
+
+    root = "s3://idx/indexes/race"
+    oi.write_index(_toy(spark, 0, 20), root, opts=s3_opts)
+
+    batches = [(100 + 20 * i, 120 + 20 * i) for i in range(4)]
+    errors = []
+
+    def appender(lo: int, hi: int) -> None:
+        try:
+            oi.write_index(
+                _toy(spark, lo, hi), root, mode="append", opts=s3_opts
+            )
+        except Exception as exc:  # noqa: BLE001 - surface in main thread
+            errors.append(exc)
+
+    threads = [
+        threading.Thread(target=appender, args=b) for b in batches
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+
+    live = oi.load_manifest(root, opts=s3_opts)
+    assert live["version"] == 5  # linear history: 1 base + 4 appends
+    want = _rows(_toy(spark, 0, 20))
+    for lo, hi in batches:
+        want |= _rows(_toy(spark, lo, hi))
+    assert _rows(oi.read_index(spark, root, opts=s3_opts)) == want
+    # the chain is a single line through every commit
+    versions = []
+    m = live
+    while m is not None:
+        versions.append(m["version"])
+        m = (
+            oi.load_manifest(root, m["parent"], opts=s3_opts)
+            if m.get("parent")
+            else None
+        )
+    assert versions == [5, 4, 3, 2, 1]
