@@ -722,3 +722,37 @@ def test_s3_concurrent_appenders_lose_no_updates(spark, s3_opts):
             else None
         )
     assert versions == [5, 4, 3, 2, 1]
+
+
+def test_string_partition_values_sanitize_and_prune(spark, tmp_path):
+    """Partition values with path-hostile characters: keys are
+    percent-escaped, but manifest pruning and the data column keep the
+    ORIGINAL values."""
+    root = str(tmp_path / "idx")
+    df = spark.createDataFrame(
+        [(1, "en US"), (2, "fr/FR"), (3, "zh=CN"), (4, "en US")],
+        "id int, lang string",
+    )
+    m = oi.write_index(df, root, partition_col="lang")
+    assert {o["part"] for o in m["objects"]} == {"en US", "fr/FR", "zh=CN"}
+    for o in m["objects"]:
+        key_dir = o["key"].split("/")[1]
+        assert "/" not in key_dir.replace("lang=", "") and " " not in key_dir
+        assert os.path.exists(os.path.join(root, o["key"]))
+    got = oi.read_index(spark, root, partitions=["fr/FR"])
+    assert _rows(got) == {(2, "fr/FR")}
+    assert _rows(oi.read_index(spark, root)) == _rows(df)
+
+
+@pytestmark_s3
+def test_gs_scheme_rides_s3_interop(spark, s3_opts):
+    """gs:// roots ride the same wire protocol through the store's
+    S3-interop mapping (the facade's GCS story) — whole lifecycle on a
+    gs:// URL against the live endpoint."""
+    root = "gs://idx/indexes/gcs_toy"
+    oi.write_index(_toy(spark, 0, 50), root, opts=s3_opts)
+    oi.write_index(_toy(spark, 50, 70), root, mode="append", opts=s3_opts)
+    assert _rows(oi.read_index(spark, root, opts=s3_opts)) == _rows(
+        _toy(spark, 0, 70)
+    )
+    assert oi.current_version(root, s3_opts) == 2
