@@ -756,3 +756,24 @@ def test_gs_scheme_rides_s3_interop(spark, s3_opts):
         _toy(spark, 0, 70)
     )
     assert oi.current_version(root, s3_opts) == 2
+
+
+def test_version_addressing_contract(spark, tmp_path):
+    """Time travel addresses only committed ancestors of the head; an
+    off-chain or future version is a clear FileNotFoundError, not a
+    silent empty read."""
+    root = str(tmp_path / "idx")
+    oi.write_index(_toy(spark, 0, 20), root)
+    oi.write_index(_toy(spark, 20, 30), root, mode="append")
+    with pytest.raises(FileNotFoundError, match="not on the committed chain"):
+        oi.load_manifest(root, 7)
+    with pytest.raises(FileNotFoundError, match="no _CURRENT"):
+        oi.load_manifest(str(tmp_path / "nowhere"))
+    # facade time travel pins the named version
+    from datafusion_ray_spark.context import DFRayContext
+
+    ctx = DFRayContext(spark=spark)
+    ctx.register_index("idx_v1", root, version=1)
+    ctx.register_index("idx_live", root)
+    assert spark.sql("SELECT count(*) n FROM idx_v1").collect()[0]["n"] == 20
+    assert spark.sql("SELECT count(*) n FROM idx_live").collect()[0]["n"] == 30
