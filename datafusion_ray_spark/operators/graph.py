@@ -98,6 +98,15 @@ def pagerank_fixed_point(
     # driver and distributed paths below reuse the pinned blocks.
     nodes, n_nodes = materialize_and_probe(nodes, lambda d: d.count())
     base = ((SCALE - DAMP_MICRO) * SCALE // n_nodes) // SCALE
+    # Pin the aggregated edge list (<= |V|^2 rows) before deriving out_w:
+    # `edges` is consumed twice (the out-weight aggregate and the
+    # edges x out_w join), so unpinned the plan carries the entire
+    # edge-extraction fact-join subtree twice (AQE's runtime exchange
+    # reuse dedupes the execution, but planning, stage-graph size and
+    # the reuse machinery remain per-subtree — see the run_triangles
+    # measurement). Lazy: blocks materialize inside the first consuming
+    # job.
+    edges = edges.localCheckpoint(eager=False)
     out_w = edges.groupBy("src").agg(F.sum("w").alias("outw"))
     if max_driver_edges and n_nodes * n_nodes <= max_driver_edges:
         # Aggregated graph is vertex-bounded (<= |V|² rows). When that

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.tables import load_table, spread
+from ..sources.tables import load_table, narrow, spread
 from . import dedup, packing, text
 from .dedup import JACCARD_THRESHOLD
 from .oracles import (
@@ -1490,14 +1490,14 @@ def run_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def run_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sketch import heavy_hitters
 
-    ev = spread(load_table(spark, sf_dir, "events").select("user_id"))
+    ev = spread(narrow(load_table(spark, sf_dir, "events"), "user_id"))
     return heavy_hitters(ev, "user_id", threshold_frac=HH_THRESHOLD_FRAC, k=HH_K)
 
 
 def run_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sketch import bloom_build, bloom_probe
 
-    li = spread(load_table(spark, sf_dir, "lineitem").select("l_suppkey"))
+    li = spread(narrow(load_table(spark, sf_dir, "lineitem"), "l_suppkey"))
     probed = bloom_probe(bloom_build(li, "l_suppkey"), BLOOM_KEYS)
     present = (
         li.select(F.col("l_suppkey").cast("string").alias("key"))
@@ -1673,7 +1673,7 @@ def run_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread(): the build's 3-md5s-per-row projection is compute-bound and
     # the testdata parquet is one unsplittable row group; repartitioning the
     # narrow key column fans the hash work across all cores.
-    li = spread(load_table(spark, sf_dir, "lineitem").select("l_partkey"))
+    li = spread(narrow(load_table(spark, sf_dir, "lineitem"), "l_partkey"))
     sketch = count_min_build(li, "l_partkey")
     return count_min_estimate(sketch, CMS_KEYS).orderBy("key")
 
@@ -1684,7 +1684,7 @@ def run_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Project to the key BEFORE spread(): the repartition exists only to fan
     # the md5 work across cores, and shuffling one narrow column beats
     # shuffling the full 16-column row.
-    li = spread(load_table(spark, sf_dir, "lineitem").select("l_orderkey"))
+    li = spread(narrow(load_table(spark, sf_dir, "lineitem"), "l_orderkey"))
     est = hll_estimate(hll_registers(li, "l_orderkey"))
     exact = li.agg(F.countDistinct("l_orderkey").cast("long").alias("n_exact"))
     return exact.crossJoin(F.broadcast(est)).select(

@@ -911,6 +911,17 @@ def run_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest("src", "dst").alias("b"),
         )
         .distinct()
+        # Pin: `und` (<= |V|^2 nation-pair rows) feeds FIVE consumers
+        # (degree union x2, both wedge legs, the triangle-closing join,
+        # the edge count). AQE's runtime exchange reuse does dedupe the
+        # repeated trade_edges subtrees (old executed plan: 10
+        # ReusedExchange), but every consumer still carries the full
+        # fact-join subtree through planning and the stage graph; the pin
+        # collapses the executed plan (23 -> 15 Exchange nodes, reuse
+        # machinery gone) and benched faster interleaved at sf0.1
+        # (min-of-4: 1.84 -> 1.52 s). Lazy: materializes inside the
+        # first consuming job.
+        .localCheckpoint(eager=False)
     )
     deg = (
         und.select(F.col("a").alias("node"))

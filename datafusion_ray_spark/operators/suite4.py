@@ -893,6 +893,13 @@ def run_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest("src", "dst").alias("b"),
         )
         .distinct()
+        # Pin: five consumers below (degree union x2, both wedge legs,
+        # the triangle-closing join) each carry the full trade_edges
+        # fact-join subtree unpinned — same rationale and measured win
+        # as run_triangles (AQE reuses the exchanges at runtime, but the
+        # pin collapses the planned/executed stage graph). <= |V|^2
+        # rows; lazy checkpoint.
+        .localCheckpoint(eager=False)
     )
     deg = (
         und.select(F.col("a").alias("node"))

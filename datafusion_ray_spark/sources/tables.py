@@ -88,7 +88,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # Whatever the generator produced (int64 nanos, NTZ micros, or tz'd
         # micros) -> one canonical TIMESTAMP; see module docstring.
         df = ts_to_utc(df, "ts")
+    # Tag the frame so spread() can memoize its partition-count probe per
+    # (session, sf_dir, table) — see _SCAN_PARTS.
+    df._dfrs_probe_key = (id(spark), sf_dir, name)
     return df
+
+
+def narrow(df: DataFrame, *cols: str) -> DataFrame:
+    """Pure projection that PRESERVES the spread() probe tag: split packing
+    depends only on the underlying file sizes, never on the projected
+    columns, so a ``select`` of plain columns has the same scan partition
+    count as its base table and may share its memoized probe."""
+    out = df.select(*cols)
+    key = getattr(df, "_dfrs_probe_key", None)
+    if key is not None:
+        out._dfrs_probe_key = key
+    return out
 
 
 def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
@@ -103,12 +118,41 @@ def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
     degenerate case it fixes. Do NOT use ahead of cheap scan->aggregate
     plans: the vectorized reader beats the shuffle cost there (benched
     0.63s -> 1.41s on a 600k-row aggregate).
+
+    The split-count probe (``df.rdd.getNumPartitions()``) converts the
+    plan to an RDD on the driver — measured ~200 ms per call, and the
+    bench suite pays it in ~200 query runs. For frames tagged by
+    ``load_table``/``narrow`` (a static parquet path, so the split count
+    cannot change within a session) the probe result is memoized per
+    (session, sf_dir, table) in ``_SCAN_PARTS``; untagged frames keep
+    the direct probe. Plan METADATA only — never query results.
     """
     target = partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    key = getattr(df, "_dfrs_probe_key", None)
+    n = None
+    if key is not None:
+        hit = _SCAN_PARTS.get(key)
+        # weakref guard, same rationale as _REGISTERED: a recycled id()
+        # from a stopped session must not serve a stale count.
+        if hit is not None and hit[0]() is df.sparkSession:
+            n = hit[1]
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        if key is not None:
+            import weakref
+
+            try:
+                _SCAN_PARTS[key] = (weakref.ref(df.sparkSession), n)
+            except TypeError:  # pragma: no cover - sessions are weakref-able
+                pass
+    if n >= target:
         return df
     return df.repartition(target)
 
+
+#: (session id, sf_dir, table) -> (weakref(session), scan partition count).
+#: Memo for spread()'s split-count probe; see spread's docstring.
+_SCAN_PARTS: dict[tuple, tuple] = {}
 
 #: session -> registered sf_dir. Registration re-reads parquet footers, so
 #: suite runs cache it per session/scale. Keyed on the session object via

@@ -68,6 +68,31 @@ def test_single_file_layout_still_spreads(spark):
     assert spread(df) is not df
 
 
+def test_spread_probe_memo(spark):
+    """r11 optimization: spread()'s ~200 ms driver-side split-count probe
+    is memoized per (session, sf_dir, table) for load_table-tagged frames,
+    and narrow() propagates the tag across a pure projection. The memo
+    stores plan metadata (a partition count), never results; the spread
+    decision itself must be unchanged."""
+    from datafusion_ray_spark.sources.tables import _SCAN_PARTS, narrow
+
+    df = load_table(spark, _SRC, "lineitem")
+    key = getattr(df, "_dfrs_probe_key", None)
+    assert key == (id(spark), _SRC, "lineitem")
+    _SCAN_PARTS.pop(key, None)
+    n_direct = df.rdd.getNumPartitions()
+    out1 = spread(df)
+    hit = _SCAN_PARTS.get(key)
+    assert hit is not None and hit[0]() is spark and hit[1] == n_direct
+    # memo hit must reproduce the same decision (same partitioning)
+    out2 = spread(load_table(spark, _SRC, "lineitem"))
+    assert out1.rdd.getNumPartitions() == out2.rdd.getNumPartitions()
+    # narrow() keeps the tag so the projected scan shares the memo
+    proj = narrow(df, "l_orderkey")
+    assert getattr(proj, "_dfrs_probe_key", None) == key
+    assert proj.columns == ["l_orderkey"]
+
+
 @pytest.mark.parametrize(
     "name", ["q1", "q6", "q9", "dedup_exact", "ev_session_window", "text_bm25"]
 )
