@@ -161,6 +161,41 @@ def main() -> None:
     probe = spark.createDataFrame([("w", 0)], ["k", "v"])
     probe.join(spark.range(10).withColumnRenamed("id", "v").hint("broadcast"),
                "v", "left").collect()
+    # Round-11 warmup extension (same purpose as min-of-runs, stated
+    # above: the compiled-engine baseline never pays a JIT, so steady
+    # state is the apples-to-apples regime): the r11 calibration probes
+    # exposed that the OLD warmup left the first ~30 queries ~1.5x above
+    # steady state (self_ratio 0.64 — probes re-timed after the suite ran
+    # 36% faster than the same queries' in-suite walls), because it never
+    # touched the join/aggregate/window/sort/explode/regexp runtime
+    # classes those queries lean on. These statements heat exactly those
+    # paths on synthetic range() data — no testdata results are computed
+    # or reusable (first-pass q1 3.42 -> 2.19 s, q18 3.99 -> 2.04 s in
+    # the fresh-session A/B; see OPTIMIZATION_r11.md).
+    spark.sql(
+        "SELECT k, count(*) c, sum(v) s, avg(v) a FROM (SELECT id % 1000 k,"
+        " cast(id as double) v FROM range(200000)) GROUP BY k"
+        " ORDER BY c DESC, k LIMIT 10"
+    ).collect()
+    spark.sql(
+        "WITH t AS (SELECT id % 997 k, id v FROM range(200000)),"
+        " u AS (SELECT id % 997 k, id w FROM range(100000))"
+        " SELECT count(*), sum(t.v + u.w) FROM t JOIN u ON t.k = u.k"
+    ).collect()
+    spark.sql(
+        "SELECT k, v, row_number() OVER (PARTITION BY k ORDER BY v) rn,"
+        " lag(v) OVER (PARTITION BY k ORDER BY v) lg,"
+        " sum(v) OVER (PARTITION BY k ORDER BY v ROWS BETWEEN 3 PRECEDING"
+        " AND CURRENT ROW) s"
+        " FROM (SELECT id % 500 k, id v FROM range(100000))"
+        " ORDER BY k, rn LIMIT 5"
+    ).collect()
+    spark.sql(
+        "SELECT count(*) FROM (SELECT explode(split(concat("
+        "'a b c d e f g h i j ', cast(id as string)), ' ')) w"
+        " FROM range(50000)) WHERE w rlike '^[a-z0-9]+$'"
+    ).collect()
+    spark.sql("SELECT count(distinct id % 10000) FROM range(300000)").collect()
 
     # Per-query fault isolation: one broken query must never cost the round
     # its entire bench artifact (round 1 lost it to an oversized line, round

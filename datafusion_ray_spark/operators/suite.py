@@ -1426,9 +1426,15 @@ def run_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import similarity
 
     emb = _emb(spark, sf_dir)
-    k = similarity.scaled_centroids(emb.count())
+    # Count + centroid collect off the UNSPREAD scan: spread() exists to
+    # fan out the per-row vector kernels below, but these two driver
+    # actions aggregate/filter only, so routing them through the
+    # round-robin repartition paid a full-table shuffle each for nothing
+    # (r11: one saved exchange per action; values identical).
+    emb_raw = load_table(spark, sf_dir, "embeddings")
+    k = similarity.scaled_centroids(emb_raw.count())
     rows = (
-        emb.where(F.col("vec_id").between(1, k))
+        emb_raw.where(F.col("vec_id").between(1, k))
         .select("vec_id", "embedding")
         .collect()
     )
@@ -1794,9 +1800,11 @@ def run_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import similarity
 
     emb = _emb(spark, sf_dir)
-    k = similarity.scaled_centroids(emb.count())
+    # Unspread scan for the two driver actions — see run_semdedup.
+    emb_raw = load_table(spark, sf_dir, "embeddings")
+    k = similarity.scaled_centroids(emb_raw.count())
     rows = (
-        emb.where(F.col("vec_id").between(1, k))
+        emb_raw.where(F.col("vec_id").between(1, k))
         .select("vec_id", "embedding")
         .collect()
     )

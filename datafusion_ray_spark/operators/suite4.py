@@ -130,6 +130,10 @@ def run_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # localCheckpoint (not persist): reused by three aggregates below;
     # blocks are released by the ContextCleaner once unreachable instead of
     # pinning executor memory across the suite (see containment_pairs).
+    # eager=True is LOAD-BEARING here (r11 A/B): with a lazy checkpoint
+    # the semi-join below plans against unknown sizes and regressed 2x
+    # (6 -> 11 s isolated); the eager job gives the planner the
+    # materialized size, so the matched-pairs join broadcasts.
     lsh = dedup.minhash_dedup_pairs(docs).localCheckpoint(eager=True)
     lsh_true = lsh.where("is_near_dup").select("doc_a", "doc_b")
 

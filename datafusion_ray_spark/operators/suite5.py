@@ -111,9 +111,12 @@ def run_dedup_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Corpus-scaled semantic cells (the run_emb_neardup convention): k
     # grows with the corpus so per-block pair work stays bounded.
-    k = similarity.scaled_centroids(emb.count())
+    # Count + centroid collect off the UNSPREAD scan (see run_semdedup):
+    # these driver actions don't benefit from the round-robin fan-out.
+    emb_raw = load_table(spark, sf_dir, "embeddings")
+    k = similarity.scaled_centroids(emb_raw.count())
     rows = (
-        emb.where(F.col("vec_id").between(1, k))
+        emb_raw.where(F.col("vec_id").between(1, k))
         .select("vec_id", "embedding")
         .collect()
     )
@@ -122,7 +125,11 @@ def run_dedup_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     sem = semantic_pairs(assigned).select(
         F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
     )
-    edges = lex.unionByName(sem).distinct()
+    # No .distinct() here: duplicate_groups canonicalizes (least,
+    # greatest) and distincts its e0 input anyway, so the union-level
+    # dedup was a redundant full shuffle of the same edge set (r11:
+    # one Exchange removed; components identical by construction).
+    edges = lex.unionByName(sem)
     groups = dedup.duplicate_groups(edges)
     sizes = groups.groupBy("group_id").agg(
         F.count("*").cast("long").alias("n_members")

@@ -297,7 +297,12 @@ def substring_dup_pairs(df: DataFrame, text_col: str = "text",
     # and the round-3 driver bench caught it at 897 s for sf0.1. The
     # checkpoint pins (doc_id, fps) — narrow, fingerprint-sized — exactly
     # like dedup_groups pins its per-round labels.
-    wf = winnow_fingerprints(df, text_col).select("doc_id", "fps").localCheckpoint()
+    # eager=False (r11): the single consumer below materializes the blocks
+    # inside its own job — the eager form scheduled one extra job + AQE
+    # pass per call for identical pinning (the checkpoint itself remains
+    # required; see the paragraph below).
+    wf = (winnow_fingerprints(df, text_col).select("doc_id", "fps")
+          .localCheckpoint(eager=False))
     fps = wf.select("doc_id", F.explode("fps").alias("fp"))
     grouped = (
         fps.groupBy("fp")
