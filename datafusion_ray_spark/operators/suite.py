@@ -1536,7 +1536,12 @@ def run_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 def run_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .tfidf import tfidf_topk
 
-    return tfidf_topk(_docs(spark, sf_dir), k=5).orderBy("doc_id", "rank")
+    # Count off the raw scan (see run_semdedup): same value, no spread
+    # exchange in the count action.
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    return tfidf_topk(_docs(spark, sf_dir), k=5, n_docs=n_docs).orderBy(
+        "doc_id", "rank"
+    )
 
 
 SALTED_JOIN_ORACLE = """
@@ -1550,7 +1555,14 @@ ORDER BY s_nationkey
 
 
 def run_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return packing.pack_stats(_docs(spark, sf_dir))
+    # bucket_width from the raw-scan count (see run_semdedup): identical
+    # value to assign_bins' internal default, one less spread exchange.
+    import math
+
+    n = load_table(spark, sf_dir, "documents").count()
+    return packing.pack_stats(
+        _docs(spark, sf_dir), bucket_width=max(64, math.isqrt(n))
+    )
 
 
 def run_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:

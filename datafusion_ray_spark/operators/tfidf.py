@@ -24,10 +24,17 @@ from pyspark.sql import functions as F
 from .text import tokens
 
 
-def tfidf_topk(docs: DataFrame, text_col: str = "text", k: int = 5) -> DataFrame:
+def tfidf_topk(docs: DataFrame, text_col: str = "text", k: int = 5,
+               n_docs: int | None = None) -> DataFrame:
     """Top-k TF-IDF terms per document:
-    (doc_id, term, tf_count, df_count, score, rank)."""
-    n_docs = docs.count()  # driver scalar — one value, folded as a literal
+    (doc_id, term, tf_count, df_count, score, rank).
+
+    ``n_docs``: pass the corpus row count when the caller can compute it
+    more cheaply than ``docs.count()`` (r11: the registry wrapper counts
+    the raw scan instead of routing the count through spread()'s
+    round-robin exchange — same value, one less full-table shuffle)."""
+    if n_docs is None:
+        n_docs = docs.count()  # driver scalar — folded as a literal
     tc = (
         docs.select("doc_id", F.explode(tokens(text_col)).alias("term"))
         .groupBy("doc_id", "term")
