@@ -113,48 +113,48 @@ def minhash_signature(df: DataFrame, text_col: str = "text") -> DataFrame:
     shingle dominates, not md5.) Catalyst keeps ``_digests`` un-inlined
     because it feeds 12 non-cheap consumers (CollapseProject bails), so the
     md5s really do run once per shingle.
+
+    r11 (guide §1.2/§7.3 — driver latency is part of every bench wall):
+    the expression trees are built as SQL strings (one py4j round trip
+    per ``selectExpr``) instead of nested Python HOF calls. The Python
+    form cost ~1,400 py4j round trips (~0.5 ms each) PER PIPELINE
+    CONSTRUCTION — cProfile showed 85% of a warm ``minhash_candidates``
+    build inside ``socket.recv_into`` — and this pipeline is rebuilt by
+    every composite (and twice per bench run). Identical logical plan,
+    oracle-verified identical output.
     """
     out = df.withColumn("_shingles", shingles(text_col)).where(F.size("_shingles") > 0)
-    digest = F.transform(
-        F.col("_shingles"),
-        lambda s: F.concat(
-            *[F.md5(F.concat(F.lit(p), s)) if p else F.md5(s) for p in HASH_PREFIXES]
-        ),
+    md5s = ", ".join(
+        f"md5(concat('{p}', s))" if p else "md5(s)" for p in HASH_PREFIXES
     )
-    out = out.withColumn("_digests", digest)
-    sigs = [
-        F.array_min(
-            F.transform(F.col("_digests"), lambda d: F.substring(d, i * 8 + 1, 8))
-        ).alias(f"sig_{i}")
+    sig_exprs = [
+        f"array_min(transform(_digests, d -> substring(d, {i * 8 + 1}, 8)))"
+        f" AS sig_{i}"
         for i in range(N_HASHES)
     ]
-    return out.select("*", *sigs).drop("_digests")
+    return (
+        out.selectExpr("*", f"transform(_shingles, s -> concat({md5s})) AS _digests")
+        .selectExpr("*", *sig_exprs)
+        .drop("_digests")
+    )
 
 
 def lsh_buckets(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, band, bucket) rows: bucket = md5 of the band's signature
     slice. Only these narrow rows are shuffled for candidate generation."""
     sig = minhash_signature(df, text_col)
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        "|",
-                        *[
-                            F.col(f"sig_{b * ROWS_PER_BAND + r}")
-                            for r in range(ROWS_PER_BAND)
-                        ],
-                    )
-                ).alias("bucket"),
-            )
-            for b in range(N_BANDS)
-        ]
+    bands = ", ".join(
+        "named_struct('band', {b}, 'bucket', md5(concat_ws('|', {sigs})))".format(
+            b=b,
+            sigs=", ".join(
+                f"sig_{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)
+            ),
+        )
+        for b in range(N_BANDS)
     )
-    return sig.select(
-        "doc_id", "_shingles", F.explode(bands).alias("bb")
-    ).select("doc_id", "_shingles", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    return sig.selectExpr(
+        "doc_id", "_shingles", f"explode(array({bands})) AS bb"
+    ).selectExpr("doc_id", "_shingles", "bb.band AS band", "bb.bucket AS bucket")
 
 
 def minhash_candidates(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -182,19 +182,16 @@ def minhash_candidates(df: DataFrame, text_col: str = "text") -> DataFrame:
     b = lsh_buckets(df, text_col).select("band", "bucket", "doc_id")
     grouped = (
         b.groupBy("band", "bucket")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
-        .where(F.size("ids") > 1)
+        .agg(F.expr("array_sort(collect_list(doc_id)) AS ids"))
+        .where("size(ids) > 1")
     )
     return (
-        grouped.select(F.posexplode("ids").alias("i", "doc_a"), "ids")
-        .select(
+        grouped.selectExpr("posexplode(ids) AS (i, doc_a)", "ids")
+        # ids[i+1:] — every later member pairs with doc_a once;
+        # slice is 1-based, posexplode 0-based, hence i + 2.
+        .selectExpr(
             "doc_a",
-            F.explode(
-                # ids[i+1:] — every later member pairs with doc_a once;
-                # slice is 1-based, posexplode 0-based, hence i + 2.
-                F.slice(F.col("ids"), F.col("i") + 2,
-                        F.size("ids") - F.col("i") - 1)
-            ).alias("doc_b"),
+            "explode(slice(ids, i + 2, size(ids) - i - 1)) AS doc_b",
         )
         .distinct()  # a pair may collide in several bands; emit once
     )
@@ -212,7 +209,7 @@ def _verify_jaccard(df: DataFrame, cand: DataFrame, text_col: str):
     true near-dup thresholds but corpus-scale if thresholds loosen, so
     AQE decides — it still broadcasts whenever the list genuinely fits.
     """
-    ids = cand.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id")).distinct()
+    ids = cand.selectExpr("explode(array(doc_a, doc_b)) AS doc_id").distinct()
     sh = df.join(ids, "doc_id").select(
         "doc_id", shingles(text_col).alias("sh")
     # Materialized once (candidate docs only, so bounded by the candidate
@@ -227,8 +224,8 @@ def _verify_jaccard(df: DataFrame, cand: DataFrame, text_col: str):
     # recomputing; acceptable for a bounded candidate-doc slice.
     ).localCheckpoint(eager=False)
     joined = (
-        cand.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
-        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
+        cand.join(sh.selectExpr("doc_id AS doc_a", "sh AS sh_a"), "doc_a")
+        .join(sh.selectExpr("doc_id AS doc_b", "sh AS sh_b"), "doc_b")
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
@@ -461,14 +458,10 @@ def _both_directions(e: DataFrame) -> DataFrame:
     ``key not found: <attr>`` on self-unions of projections of the same
     plan under some lineages (hit by the star loop's checkpointed edge
     sets); a Generate node has no such path."""
-    return e.select(
-        F.explode(
-            F.array(
-                F.struct(F.col("s").alias("u"), F.col("t").alias("v")),
-                F.struct(F.col("t").alias("u"), F.col("s").alias("v")),
-            )
-        ).alias("d")
-    ).select(F.col("d.u").alias("u"), F.col("d.v").alias("v"))
+    return e.selectExpr(
+        "explode(array(named_struct('u', s, 'v', t),"
+        " named_struct('u', t, 'v', s))) AS d"
+    ).selectExpr("d.u AS u", "d.v AS v")
 
 
 def _large_star(e: DataFrame) -> DataFrame:
@@ -476,13 +469,13 @@ def _large_star(e: DataFrame) -> DataFrame:
     LARGER neighbors to its minimum neighborhood member. Input/output:
     canonical undirected edges (s < t)."""
     adj = _both_directions(e)
-    m = adj.groupBy("u").agg(F.least(F.col("u"), F.min("v")).alias("m"))
+    m = adj.groupBy("u").agg(F.expr("least(u, min(v)) AS m"))
     # for v in N(u), v > u: emit (m_u, v); m_u <= u < v keeps canonical order
     return (
         adj.join(m, "u")
-        .where(F.col("v") > F.col("u"))
-        .select(F.col("m").alias("s"), F.col("v").alias("t"))
-        .where(F.col("s") != F.col("t"))
+        .where("v > u")
+        .selectExpr("m AS s", "v AS t")
+        .where("s != t")
         .distinct()
     )
 
@@ -495,16 +488,12 @@ def _small_star(e: DataFrame) -> DataFrame:
     mm = e.groupBy("t").agg(F.min("s").alias("m"))
     j = e.join(mm, "t")
     return (
-        j.select(
-            F.explode(
-                F.array(
-                    F.struct(F.col("m").alias("s2"), F.col("s").alias("t2")),
-                    F.struct(F.col("m").alias("s2"), F.col("t").alias("t2")),
-                )
-            ).alias("d")
+        j.selectExpr(
+            "explode(array(named_struct('s2', m, 't2', s),"
+            " named_struct('s2', m, 't2', t))) AS d"
         )
-        .select(F.col("d.s2").alias("s"), F.col("d.t2").alias("t"))
-        .where(F.col("s") != F.col("t"))
+        .selectExpr("d.s2 AS s", "d.t2 AS t")
+        .where("s != t")
         .distinct()
     )
 
@@ -525,19 +514,9 @@ def _is_star_forest(e: DataFrame) -> bool:
     plan an Expand per round): the loop's edge sets are distinct rows, so
     a child's distinct-parent count IS its child-role row count —
     sum(c) > 1 detects multi-parent children exactly."""
-    roles = e.select(
-        F.explode(
-            F.array(
-                F.struct(
-                    F.col("s").alias("id"),
-                    F.lit(1).alias("p"), F.lit(0).alias("c"),
-                ),
-                F.struct(
-                    F.col("t").alias("id"),
-                    F.lit(0).alias("p"), F.lit(1).alias("c"),
-                ),
-            )
-        ).alias("r")
+    roles = e.selectExpr(
+        "explode(array(named_struct('id', s, 'p', 1, 'c', 0),"
+        " named_struct('id', t, 'p', 0, 'c', 1))) AS r"
     ).select("r.*")
     bad = (
         roles.groupBy("id")
@@ -546,7 +525,7 @@ def _is_star_forest(e: DataFrame) -> bool:
             F.max("c").alias("c"),
             F.sum("c").alias("nchild"),
         )
-        .where(((F.col("p") == 1) & (F.col("c") == 1)) | (F.col("nchild") > 1))
+        .where("(p = 1 AND c = 1) OR nchild > 1")
         .limit(1)
         .count()
     )
@@ -585,14 +564,14 @@ def duplicate_groups(pairs: DataFrame, max_iterations: int = 60) -> DataFrame:
     # singleton roster re-ran the whole minhash pipeline — 62 s vs 6 s on
     # the 10x fixture).
     e0 = (
-        pairs.select(
-            F.least(F.col("doc_a"), F.col("doc_b")).cast("long").alias("s"),
-            F.greatest(F.col("doc_a"), F.col("doc_b")).cast("long").alias("t"),
+        pairs.selectExpr(
+            "CAST(least(doc_a, doc_b) AS BIGINT) AS s",
+            "CAST(greatest(doc_a, doc_b) AS BIGINT) AS t",
         )
         .distinct()
         .localCheckpoint(eager=False)  # materializes inside round 1's job
     )
-    e = e0.where(F.col("s") != F.col("t"))
+    e = e0.where("s != t")
     # no pre-check: pair detectors essentially never emit a ready star
     # forest, and a contraction round on one is a no-op, so checking only
     # AFTER each round saves a job on every call
@@ -620,26 +599,16 @@ def duplicate_groups(pairs: DataFrame, max_iterations: int = 60) -> DataFrame:
     # the input are their own singleton groups (parity with the label-
     # propagation implementation).
     labels = (
-        e.select(
-            F.explode(
-                F.array(
-                    F.struct(
-                        F.col("t").alias("d"), F.col("s").alias("g")
-                    ),
-                    F.struct(
-                        F.col("s").alias("d"), F.col("s").alias("g")
-                    ),
-                )
-            ).alias("x")
+        e.selectExpr(
+            "explode(array(named_struct('d', t, 'g', s),"
+            " named_struct('d', s, 'g', s))) AS x"
         )
-        .select(F.col("x.d").alias("doc_id"), F.col("x.g").alias("group_id"))
+        .selectExpr("x.d AS doc_id", "x.g AS group_id")
         .distinct()
     )
-    nodes = e0.select(
-        F.explode(F.array(F.col("s"), F.col("t"))).alias("doc_id")
-    ).distinct()
-    singletons = nodes.join(labels, "doc_id", "left_anti").select(
-        "doc_id", F.col("doc_id").alias("group_id")
+    nodes = e0.selectExpr("explode(array(s, t)) AS doc_id").distinct()
+    singletons = nodes.join(labels, "doc_id", "left_anti").selectExpr(
+        "doc_id", "doc_id AS group_id"
     )
     return labels.unionByName(singletons)
 
