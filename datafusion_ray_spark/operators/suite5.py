@@ -131,11 +131,15 @@ def run_dedup_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one Exchange removed; components identical by construction).
     edges = lex.unionByName(sem)
     groups = dedup.duplicate_groups(edges)
-    sizes = groups.groupBy("group_id").agg(
-        F.count("*").cast("long").alias("n_members")
-    )
-    return groups.join(sizes, "group_id").select(
-        "doc_id", "group_id", "n_members"
+    # Member counts via count() OVER (PARTITION BY group_id) instead of
+    # groupBy(group_id) + join back (r11, guide §2.4 — a window keyed
+    # like the preceding aggregation needs no second shuffle): the old
+    # form planned the groups subtree twice (agg + probe legs) and paid
+    # an extra Exchange for the join; the window shuffles groups once.
+    return groups.selectExpr(
+        "doc_id",
+        "group_id",
+        "CAST(count(*) OVER (PARTITION BY group_id) AS BIGINT) AS n_members",
     ).orderBy("doc_id")
 
 
