@@ -82,7 +82,8 @@ HH_WIDTH = 4096
 
 
 def heavy_hitters(df: DataFrame, key_col: str, threshold_frac: float,
-                  k: int = 10, width: int = HH_WIDTH) -> DataFrame:
+                  k: int = 10, width: int = HH_WIDTH,
+                  n: int | None = None) -> DataFrame:
     """Top-k heavy hitters: CMS candidate generation + exact verification.
 
     Classic two-pass batch form of the streaming heavy-hitters problem
@@ -97,7 +98,12 @@ def heavy_hitters(df: DataFrame, key_col: str, threshold_frac: float,
     Output is deterministic (md5 buckets + exact ordering) and includes the
     CMS no-underestimate invariant as a checkable column.
     """
-    n = df.count()  # driver-side scalar: one number, not data
+    if n is None:
+        # driver-side scalar: one number, not data. Callers that hold the
+        # un-repartitioned scan pass ``n`` (r11, tfidf_topk convention):
+        # counting the raw parquet scan is a footer-metadata job, while
+        # counting a spread() frame pays its round-robin exchange.
+        n = df.count()
     threshold = threshold_frac * n
     sketch = count_min_build(df, key_col, width=width)
     keys = df.select(F.col(key_col).cast("string").alias("key")).distinct()

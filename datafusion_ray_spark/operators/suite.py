@@ -1496,8 +1496,12 @@ def run_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def run_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sketch import heavy_hitters
 
-    ev = spread(narrow(load_table(spark, sf_dir, "events"), "user_id"))
-    return heavy_hitters(ev, "user_id", threshold_frac=HH_THRESHOLD_FRAC, k=HH_K)
+    raw = load_table(spark, sf_dir, "events")
+    ev = spread(narrow(raw, "user_id"))
+    # n off the raw scan (footer metadata), not through spread()'s
+    # exchange — same value, one less full-table shuffle job (r11).
+    return heavy_hitters(ev, "user_id", threshold_frac=HH_THRESHOLD_FRAC,
+                         k=HH_K, n=raw.count())
 
 
 def run_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
