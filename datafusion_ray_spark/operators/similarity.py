@@ -435,11 +435,24 @@ def semdedup(
     Returns (vec_id, cell, kept) for every input vector. Norms are
     precomputed once per vector (not per pair), and only (cell, id, vector,
     norm) rows enter the join — no payload columns.
+
+    r11 (guide §5 — cache only what is reused AND expensive): the
+    (cell, id, vector, norm) table is persist()-ed because THREE plan
+    legs consume it (both pair-join sides and the final keep-list join),
+    and each would otherwise recompute the per-row argmax assignment —
+    k centroid dot products per vector, the operator's dominant kernel —
+    since alias-divergent self-join legs defeat exchange reuse. The
+    cached rows are exactly the narrow no-payload projection the join
+    reads, never the raw corpus; blocks are released by the caller's
+    clearCache / ContextCleaner.
     """
     assigned = ivf_assign(df, centroids, emb_col).select(
         "vec_id", F.col("cell"), F.col(emb_col).alias("_emb")
     )
-    normed = assigned.withColumn("nrm", norm(_as_double("_emb")))
+    normed = assigned.withColumn(
+        "nrm", norm(_as_double("_emb"))
+    ).persist()
+    assigned = normed.drop("nrm")
     a = normed.select(
         "cell",
         F.col("vec_id").alias("vec_a"),

@@ -66,12 +66,17 @@ def semantic_pairs(
     grew with the corpus and the pair join went quadratic (the 100x gate
     measured 633x wall on dedup_ensemble; the same lesson
     ``run_emb_neardup`` had already learned at 10x)."""
+    # persist(): both pair-join legs consume this narrow no-payload
+    # table, and alias-divergent self-join legs defeat exchange reuse —
+    # without the pin each leg recomputes the upstream per-row argmax
+    # cell assignment (r11, the similarity.semdedup lesson; blocks are
+    # freed by the caller's clearCache / ContextCleaner).
     normed = emb.select(
         *block_cols,
         "vec_id",
         _as_double("embedding").alias("e"),
         norm(_as_double("embedding")).alias("nrm"),
-    )
+    ).persist()
     a = normed.select(
         *block_cols, F.col("vec_id").alias("vec_a"),
         F.col("e").alias("ea"), F.col("nrm").alias("na"),
