@@ -373,12 +373,16 @@ def neardup_pairs(
     # the dot product per pair. Recomputing norms inside the join would do
     # O(pairs) redundant array reductions — at 1M vectors per block that is
     # thousands of times more work than the O(vectors) precompute.
+    # persist(): both pair-join legs consume this table and their alias-
+    # divergent projections defeat exchange reuse, so without the pin each
+    # leg recomputes the upstream per-row work (the registry composition
+    # feeds an ivf_assign argmax) — the semdedup lesson (r11, guide §5).
     normed = df.select(
         *blocks,
         "vec_id",
         "embedding",
         norm(_as_double("embedding")).alias("nrm"),
-    )
+    ).persist()
     a = normed.select(
         *blocks,
         F.col("vec_id").alias("vec_a"),
