@@ -1509,8 +1509,15 @@ def run_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = spread(narrow(load_table(spark, sf_dir, "lineitem"), "l_suppkey"))
     probed = bloom_probe(bloom_build(li, "l_suppkey"), BLOOM_KEYS)
+    # Presence ground truth only matters for the |BLOOM_KEYS| probed keys,
+    # so filter BEFORE the distinct (r11, guide §2.3 — shuffle fewer
+    # bytes): the old full-column distinct shuffled every corpus key to
+    # certify 6 membership bits. Pushed predicate + distinct over <= 6
+    # values; join semantics identical (probed is the left side).
     present = (
-        li.select(F.col("l_suppkey").cast("string").alias("key"))
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_suppkey").isin(BLOOM_KEYS))
+        .select(F.col("l_suppkey").cast("string").alias("key"))
         .distinct()
         .withColumn("present", F.lit(True))
     )
