@@ -349,9 +349,16 @@ def lm_score(df: DataFrame, text_col: str = "text",
     and partitionings.
     """
     words = df.select("doc_id", F.explode(tokens(text_col)).alias("word"))
+    tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    # Vocabulary counts are derived from the per-doc tf aggregate, not from
+    # the raw token stream: c_w = SUM_doc tf(doc, w) is the same number, but
+    # every plan leg (vocab, totals, OOV, scoring) now sits above tf's ONE
+    # exchange — the tokenize+explode runs once at runtime (ReusedExchange)
+    # instead of once per leg, and the vocab shuffle carries (doc, word, tf)
+    # partials instead of one row per token occurrence (r11, guide §2.3/§2.4).
     wc = (
-        words.groupBy("word")
-        .agg(F.count("*").alias("c"))
+        tf.groupBy("word")
+        .agg(F.sum("tf").alias("c"))
         .orderBy(F.desc("c"), F.asc("word"))
         .limit(vocab_cap)
     )
@@ -366,7 +373,6 @@ def lm_score(df: DataFrame, text_col: str = "text",
     oov = totals.select(
         F.round(F.log(1.0 / denom) * LM_SCALE).cast("long").alias("llr_oov")
     )
-    tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
     scored = (
         tf.join(F.broadcast(probs), "word", "left")
         .crossJoin(F.broadcast(oov))

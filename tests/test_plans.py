@@ -365,3 +365,22 @@ def test_bq_prescreen_zero_shuffle_take_ordered(spark, sf_dir):
     m = runtime_shuffle_metrics(df)
     assert m["n_exchange"] == 0, m
     assert m["n_broadcast"] >= 1, m
+
+
+def test_lm_score_tokenizes_corpus_once(spark, sf_dir):
+    """The unigram-LM vocabulary is derived from the per-doc tf aggregate
+    (c_w = SUM_doc tf), so every plan leg — vocab, totals, OOV, scoring —
+    sits above tf's single exchange and the corpus tokenize+explode runs
+    ONCE at runtime (r11). A regression back to counting the raw token
+    stream re-plans the explode under a second exchange, which shows up
+    here as a lost ReusedExchange."""
+    from datafusion_ray_spark.operators import text
+    from datafusion_ray_spark.plans import runtime_shuffle_metrics
+
+    df = text.lm_score(load_table(spark, sf_dir, "documents"))
+    df.collect()
+    m = runtime_shuffle_metrics(df)
+    # tf (doc_id, word) + vocab-by-word + final per-doc agg; the repeated
+    # tf/vocab legs must resolve to reuse, not fresh exchanges.
+    assert m["n_exchange"] <= 5, m
+    assert m["n_reused_exchange"] >= 3, m
