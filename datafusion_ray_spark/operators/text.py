@@ -642,16 +642,30 @@ def frozen_lm(df: DataFrame, text_col: str = "text",
     )
     totals = wc.agg(F.sum("c").alias("total"), F.count("*").alias("v"))
     denom = F.col("total") + F.col("v") + 1
-    probs = wc.crossJoin(F.broadcast(totals)).select(
-        "word",
-        F.round(F.log((F.col("c") + 1) / denom) * LM_SCALE).cast("long").alias("llr"),
+    # One action fits the whole artifact: llr_oov is a scalar of `totals`,
+    # so carrying it as a constant column on the broadcast-joined prob rows
+    # collects vocab AND oov in a single corpus pass — the old separate
+    # .first() re-ran the tokenize+count pipeline end to end (r11, guide
+    # §1.2 "don't compute things twice").
+    rows = (
+        wc.crossJoin(F.broadcast(totals))
+        .select(
+            "word",
+            F.round(F.log((F.col("c") + 1) / denom) * LM_SCALE)
+            .cast("long")
+            .alias("llr"),
+            F.round(F.log(1.0 / denom) * LM_SCALE).cast("long").alias("llr_oov"),
+        )
+        .collect()
     )
-    oov_row = totals.select(
-        F.round(F.log(1.0 / denom) * LM_SCALE).cast("long").alias("llr_oov")
-    ).first()
+    if not rows:  # empty corpus: fall back to the scalar-only pass
+        oov_row = totals.select(
+            F.round(F.log(1.0 / denom) * LM_SCALE).cast("long").alias("llr_oov")
+        ).first()
+        return {}, int(oov_row["llr_oov"])
     return (
-        {r["word"]: int(r["llr"]) for r in probs.collect()},
-        int(oov_row["llr_oov"]),
+        {r["word"]: int(r["llr"]) for r in rows},
+        int(rows[0]["llr_oov"]),
     )
 
 
