@@ -989,12 +989,19 @@ def run_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     wk = F.date_trunc("week", F.col("ts")).cast("date")
     user_weeks = ev.select("user_id", wk.alias("wk")).distinct()
-    cohort = user_weeks.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    # Cohort week via a window min instead of groupBy+join-back (r11,
+    # guide §2.4 — the dedup_groups/dedup_ensemble pattern): Catalyst
+    # planned the join-back form as TWO full scans of events (the
+    # cohort side collapsed distinct+min into its own corpus aggregate)
+    # plus a broadcast build that is user-scale — fine at sf0.1,
+    # corpus-scale at 100 TB. min(wk) OVER (PARTITION BY user_id) reads
+    # the one distinct pass and shuffles only its (user, week) output.
+    cohort_week = F.min("wk").over(Window.partitionBy("user_id"))
     return (
-        user_weeks.join(cohort, "user_id")
-        .select(
-            "cohort_week",
-            (F.datediff("wk", "cohort_week") / 7).cast("int").alias("week_offset"),
+        user_weeks.select(
+            cohort_week.alias("cohort_week"),
+            (F.datediff(F.col("wk"), cohort_week) / 7)
+            .cast("int").alias("week_offset"),
         )
         .groupBy("cohort_week", "week_offset")
         .agg(F.count("*").cast("long").alias("n_users"))
@@ -1054,27 +1061,39 @@ def run_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds = ev.agg(
         F.min("_eus").alias("_lo"), F.max("_eus").alias("_hi")
     )
-    ev = ev.crossJoin(F.broadcast(bounds)).withColumn(
-        "_cut", F.expr("(_lo + _hi) div 2")
+    # Single-pass MERGE kernel (r11, guide §1.2 "don't compute things
+    # twice" + §2.4): the old base/chg split ran TWO window pipelines
+    # over complementary slices of the same scan — the physical plan
+    # paid 4 parquet scans of events (each side re-planned the bounds
+    # subtree), two corpus-sized window exchanges, and a full-outer SMJ.
+    # Tagging each row with its side and windowing over
+    # (user_id, _is_chg) keeps the identical per-side latest row in ONE
+    # scan + ONE window exchange; the full-outer join collapses to a
+    # two-rows-per-user groupBy pivot (max(when(side, col)) reproduces
+    # the join's columns exactly, nulls included, because rn=1 leaves at
+    # most one row per side). Null-key note: the outer join kept null
+    # user_ids apart where groupBy would merge them — events.user_id is
+    # non-null at every SF (generator invariant, and the window/oracle
+    # pair already assumed it); the explicit _eus filter reproduces the
+    # old cross-join condition's null rejection.
+    ev = (
+        ev.where(F.col("_eus").isNotNull())
+        .crossJoin(F.broadcast(bounds))
+        .withColumn("_is_chg", F.expr("_eus > (_lo + _hi) div 2"))
     )
-
-    def latest(df: DataFrame, prefix: str) -> DataFrame:
-        w = Window.partitionBy("user_id").orderBy(
-            F.desc("_eus"), F.desc("event_id")
-        )
-        return (
-            df.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
-            .select(
-                "user_id",
-                F.col("value").alias(f"{prefix}_value"),
-                F.col("event_type").alias(f"{prefix}_type"),
-            )
-        )
-
-    base = latest(ev.where(F.col("_eus") <= F.col("_cut")), "base")
-    chg = latest(ev.where(F.col("_eus") > F.col("_cut")), "chg")
-    merged = base.join(chg, "user_id", "full_outer")
+    w = Window.partitionBy("user_id", "_is_chg").orderBy(
+        F.desc("_eus"), F.desc("event_id")
+    )
+    latest = (
+        ev.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("user_id", "_is_chg", "value", "event_type")
+    )
+    merged = latest.groupBy("user_id").agg(
+        F.max(F.when(~F.col("_is_chg"), F.col("value"))).alias("base_value"),
+        F.max(F.when(F.col("_is_chg"), F.col("value"))).alias("chg_value"),
+        F.max(F.when(F.col("_is_chg"), F.col("event_type"))).alias("chg_type"),
+    )
     return (
         merged.where(
             F.col("chg_type").isNull() | (F.col("chg_type") != "error")

@@ -384,3 +384,34 @@ def test_lm_score_tokenizes_corpus_once(spark, sf_dir):
     # tf/vocab legs must resolve to reuse, not fresh exchanges.
     assert m["n_exchange"] <= 5, m
     assert m["n_reused_exchange"] >= 3, m
+
+
+def test_upsert_merge_single_pass(spark, sf_dir):
+    """The MERGE kernel reads events ONCE for the per-side latest rows
+    (r11): one window over (user_id, side) replaces the old base/chg
+    split that planned four parquet scans (two window legs, each
+    re-planning the bounds subtree) and a full-outer SMJ. The only
+    second scan allowed is the narrow ts-only bounds aggregate."""
+    import re
+
+    from datafusion_ray_spark.operators.suite3 import run_upsert_merge
+
+    plan = _plan(run_upsert_merge(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2, plan
+    assert "SortMergeJoin" not in plan, plan
+    # exactly one corpus window pipeline (one Window node)
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, plan
+
+
+def test_retention_cohorts_single_scan(spark, sf_dir):
+    """Cohort week is a window min over the one distinct (user, week)
+    pass (r11): the groupBy+join-back form planned a SECOND full events
+    scan (Catalyst collapsed distinct+min into its own corpus aggregate)
+    plus a user-scale broadcast build."""
+    import re
+
+    from datafusion_ray_spark.operators.suite3 import run_retention_cohorts
+
+    plan = _plan(run_retention_cohorts(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert "BroadcastHashJoin" not in plan, plan
