@@ -199,23 +199,49 @@ HLL_K = 50  #: fixed-point scale; ranks > K contribute 0 (P < 2^-50)
 HLL_ALPHA = 0.709  #: bias constant for m = 64
 
 
-def hll_registers(df: DataFrame, key_col: str) -> DataFrame:
+def hll_registers(df: DataFrame, key_col: str,
+                  with_count: bool = False) -> DataFrame:
     """Build the register table (register, max_rho) — ≤ m rows.
 
     rho = 1 + leading-zero count of a 60-bit md5 suffix, computed with pure
     integer arithmetic: LENGTH(BIN(v)) = floor(log2 v) + 1 (no float-on-
     the-boundary hazard). Mergeable: registers from shards/days combine
     with groupBy(register).max(max_rho) — the HLL property.
+
+    ``with_count`` additionally emits ``nk`` = rows per register (merges by
+    SUM); over a distinct key stream, SUM(nk) is the exact distinct count,
+    which lets a certification query fold the exact count into the same
+    pass as the sketch (run_hll, r11).
     """
     h = F.md5(F.col(key_col).cast("string"))
     reg = (F.conv(F.substring(h, 1, 2), 16, 10).cast("long") % HLL_M).cast("int")
     v = F.conv(F.substring(h, 3, 15), 16, 10).cast("long")  # 60 bits
     rho = F.when(v == 0, F.lit(61)).otherwise(F.lit(61) - F.length(F.bin(v)))
+    aggs = [F.max("rho").alias("max_rho")]
+    if with_count:
+        aggs.append(F.count("*").cast("long").alias("nk"))
     return (
         df.select(reg.alias("register"), rho.cast("int").alias("rho"))
         .groupBy("register")
-        .agg(F.max("rho").alias("max_rho"))
+        .agg(*aggs)
     )
+
+
+def hll_term() -> "F.Column":
+    """The fixed-point register term of the raw HLL estimate — an exact
+    BIGINT per register (2^(K - M_j), 0 past the K cutoff); unseen
+    registers (max_rho NULL after the range-m left join) count as M_j = 0.
+    Shared by hll_estimate and the one-pass certification in run_hll."""
+    return F.expr(
+        f"CASE WHEN coalesce(max_rho, 0) <= {HLL_K} "
+        f"THEN shiftleft(CAST(1 AS BIGINT), {HLL_K} - coalesce(max_rho, 0)) "
+        f"ELSE CAST(0 AS BIGINT) END"
+    )
+
+
+#: numerator of the raw HLL estimate: alpha * m^2 * 2^K (the fixed-point
+#: scale), divided by the register sum for the final float estimate.
+HLL_SCALE = float(HLL_ALPHA * HLL_M * HLL_M * (1 << HLL_K))
 
 
 def hll_estimate(registers: DataFrame) -> DataFrame:
@@ -227,14 +253,8 @@ def hll_estimate(registers: DataFrame) -> DataFrame:
     """
     spark = registers.sparkSession
     full = spark.range(HLL_M).select(F.col("id").cast("int").alias("register"))
-    term = F.expr(
-        f"CASE WHEN coalesce(max_rho, 0) <= {HLL_K} "
-        f"THEN shiftleft(CAST(1 AS BIGINT), {HLL_K} - coalesce(max_rho, 0)) "
-        f"ELSE CAST(0 AS BIGINT) END"
-    )
-    scale = float(HLL_ALPHA * HLL_M * HLL_M * (1 << HLL_K))
     return (
         full.join(registers, "register", "left")
-        .agg(F.sum(term).alias("reg_sum"))
-        .select(F.round(F.lit(scale) / F.col("reg_sum"), 4).alias("hll_est"))
+        .agg(F.sum(hll_term()).alias("reg_sum"))
+        .select(F.round(F.lit(HLL_SCALE) / F.col("reg_sum"), 4).alias("hll_est"))
     )

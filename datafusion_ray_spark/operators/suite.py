@@ -1708,18 +1708,42 @@ def run_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def run_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .sketch import hll_estimate, hll_registers
+    from .sketch import HLL_M, HLL_SCALE, hll_registers, hll_term
 
     # Project to the key BEFORE spread(): the repartition exists only to fan
     # the md5 work across cores, and shuffling one narrow column beats
     # shuffling the full 16-column row.
     li = spread(narrow(load_table(spark, sf_dir, "lineitem"), "l_orderkey"))
-    est = hll_estimate(hll_registers(li, "l_orderkey"))
-    exact = li.agg(F.countDistinct("l_orderkey").cast("long").alias("n_exact"))
-    return exact.crossJoin(F.broadcast(est)).select(
-        "n_exact",
-        "hll_est",
-        (F.abs(F.col("hll_est") / F.col("n_exact") - 1) <= 0.3).alias("within_bound"),
+    # ONE pass for the sketch AND the certification count (r11, guide
+    # §1.2/§2.3): HLL registers are max-of-rho per bucket, so
+    # registers(distinct(S)) == registers(S) byte-for-byte — building
+    # from the distinct keys cuts the md5/conv/bin kernel to the
+    # distinct cardinality (4x fewer rows here), and per-register key
+    # counts (nk) make SUM(nk) the exact distinct count, folding what
+    # used to be a SEPARATE corpus countDistinct leg (2 scans, 2
+    # unshared corpus exchanges) into the register aggregate's own final
+    # row. The production sketch path is unchanged (hll_registers over
+    # the raw stream, no distinct): the distinct here exists only
+    # because this declared query ALSO certifies the estimate.
+    dk = li.select("l_orderkey").distinct()
+    regs = hll_registers(dk, "l_orderkey", with_count=True)
+    full = spark.range(HLL_M).select(F.col("id").cast("int").alias("register"))
+    return (
+        full.join(regs, "register", "left")
+        .agg(
+            F.sum(hll_term()).alias("reg_sum"),
+            F.sum("nk").cast("long").alias("n_exact"),
+        )
+        .select(
+            "n_exact",
+            F.round(F.lit(HLL_SCALE) / F.col("reg_sum"), 4).alias("hll_est"),
+        )
+        .select(
+            "n_exact",
+            "hll_est",
+            (F.abs(F.col("hll_est") / F.col("n_exact") - 1) <= 0.3)
+            .alias("within_bound"),
+        )
     )
 
 
