@@ -171,6 +171,13 @@ def resample_fill(df: DataFrame, width_seconds: int = 3600) -> DataFrame:
     counts = (
         df.groupBy(bucket.alias("bucket_start"), "event_type")
         .agg(F.count("*").cast("long").alias("n"))
+        # Pinned (r11, guide §5 — the graph_triangles precedent): the
+        # grid-sized counts table feeds THREE plan legs (bounds, the
+        # distinct type list, the fill join) whose differing projections
+        # defeat exchange reuse, so each leg re-planned the corpus scan +
+        # groupBy. Bounded by construction (time-range/width x types);
+        # lazy, so plan-only tooling never runs the scan.
+        .localCheckpoint(eager=False)
     )
     bounds = counts.agg(
         F.min("bucket_start").alias("lo"), F.max("bucket_start").alias("hi")
@@ -180,7 +187,11 @@ def resample_fill(df: DataFrame, width_seconds: int = 3600) -> DataFrame:
             F.sequence("lo", "hi", F.lit(int(width_seconds)).cast("long"))
         ).alias("bucket_start")
     )
-    types = df.select("event_type").distinct()
+    # Distinct types off the aggregated counts, not the raw events (r11,
+    # guide §2.3): same value set by construction (every type in events
+    # appears in its bucket counts), but grid-sized input instead of a
+    # second corpus scan + corpus-wide distinct shuffle.
+    types = counts.select("event_type").distinct()
     grid = spine.crossJoin(types)
     return (
         grid.join(counts, ["bucket_start", "event_type"], "left")
