@@ -255,17 +255,27 @@ def run_text_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     summed over the FULL vocabulary (missing terms contribute their
     smoothed mass — that is where divergence shows up).
 
-    Plan: one (term) shuffle for corpus counts, a bounded top-V vocabulary
-    (broadcast), one (source, term) shuffle for per-source counts, then a
-    |sources|×V grid left-joined to the counts — every stage is
-    map-side-combinable and the grid is bounded by construction."""
+    Plan: ONE corpus tokenize+explode into a map-side-combinable
+    (source, term) count shuffle (r11, the lm_score single-corpus-pass
+    precedent); corpus term counts, the bounded top-V vocabulary and the
+    per-source slices are all vocabulary-scale aggregates of that table.
+    The (source, term) table feeds three legs (the vocab action, the
+    per-source counts, the grid) so it is persist()-ed — without the pin
+    the driver vocab action and the final plan's two vocab subtrees each
+    re-ran the corpus explode (3 corpus passes; now 1). The grid is a
+    |sources|×V broadcast join — bounded by construction."""
     # not spread(): the explode feeds a (source, term) shuffle directly —
     # the extra repartition measured +0.7 s at sf0.1 for no gain (r7)
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("source", F.explode(tokens("text")).alias("term"))
+    st = (
+        tok.groupBy("source", "term")
+        .agg(F.count("*").alias("c_sw"))
+        .persist()
+    )
     vocab = (
-        tok.groupBy("term")
-        .agg(F.count("*").alias("c"))
+        st.groupBy("term")
+        .agg(F.sum("c_sw").alias("c"))
         .orderBy(F.desc("c"), F.asc("term"))
         .limit(KL_VOCAB)
     )
@@ -275,10 +285,8 @@ def run_text_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").alias("n_all"), F.count("*").alias("v")
     ).first()
     n_all, v_sz = int(nv["n_all"]), int(nv["v"])
-    per_src = (
-        tok.join(F.broadcast(vocab.select("term")), "term")
-        .groupBy("source", "term")
-        .agg(F.count("*").alias("c_sw"))
+    per_src = st.join(F.broadcast(vocab.select("term")), "term").select(
+        "source", "term", "c_sw"
     )
     ns = per_src.groupBy("source").agg(F.sum("c_sw").alias("n_s"))
     grid = ns.crossJoin(F.broadcast(vocab))
@@ -642,31 +650,50 @@ def run_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     the classic corpus-linguistics detector for multi-word units
     ("new york"-style pairs whose co-occurrence beats chance).
 
-    Plan: token and bigram counts are two map-side-combinable keyed
-    shuffles; corpus totals are driver scalars (two ints); the two
-    unigram lookups join on term — narrow keyed joins that scale with
-    vocabulary, never corpus². The PMI argument is an exact integer
-    ratio; one ln + round(6) certifies cross-engine."""
+    Plan: ONE corpus tokenize feeds both count tables (r11, the lm_score
+    single-corpus-pass precedent): unigrams and bigrams share a keyed
+    count — whitespace tokenization means token keys can never contain
+    the space a bigram key always does, so one explode of
+    ``concat(w, bigrams(w))`` and one map-side-combinable groupBy count
+    both vocabularies. The counts table is vocabulary-sized and feeds
+    FOUR legs (the totals action, the bigram scorer, both unigram
+    lookups) whose alias-divergent projections defeat exchange reuse, so
+    it is persist()-ed (the semdedup lesson, guide §5) — without the pin
+    the driver totals action and the final plan each re-ran the corpus
+    tokenize (4 corpus explodes; now 1). Corpus totals are driver
+    scalars (two ints); the two unigram lookups join on term — narrow
+    keyed joins that scale with vocabulary, never corpus². The PMI
+    argument is an exact integer ratio; one ln + round(6) certifies
+    cross-engine."""
     # not spread(): same rationale as run_kl_divergence above
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(tokens("text").alias("w"))
-    uni = (
-        toks.select(F.explode("w").alias("term"))
-        .groupBy("term")
-        .agg(F.count("*").alias("c"))
-    )
-    bi = (
+    counts = (
         toks.select(
             F.explode(
                 F.expr(
-                    "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1),"
-                    " (x, y) -> concat(x, ' ', y))"
+                    "concat(w, zip_with(slice(w, 1, size(w) - 1),"
+                    " slice(w, 2, size(w) - 1),"
+                    " (x, y) -> concat(x, ' ', y)))"
                 )
-            ).alias("bigram")
+            ).alias("k")
         )
-        .groupBy("bigram")
-        .agg(F.count("*").alias("c_xy"))
-        .where(F.col("c_xy") >= PMI_MIN_COUNT)
+        .groupBy("k")
+        .agg(F.count("*").alias("c"))
+        # Pinned rows are the POST-FILTER vocabulary: every unigram (the
+        # totals and lookup legs need all of them) but only bigrams that
+        # clear PMI_MIN_COUNT — rare bigrams (the long tail) never enter
+        # the cache.
+        .where(
+            ~F.col("k").contains(" ") | (F.col("c") >= PMI_MIN_COUNT)
+        )
+        .persist()
+    )
+    uni = counts.where(~F.col("k").contains(" ")).select(
+        F.col("k").alias("term"), "c"
+    )
+    bi = counts.where(F.col("k").contains(" ")).select(
+        F.col("k").alias("bigram"), F.col("c").alias("c_xy")
     )
     totals = uni.agg(
         F.sum("c").alias("n_tok"),

@@ -415,3 +415,38 @@ def test_retention_cohorts_single_scan(spark, sf_dir):
     plan = _plan(run_retention_cohorts(spark, sf_dir))
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
     assert "BroadcastHashJoin" not in plan, plan
+
+
+def test_collocations_tokenizes_corpus_once(spark, sf_dir):
+    """PMI collocations tokenize the corpus ONCE (r11): unigram and
+    bigram counts come from one explode of ``concat(w, bigrams(w))``
+    (disjoint key spaces — tokens never contain the space every bigram
+    key has) into one pinned vocabulary-sized count table. All plan legs
+    (totals action, bigram scorer, both unigram lookups) read the pin:
+    the final plan must show exactly one distinct parquet scan node
+    (inside the cached build) and three cache consumers."""
+    import re
+
+    from datafusion_ray_spark.operators.suite6 import run_text_collocations
+
+    df = run_text_collocations(spark, sf_dir)
+    plan = _plan(df)
+    assert len(set(re.findall(r"\((\d+)\) Scan parquet", plan))) == 1, plan
+    assert len(set(re.findall(r"\((\d+)\) InMemoryTableScan", plan))) >= 3, plan
+
+
+def test_text_kl_tokenizes_corpus_once(spark, sf_dir):
+    """KL(source ‖ corpus) explodes the corpus ONCE into a pinned
+    (source, term) count table (r11); corpus term counts, the top-V
+    vocabulary and the per-source slices are vocabulary-scale aggregates
+    of the pin. The old form re-ran the corpus explode for the vocab
+    action and again under both of the final plan's vocab subtrees
+    (10 parquet scans in the before plan)."""
+    import re
+
+    from datafusion_ray_spark.operators.suite6 import run_text_kl
+
+    df = run_text_kl(spark, sf_dir)
+    plan = _plan(df)
+    assert len(set(re.findall(r"\((\d+)\) Scan parquet", plan))) == 1, plan
+    assert len(set(re.findall(r"\((\d+)\) InMemoryTableScan", plan))) >= 3, plan
