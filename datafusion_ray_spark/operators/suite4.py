@@ -1004,23 +1004,43 @@ def run_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vus"
         ),
     )
-    stats = v.groupBy("pos").agg(
-        F.sum("vus").alias("s"), F.count("*").cast("long").alias("n")
+    # Per-dimension (Σvus, n) is DIMS integers — the same legitimately
+    # driver-sized reduction as bq_stats/sq8_stats (r11). Collecting it
+    # lets the scoring side stay ARRAY-SIDE: the old form posexploded the
+    # corpus a second time, broadcast-joined corpus×dim rows, and
+    # shuffled them back through a corpus×dim groupBy(vec_id); now the
+    # squared distance folds per row (zero exchanges before the top-k).
+    # The arithmetic is the identical exact-integer sequence per
+    # position j: cn = vus·n_j − s_j (bigint), Σ decimal(38,0) cn²,
+    # DIV max(n_j)².
+    srt = sorted(
+        (r["pos"], int(r["s"]), int(r["n"]))
+        for r in v.groupBy("pos").agg(
+            F.sum("vus").alias("s"), F.count("*").cast("long").alias("n")
+        ).collect()
     )
-    centered = v.join(F.broadcast(stats), "pos").select(
-        "vec_id",
-        "n",
-        (F.col("vus") * F.col("n") - F.col("s")).alias("cn"),
+    s_lits = ", ".join(f"{s}L" for _, s, _ in srt)
+    n_lits = ", ".join(f"{n}L" for _, _, n in srt)
+    # cn_j = vus_j·n_j − s_j per position (bigint), Σ decimal(38,0) cn²,
+    # DIV max(n_j over the vector's positions)² — op-for-op the old plan.
+    dist2 = F.expr(
+        "CAST(aggregate("
+        " zip_with("
+        "  zip_with("
+        "   transform(embedding, x ->"
+        "     CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)),"
+        f"   slice(array({n_lits}), 1, size(embedding)), (v, n) -> v * n),"
+        f"  slice(array({s_lits}), 1, size(embedding)), (vn, s) -> vn - s),"
+        " CAST(0 AS DECIMAL(38,0)),"
+        " (acc, cn) -> acc + CAST(cn AS DECIMAL(38,0)) * cn)"
+        f" DIV (aggregate(slice(array({n_lits}), 1, size(embedding)),"
+        "       CAST(0 AS BIGINT), (a, x) -> greatest(a, x))"
+        f"  * aggregate(slice(array({n_lits}), 1, size(embedding)),"
+        "       CAST(0 AS BIGINT), (a, x) -> greatest(a, x)))"
+        " AS BIGINT)"
     )
-    c2 = (F.col("cn").cast("decimal(38,0)") * F.col("cn")).alias("c2")
     return (
-        centered.select("vec_id", "n", c2)
-        .groupBy("vec_id")
-        .agg(
-            F.expr("CAST(sum(c2) DIV (max(n) * max(n)) AS BIGINT)").alias(
-                "dist2_us"
-            )
-        )
+        emb.select("vec_id", dist2.alias("dist2_us"))
         .orderBy(F.desc("dist2_us"), "vec_id")
         .limit(20)
     )
@@ -1128,13 +1148,26 @@ ORDER BY user_id, eus, event_id
 
 
 def run_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     docs = _docs(spark, sf_dir)
+    # ONE corpus tokenize+shingle pass (r11; the star-contraction /
+    # retention-cohorts window pattern, guide §2.4): the old
+    # groupBy+join-back form planned the explode TWICE (aggregate +
+    # probe legs — exchange reuse is defeated by the different exchange
+    # keys) and shuffled the full exploded stream a second time through
+    # a sort-merge join. `min(doc_id) OVER (PARTITION BY s)` attaches the
+    # first-occurrence doc in the one (s) shuffle; the per-doc aggregate
+    # is then map-side combinable. Trade-off (same as the star rewrite):
+    # a corpus-wide boilerplate shingle's window partition is one task
+    # where the SMJ probe could be AQE-skew-split — at a 100 TB corpus
+    # with heavy boilerplate, salt the hot shingles into a two-level min.
     sh = docs.select(
         "doc_id", F.explode(dedup.shingles("text")).alias("s")
     )
-    first = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    fd = F.min("doc_id").over(Window.partitionBy("s"))
     return (
-        sh.join(first, "s")
+        sh.withColumn("first_doc", fd)
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("long").alias("n_shingles"),

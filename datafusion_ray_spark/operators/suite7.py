@@ -126,13 +126,19 @@ def url_dedup(docs: DataFrame) -> DataFrame:
             ),
         ).alias("_params"),
     )
+    # persist(): BOTH join legs (winner aggregate + probe) consume this
+    # table and their alias-divergent shapes defeat exchange reuse, so
+    # without the pin each leg re-ran the whole canonicalization kernel
+    # (3×parse_url, regex, param sort, md5 per row — 2 scans in the r11
+    # sweep). The pinned rows are the narrow (doc_id, domain, hash)
+    # projection, never the raw text (the semdedup lesson, guide §5).
     canon = canon.select(
         "doc_id",
         "registered_domain",
         F.md5(
             F.concat_ws("|", "registered_domain", "_path", "_params")
         ).alias("canon_hash"),
-    )
+    ).persist()
     winners = canon.groupBy("canon_hash").agg(F.min("doc_id").alias("keep_id"))
     return canon.join(winners, "canon_hash").select(
         "doc_id",

@@ -165,30 +165,51 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """
     toks = tokens(text_col)
     base = df.select("doc_id", toks.alias("_w"))
-    bigrams = F.when(
-        F.size("_w") >= 2,
+    # ONE corpus tokenize (r11, guide §2.3): the bigram signals are
+    # array-side per-doc constants, so they ride the word explode as two
+    # int columns (max()-ed back out of the aggregates) instead of a
+    # second scan+tokenize+bigram kernel joined back on doc_id. The
+    # carried ints live INSIDE the generator via the single-element-array
+    # let-binding (the shingles idiom): Catalyst pushes a plain projection
+    # ABOVE the Generate, which re-evaluated the zip_with/array_distinct
+    # kernel per EMITTED token (benched 1.4 -> 5.0 s at sf0.1 — the
+    # substring_dup_pairs trap); inside the generator the header struct
+    # is computed once per document and copied per token. The (doc, word)
+    # shuffle widens by two ints per map-side-combined group; the whole
+    # second corpus pass disappears.
+    gen = F.explode(
         F.expr(
-            "zip_with(slice(_w, 1, size(_w) - 1), slice(_w, 2, size(_w) - 1), "
-            "(a, b) -> concat(a, ' ', b))"
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    per_doc = base.select(
-        "doc_id",
-        F.size(bigrams).cast("int").alias("n_bigrams"),
-        (F.size(bigrams) - F.size(F.array_distinct(bigrams)))
-        .cast("int")
-        .alias("_n_dup"),
+            "flatten(transform("
+            " array(struct("
+            "   transform(array(CASE WHEN size(_w) >= 2 THEN"
+            "     zip_with(slice(_w, 1, size(_w) - 1), slice(_w, 2, size(_w) - 1),"
+            "       (a, b) -> concat(a, ' ', b))"
+            "     ELSE array() END),"
+            "     bg -> struct(CAST(size(bg) AS INT) AS nb,"
+            "                  CAST(size(bg) - size(array_distinct(bg)) AS INT) AS nd)"
+            "   )[0] AS h,"
+            "   _w AS w)),"
+            " s -> transform(s.w, t ->"
+            "   struct(s.h.nb AS n_bigrams, s.h.nd AS _n_dup, t AS word))))"
+        )
     )
     wc = (
-        base.select("doc_id", F.explode("_w").alias("word"))
+        base.select("doc_id", gen.alias("g"))
+        .select("doc_id", "g.n_bigrams", "g._n_dup", "g.word")
         .groupBy("doc_id", "word")
-        .agg(F.count("*").alias("c"))
+        .agg(
+            F.count("*").alias("c"),
+            F.max("n_bigrams").alias("n_bigrams"),
+            F.max("_n_dup").alias("_n_dup"),
+        )
     )
     # Deterministic argmax in ONE aggregation: min of (-count, word) is the
     # max count with the lexicographically-first word as tiebreak.
     top = wc.groupBy("doc_id").agg(
         F.min(F.struct((-F.col("c")).alias("nc"), F.col("word").alias("w"))).alias("t"),
         F.sum("c").cast("int").alias("n_tokens"),
+        F.max("n_bigrams").alias("n_bigrams"),
+        F.max("_n_dup").alias("_n_dup"),
     )
     dup_frac = F.when(
         F.col("n_bigrams") > 0,
@@ -196,7 +217,7 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     ).otherwise(F.lit(0.0))
     top_frac = F.round((-F.col("t.nc")) / F.col("n_tokens"), 6)
     return (
-        per_doc.join(top, "doc_id")
+        top
         .select(
             "doc_id",
             "n_tokens",
@@ -515,22 +536,27 @@ def ngram_decontaminate(train: DataFrame, benchmark: DataFrame,
     benchmark sets, swap the broadcast for ``sketch.bloom_build`` over the
     grams — no false negatives, same join shape.
 
+    The train pool is read ONCE (r11): ``explode_outer`` keeps a
+    null-gram row for gram-less documents, the broadcast LEFT join marks
+    matches, and one map-side-combinable per-doc aggregate counts them —
+    the old inner-join form needed a second doc_id-only train scan plus a
+    join back just to re-attach the zero-gram documents.
+
     Returns every train doc: (doc_id, n_shared_grams, contaminated).
     """
     bench = (
         benchmark.select(F.explode(word_ngrams(text_col, k)).alias("gram"))
         .distinct()
+        .withColumn("_hit", F.lit(1))
     )
-    tr = train.select("doc_id", F.explode(word_ngrams(text_col, k)).alias("gram"))
-    hits = (
-        tr.join(F.broadcast(bench), "gram")
-        .groupBy("doc_id")
-        .agg(F.count("*").cast("int").alias("n_shared_grams"))
+    tr = train.select(
+        "doc_id", F.explode_outer(word_ngrams(text_col, k)).alias("gram")
     )
     return (
-        train.select("doc_id")
-        .join(hits, "doc_id", "left")
-        .na.fill({"n_shared_grams": 0})
+        tr.join(F.broadcast(bench), "gram", "left")
+        .groupBy("doc_id")
+        .agg(F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+             .cast("int").alias("n_shared_grams"))
         .select(
             "doc_id",
             "n_shared_grams",
