@@ -349,14 +349,21 @@ WITH m AS (
            CAST(SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS BIGINT) AS mon_us
     FROM events GROUP BY user_id
 ),
-g AS (SELECT MAX(last_us) AS now_us FROM m),
 q AS (
+    -- ORDER BY (now_us - last_us, user_id) with the corpus-constant
+    -- now_us is the identical total order as (last_us DESC NULLS FIRST,
+    -- user_id) — a NULL last_us made the subtraction NULL, which sorts
+    -- first ascending — so the recency quartile needs no global-max CTE:
+    -- the old g leg re-planned the whole per-user aggregate (a second
+    -- events scan) for one subtrahend that cancels out of the ordering
+    -- (r11).
     SELECT user_id,
-           CAST(NTILE(4) OVER (ORDER BY now_us - last_us, user_id) AS INT) AS r_q,
+           CAST(NTILE(4) OVER (ORDER BY last_us DESC NULLS FIRST, user_id)
+                AS INT) AS r_q,
            CAST(NTILE(4) OVER (ORDER BY freq DESC, user_id) AS INT) AS f_q,
            CAST(NTILE(4) OVER (ORDER BY mon_us DESC, user_id) AS INT) AS m_q,
            freq, mon_us
-    FROM m CROSS JOIN g
+    FROM m
 )
 SELECT user_id, r_q, f_q, m_q,
        CAST(r_q * 100 + f_q * 10 + m_q AS INT) AS rfm_code,
