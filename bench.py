@@ -50,6 +50,65 @@ CORPUS_SIZED_OUTPUT = {
 CALIBRATION_PROBES = ("q1", "q6", "q18")
 
 
+def _jvm_snapshot(spark) -> dict | None:
+    """One cheap (few py4j calls) driver-JVM state snapshot, used to
+    bracket every query (round-12, VERDICT r11 #1: the dedup composites'
+    in-suite walls swing up to 5x their isolated min on identical code on
+    noisy epochs — record per-query GC time/count, heap, loaded classes,
+    codegen compilations and broadcast count so suite-accumulated JVM
+    state is measurable instead of conjectural). Taken OUTSIDE the timed
+    region; any failure degrades to None, never to a lost artifact."""
+    try:
+        jvm = spark.sparkContext._jvm
+        mf = jvm.java.lang.management.ManagementFactory
+        gc_ms = 0
+        gc_n = 0
+        for b in mf.getGarbageCollectorMXBeans():
+            gc_ms += b.getCollectionTime()
+            gc_n += b.getCollectionCount()
+        snap = {
+            "gc_ms": int(gc_ms),
+            "gc_n": int(gc_n),
+            "heap_mb": round(
+                mf.getMemoryMXBean().getHeapMemoryUsage().getUsed() / 1e6, 1
+            ),
+            "classes": int(
+                mf.getClassLoadingMXBean().getTotalLoadedClassCount()
+            ),
+        }
+        try:  # Scala object: codegen compilation counter (whole-stage janino)
+            cm = getattr(
+                getattr(jvm.org.apache.spark.metrics.source,
+                        "CodegenMetrics$"), "MODULE$")
+            snap["codegen_n"] = int(cm.METRIC_COMPILATION_TIME().getCount())
+        except Exception:  # noqa: BLE001 - best-effort
+            pass
+        try:
+            snap["broadcasts"] = int(
+                spark.sparkContext._jsc.sc().env().broadcastManager()
+                .nextBroadcastId()
+            )
+        except Exception:  # noqa: BLE001 - best-effort
+            pass
+        return snap
+    except Exception:  # noqa: BLE001 - instrumentation must never fail a run
+        return None
+
+
+def _jvm_delta(before: dict | None, after: dict | None) -> dict | None:
+    """Per-query bracket: counters as deltas, gauges (heap) as the AFTER
+    value — growth across queries shows up as a rising heap_mb series."""
+    if not before or not after:
+        return None
+    out = {
+        k: after[k] - before[k]
+        for k in ("gc_ms", "gc_n", "classes", "codegen_n", "broadcasts")
+        if k in before and k in after
+    }
+    out["heap_mb"] = after.get("heap_mb")
+    return out
+
+
 def _host_load() -> dict:
     """One-line host-contention snapshot for the bench artifact."""
     ncpu = os.cpu_count() or 1
@@ -203,12 +262,14 @@ def main() -> None:
     per_query: dict[str, float] = {}
     compute_only: dict[str, float] = {}
     shuffle: dict[str, dict[str, int]] = {}
+    jvm_brackets: dict[str, dict] = {}
     errors: dict[str, str] = {}
     from datafusion_ray_spark.plans import runtime_shuffle_metrics
 
     for name in names:
         entry = registry[name]
         best = None
+        jvm_before = _jvm_snapshot(spark)
         try:
             for _ in range(args.runs):
                 start = time.perf_counter()
@@ -253,6 +314,9 @@ def main() -> None:
         # Drop any blocks the query persisted (dedup candidate sets etc.) so
         # later queries aren't measured under earlier queries' cache residue.
         spark.catalog.clearCache()
+        bracket = _jvm_delta(jvm_before, _jvm_snapshot(spark))
+        if bracket is not None:
+            jvm_brackets[name] = bracket
         # Nudge the ContextCleaner: shuffle files and checkpoint blocks of
         # dead plans are only reclaimed after driver GC notices the RDDs
         # are unreachable. At scale-up factors a suite accumulates tens of
@@ -330,6 +394,10 @@ def main() -> None:
             "contended_at_start":
                 host_start["load1_per_cpu"] > LOAD_WARN_THRESHOLD,
         },
+        # Per-query driver-JVM brackets (round-12, VERDICT r11 #1): deltas
+        # of GC ms/count, loaded classes, codegen compilations, broadcast
+        # ids, plus post-query heap. Taken outside the timed region.
+        "jvm": jvm_brackets,
         # Self-adjudication (round-11): probe walls re-timed after the
         # suite vs the committed same-epoch baseline (inflation_factor)
         # and vs this run's own walls (self_ratio). A factor ~1.0 says

@@ -557,6 +557,16 @@ class LedgerEntry:
     stale: bool
     reasons: list[str] = field(default_factory=list)
     fragment_hash: str | None = None  # own-declaration hash (round 11)
+    #: round 12: the entry's OWN declaration fragment (its q()/SuiteEntry
+    #: call plus any singly-referenced run callable) changed after — or it
+    #: was never — driver-certified. Shared-residual churn stales ~3/4 of
+    #: the registry every round (144 stale for 20 slots in r12), and
+    #: certification-age alone then starves exactly the entries whose
+    #: implementation genuinely changed — the r11 verdict's finding #4.
+    own_decl_stale: bool = False
+    #: round the own declaration fragment last changed (0 = unknown/never;
+    #: only meaningful when the entry is fragmented).
+    own_decl_touched_round: int = 0
 
 
 def _entry_seed_modules(registry) -> dict[str, set[str]]:
@@ -629,6 +639,7 @@ def build_ledger(registry=None) -> dict[str, LedgerEntry]:
         h = hashlib.sha256()
         touches: list[tuple[int, str]] = []
         own_frag = hashlib.sha256()
+        own_touch = 0
         for f in files:
             h.update(f.encode())
             if fragmented and f in frag.modules:
@@ -640,8 +651,9 @@ def build_ledger(registry=None) -> dict[str, LedgerEntry]:
                 if ftext is not None:  # the entry's own declaration(s)
                     h.update(ftext.encode())
                     own_frag.update(ftext.encode())
-                    touches.append((frag.frag_touch.get((f, name), 0),
-                                    f"{f} (own declaration)"))
+                    frt = frag.frag_touch.get((f, name), 0)
+                    own_touch = max(own_touch, frt)
+                    touches.append((frt, f"{f} (own declaration)"))
             else:
                 h.update(sha_of(f))
                 touches.append((touched.get(f, 0), f))
@@ -649,6 +661,11 @@ def build_ledger(registry=None) -> dict[str, LedgerEntry]:
         last_cert = certified.get(name)
         last_touch = max((r for r, _ in touches), default=0)
         stale = last_cert is None or last_touch > last_cert
+        # Non-fragmented entries can't separate "own" from "shared"
+        # touches — conservatively treat their staleness as own-caused.
+        own_decl_stale = stale and (
+            not fragmented or last_cert is None or own_touch > last_cert
+        )
         reasons = []
         if last_cert is None:
             reasons.append("never driver-certified")
@@ -669,6 +686,8 @@ def build_ledger(registry=None) -> dict[str, LedgerEntry]:
             stale=stale,
             reasons=reasons,
             fragment_hash=own_frag.hexdigest()[:16] if fragmented else None,
+            own_decl_stale=own_decl_stale,
+            own_decl_touched_round=own_touch,
         )
     return ledger
 
@@ -680,10 +699,17 @@ def pick_window(
 ) -> list[str]:
     """The next driver window: ``pinned`` first (registry declaration
     order — the TPC-H suite + family flagships), then rotating slots
-    ranked stale-first, oldest-certified-first, name as the tiebreak."""
+    ranked own-declaration-stale first (entries whose own q()/run
+    implementation changed since certification — these are the ones a
+    re-certification actually de-risks), most-recently-rewritten first
+    within that tier (a this-round rewrite carries more mis-certification
+    risk than one that has survived local oracles since r4), then
+    residual-stale, then oldest-certified-first, name as the tiebreak."""
     rotating = sorted(
         (e for name, e in ledger.items() if name not in set(pinned)),
         key=lambda e: (
+            not e.own_decl_stale,
+            -(e.own_decl_touched_round if e.own_decl_stale else 0),
             not e.stale,
             e.last_certified_round if e.last_certified_round is not None else -1,
             e.name,

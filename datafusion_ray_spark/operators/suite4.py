@@ -15,6 +15,8 @@ verification touches candidates only, nothing collects rows to the driver.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -137,10 +139,24 @@ def run_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh = dedup.minhash_dedup_pairs(docs).localCheckpoint(eager=True)
     lsh_true = lsh.where("is_near_dup").select("doc_a", "doc_b")
 
-    n_exact = exact.agg(F.count("*").cast("long").alias("n_exact"))
-    n_matched = (
-        exact.join(lsh_true, ["doc_a", "doc_b"], "left_semi")
-        .agg(F.count("*").cast("long").alias("n_matched"))
+    # ONE pass over the exact pipeline (r12, VERDICT r11 #5; guide §1.2):
+    # n_exact and n_matched used to be two separate aggregate legs — a
+    # bare count plus a LeftSemi count — and the AllPairs subtree (pair
+    # expansion + inline Jaccard verify, the query's dominant kernel)
+    # canonicalized differently under them, so it PLANNED AND RAN TWICE
+    # (plans/r12/dedup_lsh_eval_before.txt nodes 12-17 vs 18-32). A
+    # marker left join against the checkpointed LSH-true set computes
+    # both counts in one pass: count(*) is n_exact, count(_m) is the
+    # semi-join count — exact because minhash pairs are unique per
+    # (doc_a, doc_b) (candidates are .distinct(), verify joins 1:1).
+    ex_counts = (
+        exact.join(
+            lsh_true.withColumn("_m", F.lit(1)), ["doc_a", "doc_b"], "left"
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_exact"),
+            F.count("_m").cast("long").alias("n_matched"),
+        )
     )
     cand_counts = lsh.agg(
         F.count("*").cast("long").alias("n_candidates"),
@@ -149,7 +165,7 @@ def run_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_lsh_true"),
     )
     return (
-        n_exact.crossJoin(n_matched)
+        ex_counts
         .crossJoin(cand_counts)
         .select(
             "n_exact",
@@ -1147,6 +1163,18 @@ ORDER BY user_id, eus, event_id
 # the per-doc fraction is a ppm integer.
 
 
+#: Hub-safe mode for the novelty scorer (r12, VERDICT r11 #2). The star
+#: loop can PROBE its (bounded, pinned) edge set's degree cheaply; the
+#: shingle stream is corpus-scale, so probing its max frequency would cost
+#: the very pass the guard exists to protect — the switch is therefore a
+#: deployment conf, default off (the window form, 23% faster at sf0.1 and
+#: plan-ledger-pinned). Set SPARK_GRAFT_NOVELTY_HUB_SAFE=1 on corpora with
+#: heavy boilerplate (a corpus-wide shingle's window partition is ONE
+#: task): the aggregate+join form's partial min combines hot shingles
+#: map-side and the join-back is AQE-skew-splittable.
+NOVELTY_HUB_SAFE = os.environ.get("SPARK_GRAFT_NOVELTY_HUB_SAFE", "0") == "1"
+
+
 def run_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
@@ -1158,16 +1186,19 @@ def run_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     # keys) and shuffled the full exploded stream a second time through
     # a sort-merge join. `min(doc_id) OVER (PARTITION BY s)` attaches the
     # first-occurrence doc in the one (s) shuffle; the per-doc aggregate
-    # is then map-side combinable. Trade-off (same as the star rewrite):
-    # a corpus-wide boilerplate shingle's window partition is one task
-    # where the SMJ probe could be AQE-skew-split — at a 100 TB corpus
-    # with heavy boilerplate, salt the hot shingles into a two-level min.
+    # is then map-side combinable. The boilerplate-shingle straggler
+    # escape is NOVELTY_HUB_SAFE above.
     sh = docs.select(
         "doc_id", F.explode(dedup.shingles("text")).alias("s")
     )
-    fd = F.min("doc_id").over(Window.partitionBy("s"))
+    if NOVELTY_HUB_SAFE:
+        first = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+        joined = sh.join(first, "s")
+    else:
+        fd = F.min("doc_id").over(Window.partitionBy("s"))
+        joined = sh.withColumn("first_doc", fd)
     return (
-        sh.withColumn("first_doc", fd)
+        joined
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("long").alias("n_shingles"),

@@ -259,19 +259,29 @@ def run_text_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     (source, term) count shuffle (r11, the lm_score single-corpus-pass
     precedent); corpus term counts, the bounded top-V vocabulary and the
     per-source slices are all vocabulary-scale aggregates of that table.
-    The (source, term) table feeds three legs (the vocab action, the
-    per-source counts, the grid) so it is persist()-ed — without the pin
-    the driver vocab action and the final plan's two vocab subtrees each
-    re-ran the corpus explode (3 corpus passes; now 1). The grid is a
-    |sources|×V broadcast join — bounded by construction."""
+    r12 (VERDICT r11 #4): the persist() pin and the driver vocab/totals
+    action are GONE — the totals ride as a 1-row broadcast (the repo's
+    scalar-crossJoin idiom) so the whole query is ONE plan whose five
+    (source, term) consumers resolve to ReusedExchange instead of cache
+    reads. The explicit not-null guard on the group keys exists to keep
+    every leg's exchange subtree CANONICALLY IDENTICAL: the inner
+    vocab-join infers IsNotNull(term) and the left join IsNotNull on
+    both keys into their legs, and a constraint present in one leg but
+    not another defeats exchange reuse (the sketch_hll r11 lesson).
+    Values are unchanged — explode(split()) never emits null terms and
+    a null source never matches the grid's join keys, so such rows
+    never reached the output. Measured at sf0.1: runtime shuffle
+    117 KB / 1802 rows / 5 exchanges, 0 reused → 19.5 KB / 691 rows /
+    4 + 5 reused; cache write and the extra driver job gone. The grid
+    is a |sources|×V broadcast join — bounded by construction."""
     # not spread(): the explode feeds a (source, term) shuffle directly —
     # the extra repartition measured +0.7 s at sf0.1 for no gain (r7)
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("source", F.explode(tokens("text")).alias("term"))
     st = (
-        tok.groupBy("source", "term")
+        tok.where(F.col("term").isNotNull() & F.col("source").isNotNull())
+        .groupBy("source", "term")
         .agg(F.count("*").alias("c_sw"))
-        .persist()
     )
     vocab = (
         st.groupBy("term")
@@ -279,22 +289,27 @@ def run_text_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("c"), F.asc("term"))
         .limit(KL_VOCAB)
     )
-    # Driver scalars: vocabulary size + vocab-restricted corpus mass (two
-    # ints — the same legitimately-driver-sized reduction as tfidf's N).
+    # Vocabulary size + vocab-restricted corpus mass: one 1-row aggregate
+    # broadcast into the grid (no driver action — the values stay JVM-side).
     nv = vocab.agg(
-        F.sum("c").alias("n_all"), F.count("*").alias("v")
-    ).first()
-    n_all, v_sz = int(nv["n_all"]), int(nv["v"])
+        F.sum("c").cast("long").alias("n_all"), F.count("*").alias("v")
+    )
     per_src = st.join(F.broadcast(vocab.select("term")), "term").select(
         "source", "term", "c_sw"
     )
     ns = per_src.groupBy("source").agg(F.sum("c_sw").alias("n_s"))
-    grid = ns.crossJoin(F.broadcast(vocab))
+    grid = ns.crossJoin(F.broadcast(vocab)).crossJoin(F.broadcast(nv))
     joined = grid.join(per_src, ["source", "term"], "left").withColumn(
         "c_sw", F.coalesce(F.col("c_sw"), F.lit(0))
     )
-    p = (F.col("c_sw") + 1.0).cast("double") / (F.col("n_s") + F.lit(v_sz))
-    q = (F.col("c") + 1.0).cast("double") / F.lit(float(n_all + v_sz))
+    # Arithmetic is shape-identical to the literal form it replaces:
+    # n_s + v is the same long addition, and (n_all + v) cast to double
+    # equals the old Python-side float(n_all + v_sz) exactly (both are
+    # int-to-double conversions of the same value, exact below 2^53).
+    p = (F.col("c_sw") + 1.0).cast("double") / (F.col("n_s") + F.col("v"))
+    q = (F.col("c") + 1.0).cast("double") / (
+        (F.col("n_all") + F.col("v")).cast("double")
+    )
     contrib = p * F.log(p / q)
     return (
         joined.groupBy("source")

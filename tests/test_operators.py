@@ -611,6 +611,42 @@ def test_duplicate_groups_no_premature_star_forest_exit(spark):
     assert {r["group_id"] for r in rows} == {1}
 
 
+def test_star_hub_safe_form_is_value_identical(spark):
+    """r12 skew guard: the hub-safe aggregate+join star forms must emit
+    the EXACT edge set of the window forms (they attach the same
+    neighborhood minimum), and their plans must contain no Window node —
+    the whole point is that a hub key's rows never collapse into one
+    window task (the partial-agg min combines map-side and the join-back
+    is AQE-skew-splittable)."""
+    edges = [(1, 2), (2, 3), (3, 5), (1, 7), (4, 5), (6, 7), (8, 9)]
+    e = spark.createDataFrame(edges, ["s", "t"])
+    for fn in (dedup._large_star, dedup._small_star):
+        window_form = {(r["s"], r["t"]) for r in fn(e, False).collect()}
+        safe = fn(e, True)
+        safe_form = {(r["s"], r["t"]) for r in safe.collect()}
+        assert safe_form == window_form
+        plan = safe._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan, plan
+
+
+def test_duplicate_groups_hub_safe_threshold(spark, monkeypatch):
+    """With the hub-degree threshold forced to 1, every round takes the
+    hub-safe path; groups must be identical to the window path. The hub
+    graph (node 0 joined to everything, plus a chain) exercises both the
+    round-1 input-degree probe and the per-round re-probe."""
+    from datafusion_ray_spark.operators import dedup as dd
+
+    edges = [(0, i) for i in range(1, 40)] + [(50, 51), (51, 52)]
+    pairs = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    expected = {(r["doc_id"], r["group_id"])
+                for r in dd.duplicate_groups(pairs).collect()}
+    monkeypatch.setattr(dd, "CC_HUB_DEGREE", 1)
+    got = {(r["doc_id"], r["group_id"])
+           for r in dd.duplicate_groups(pairs).collect()}
+    assert got == expected
+    assert {g for _, g in got} == {0, 50}
+
+
 def test_is_star_forest_rejects_multi_parent_child(spark):
     """Unit form of the counterexample: {(1,4),(3,4)} is parent/child-
     disjoint yet not a star forest (child 4 has parents 1 and 3), while

@@ -436,17 +436,20 @@ def test_collocations_tokenizes_corpus_once(spark, sf_dir):
 
 
 def test_text_kl_tokenizes_corpus_once(spark, sf_dir):
-    """KL(source ‖ corpus) explodes the corpus ONCE into a pinned
-    (source, term) count table (r11); corpus term counts, the top-V
-    vocabulary and the per-source slices are vocabulary-scale aggregates
-    of the pin. The old form re-ran the corpus explode for the vocab
-    action and again under both of the final plan's vocab subtrees
-    (10 parquet scans in the before plan)."""
-    import re
-
+    """KL(source ‖ corpus) explodes the corpus ONCE into one
+    (source, term) count exchange that every leg — vocab, totals, the
+    per-source slice, the grid probe — REUSES at runtime (r12; r11
+    pinned the table with persist() instead, which paid a cache write
+    plus a separate driver vocab job). A regression re-plans the explode
+    under a second exchange, which shows up here as lost reuse: the
+    executed plan must keep >= 4 ReusedExchange nodes and at most 4
+    fresh shuffle exchanges (the (source,term) agg, ns, the final
+    per-source agg, and the output sort)."""
     from datafusion_ray_spark.operators.suite6 import run_text_kl
+    from datafusion_ray_spark.plans import runtime_shuffle_metrics
 
     df = run_text_kl(spark, sf_dir)
-    plan = _plan(df)
-    assert len(set(re.findall(r"\((\d+)\) Scan parquet", plan))) == 1, plan
-    assert len(set(re.findall(r"\((\d+)\) InMemoryTableScan", plan))) >= 3, plan
+    df.collect()
+    m = runtime_shuffle_metrics(df)
+    assert m["n_exchange"] <= 4, m
+    assert m["n_reused_exchange"] >= 4, m
