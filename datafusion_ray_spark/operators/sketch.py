@@ -59,17 +59,24 @@ def count_min_estimate(sketch: DataFrame, keys: list) -> DataFrame:
     """Point-query the sketch: (key, est) with est = min over rows of the
     key's bucket counter (the CMS upper-bound estimate).
 
-    The PROBE side is broadcast (it's the statically tiny one — D rows per
-    key), so the sketch build streams straight into the join; broadcasting
-    the sketch instead would stall the plan on a collect-and-rebroadcast of
-    the aggregation. Right outer join keeps probes whose bucket has count 0.
-    """
+    The SKETCH side is broadcast (guide §3): it is bounded at D·W counters
+    by construction — the textbook broadcastable side. r12 normalized the
+    join to probes-left LEFT outer (the ``heavy_hitters`` form): the old
+    sketch-left RIGHT-outer carried a ``broadcast(probes)`` hint Spark
+    REJECTS (build-right is unsupported for right outer joins —
+    HintErrorLogger warned every run), though the planner then broadcast
+    the sketch side on size anyway, so the executed plan is unchanged
+    (BroadcastHashJoin BuildLeft/RightOuter -> BuildRight/LeftOuter,
+    plans/r12/sketch_count_min_{before,after}.txt); the flip makes the
+    broadcast intended rather than incidental and silences the warning.
+    Left join keeps probes whose bucket has count 0; values are identical
+    (same keys, same ``na.fill``, same min-over-rows aggregate)."""
     spark = sketch.sparkSession
     probes = spark.createDataFrame([(str(k),) for k in keys], ["key"])
     arr = F.array(*[cms_bucket(F.col("key"), p) for p in CMS_PREFIXES])
     unioned = probes.select("key", F.posexplode(arr).alias("row", "bucket"))
     return (
-        sketch.join(F.broadcast(unioned), ["row", "bucket"], "right")
+        unioned.join(F.broadcast(sketch), ["row", "bucket"], "left")
         .na.fill({"cnt": 0})
         .groupBy("key")
         .agg(F.min("cnt").cast("long").alias("est"))

@@ -233,10 +233,73 @@ SELECT CAST(t.n_buckets AS BIGINT) AS n_buckets,
 FROM med m CROSS JOIN tot t CROSS JOIN ex e
 """
 
+# Spark side (r12, guide §1.2/§2.4): ONE corpus pass instead of four plan
+# scans (two survived runtime exchange reuse — the exact-percentile
+# ObjectHashAggregate leg alone was ~60% of the wall, its partial bounded
+# to the parquet's 3 row groups and its final merge to one task holding
+# every distinct price in a serialized map). Everything now derives from
+# a single (price, count) aggregate: the histogram buckets are monotone
+# in price (cents DIV is order-preserving), so the bucket CDF rides the
+# same value-ordered window as the exact-median CDF, and the exact
+# median replicates Spark PERCENTILE's interpolation arithmetic
+# ((hi-pos)*lo + (pos-lo)*hi over the two straddling order statistics)
+# from the cumulative counts — bit-identical output (verified old==new
+# at all three SFs), certified against the UNREWRITTEN DuckDB
+# QUANTILE_CONT oracle below. The distinct-price table is bounded by the
+# price domain, so every post-scan stage stays vocabulary-scale at any
+# corpus size, and the counts shuffle replaces the old plan's opaque
+# serialized percentile maps (5.3 MB for 6 rows at sf0.1).
+_HIST_Q_SPARK = """
+WITH vf AS (
+    SELECT l_extendedprice AS v, COUNT(*) AS c
+    FROM lineitem
+    GROUP BY l_extendedprice
+),
+vc AS (
+    SELECT v, c,
+           {cents_v} DIV 100000 AS bucket,
+           SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS vcum,
+           SUM(c) OVER () AS ntot
+    FROM vf
+),
+vb AS (
+    SELECT v, c, bucket, vcum, ntot,
+           SUM(c) OVER (PARTITION BY bucket) AS cb,
+           MAX(vcum) OVER (PARTITION BY bucket) AS bcum
+    FROM vc
+),
+agg AS (
+    SELECT
+        CAST(SUM(IF(vcum = bcum, 1, 0)) AS BIGINT) AS n_buckets,
+        CAST(MAX(ntot) AS DOUBLE) AS n,
+        MIN_BY(CAST(bucket AS DOUBLE), IF(2 * vcum >= ntot, vcum, NULL)) AS mbucket,
+        MIN_BY(CAST(cb AS DOUBLE), IF(2 * vcum >= ntot, vcum, NULL)) AS mc,
+        MIN_BY(CAST(bcum - cb AS DOUBLE), IF(2 * vcum >= ntot, vcum, NULL)) AS mcum_prev,
+        MIN(CASE WHEN vcum >= CAST(FLOOR(0.5 * (ntot - 1)) AS BIGINT) + 1
+                 THEN v END) AS lo,
+        MIN(CASE WHEN vcum >= CAST(FLOOR(0.5 * (ntot - 1)) AS BIGINT) + 2
+                 THEN v END) AS hi,
+        MAX(0.5 * (ntot - 1) - FLOOR(0.5 * (ntot - 1))) AS g
+    FROM vb
+),
+ex AS (
+    SELECT agg.*,
+           CASE WHEN hi IS NULL OR g = 0.0 THEN lo
+                ELSE (1.0 - g) * lo + g * hi END AS exact_med
+    FROM agg
+)
+SELECT n_buckets,
+       ROUND((mbucket * 100000 + 100000 * (0.5 * n - mcum_prev) / mc) / 100.0, 4) AS est_median,
+       ROUND(exact_med, 4) AS exact_median,
+       ABS((mbucket * 100000 + 100000 * (0.5 * n - mcum_prev) / mc) / 100.0
+           - exact_med) <= 1000.0 AS within_bucket
+FROM ex
+"""
+
 _q(
     "sketch_hist_quantile",
-    _HIST_Q.format(cents=cents("l_extendedprice"),
-                   pctl="PERCENTILE(l_extendedprice, 0.5)"),
+    _HIST_Q_SPARK.format(cents_v=cents("v")),
     "histogram quantile sketch: $1000-bucket median estimate vs exact",
     oracle=_HIST_Q.replace(" DIV ", " // ").format(
         cents=cents("l_extendedprice"),
