@@ -410,32 +410,50 @@ def frame_lumas(binary_df: DataFrame, frame_bytes: int = 256) -> DataFrame:
     """Per-frame 'luma' (byte sum) for every fixed-size frame of every
     payload — the feature a scene-cut / shot-boundary detector thresholds.
 
-    Vectorized like the decode kernel: one concatenated uint8 buffer per
+    Vectorized like the decode kernel: one contiguous uint8 buffer per
     Arrow batch, ONE cumulative sum, and every frame's luma is a
     difference of two prefix-sum gathers — no per-byte (or even per-frame)
     Python. A real video codec would emit per-frame histograms here via
     ``register_codec``; the downstream cut logic is codec-agnostic.
 
-    Scale: pure projection (mapInPandas, partition-preserving); output is
+    r12 (guide §4): ``mapInArrow`` instead of ``mapInPandas``. An Arrow
+    binary column already stores every payload CONCATENATED in one data
+    buffer with an offsets buffer alongside — exactly the (buf, offsets)
+    pair the kernel needs — so the Arrow form reads both zero-copy where
+    the pandas form materialized a Python ``bytes`` object per row and
+    re-concatenated them (``b"".join``). The r11 mapInArrow experiment
+    (rejected, ~30% slower) went through per-row conversion; the
+    buffer-level form measured at-or-below the pandas wall across the
+    probe's width sweep (plans/r12/mapinarrow_probe.json: 0.77x at 64 B,
+    0.97x at the bench's own ~300 B, 0.92-0.95x at 1-4 KB, 0.88-1.10x at
+    16 KB across two runs — i.e. never worse outside the noise floor,
+    identical outputs everywhere), and it removes a whole-payload copy
+    that only grows with width.
+
+    Scale: pure projection (partition-preserving); output is
     ~len/frame_bytes rows per payload, narrow (3 ints).
     """
+    import pyarrow as pa
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
+    def gen(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        for b in batches:
+            if b.num_rows == 0:
                 continue
-            payloads = list(pdf["payload"])
-            lens = np.fromiter(
-                (len(b) for b in payloads), dtype=np.int64, count=len(payloads)
-            )
+            pay = b.column(b.schema.get_field_index("payload"))
+            odt = np.int64 if pa.types.is_large_binary(pay.type) else np.int32
+            offs = np.frombuffer(pay.buffers()[1], dtype=odt)[
+                pay.offset: pay.offset + len(pay) + 1
+            ].astype(np.int64)
+            data = np.frombuffer(pay.buffers()[2], dtype=np.uint8)
+            lens = offs[1:] - offs[:-1]
             nf = -(-lens // frame_bytes)  # ceil; 0 frames for empty payloads
             total = int(nf.sum())
             if not total:
                 continue
-            buf = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+            buf = data[offs[0]: offs[-1]]
+            offsets = offs[:-1] - offs[0]
             cs = np.concatenate(([0], np.cumsum(buf, dtype=np.int64)))
-            offsets = np.concatenate(([0], np.cumsum(lens)))[:-1]
-            doc_idx = np.repeat(np.arange(len(pdf)), nf)
+            doc_idx = np.repeat(np.arange(len(pay)), nf)
             frame_id = np.arange(total) - np.repeat(
                 np.concatenate(([0], np.cumsum(nf)))[:-1], nf
             )
@@ -443,16 +461,20 @@ def frame_lumas(binary_df: DataFrame, frame_bytes: int = 256) -> DataFrame:
             ends = np.minimum(
                 starts + frame_bytes, offsets[doc_idx] + lens[doc_idx]
             )
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"].to_numpy()[doc_idx],
-                    "frame_id": frame_id.astype("int32"),
-                    "luma": cs[ends] - cs[starts],
-                    "flen": (ends - starts).astype("int32"),
-                }
+            doc_ids = b.column(
+                b.schema.get_field_index("doc_id")
+            ).to_numpy(zero_copy_only=False)[doc_idx]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(doc_ids, pa.int64()),
+                    pa.array(frame_id.astype(np.int32)),
+                    pa.array(cs[ends] - cs[starts]),
+                    pa.array((ends - starts).astype(np.int32)),
+                ],
+                ["doc_id", "frame_id", "luma", "flen"],
             )
 
-    return binary_df.select("doc_id", "payload").mapInPandas(
+    return binary_df.select("doc_id", "payload").mapInArrow(
         gen, FRAME_LUMA_SCHEMA
     )
 
