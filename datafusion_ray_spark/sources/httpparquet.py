@@ -117,7 +117,9 @@ def _url_entries(opts: dict) -> list[tuple[str, int | None]]:
       dataset over plain http.
 
     Sizes are ``None`` where the declaration doesn't carry them; the
-    planner HEAD-probes only those.
+    planner HEAD-probes only those — and in split mode only up to
+    ``size_probe_max_files`` of them, beyond which the probe defers to
+    the task (see ``DEFAULT_SIZE_PROBE_MAX_FILES``).
     """
     import json
 
@@ -145,6 +147,19 @@ def _url_entries(opts: dict) -> list[tuple[str, int | None]]:
 #: only message text survives into the PySparkException the driver sees.
 #: Human wording around it may change; the token must not.
 RANGE_UNSUPPORTED_TOKEN = "[RANGE_UNSUPPORTED]"
+
+#: plain (size-less) URL lists larger than this stop paying a planner
+#: HEAD per URL in split mode: beyond the threshold each unsized entry
+#: becomes ONE whole-file partition whose TASK probes the size itself
+#: (one HEAD per file, cluster-parallel, overlapped with the read)
+#: instead of the driver draining an O(files) probe tail through a
+#: 16-way pool before a single task can launch. The cost is intra-file
+#: byte-range splitting for those entries — irrelevant above the
+#: threshold, where per-file parallelism already exceeds any executor
+#: count; a publisher with few huge objects should annotate sizes
+#: (``[url, bytes]`` pairs or a sized manifest), which keeps exact range
+#: splits with ZERO probes. Override with ``size_probe_max_files``.
+DEFAULT_SIZE_PROBE_MAX_FILES = 256
 
 
 class RangeUnsupportedError(OSError):
@@ -312,6 +327,18 @@ class _HTTPParquetReader(DataSourceReader):
                 # don't carry one; tasks read their own footers and claim
                 # row groups by midpoint, pruning task-side.
                 unsized = [u for u, s in entries if s is None]
+                probe_max = int(self.options.get(
+                    "size_probe_max_files", DEFAULT_SIZE_PROBE_MAX_FILES))
+                if len(unsized) > probe_max:
+                    # size-deferred partitions: zero planning requests;
+                    # the task probes its own file (size=None sentinel)
+                    # and claims every surviving row group.
+                    plan = _range_plan(
+                        [e for e in entries if e[1] is not None],
+                        self.part_bytes)
+                    plan += [(u, None, 0, None) for u in unsized]
+                    self._parts = [InputPartition(p) for p in plan]
+                    return self._parts
                 if unsized:
                     with ThreadPoolExecutor(
                         max_workers=min(16, len(unsized))
@@ -356,6 +383,11 @@ class _HTTPParquetReader(DataSourceReader):
 
         if len(partition.value) == 4:  # byte-range split (large listing)
             url, size, start, end = partition.value
+            if size is None:  # size-deferred whole-file partition: the
+                # planner skipped the HEAD tail; this task probes its own
+                # file and owns its entire byte range.
+                size = _probe_size(url)
+                end = size
             pf = pq.ParquetFile(_RangedHTTPFile(url, size))
             row_groups = _select_row_groups_for_range(
                 pf.metadata, start, end,

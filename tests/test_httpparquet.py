@@ -537,3 +537,46 @@ def test_http_parquet_range_split_protocol(spark, multi_base):
     assert got == _local_oracle_rows()
     # pushFilters still prunes task-side: exact rows, no loss
     assert df.where("k >= 60000").count() == 20_000
+
+
+def test_unsized_url_list_above_probe_cap_plans_with_zero_requests(
+    spark, multi_base
+):
+    """Plain (size-less) URL lists above ``size_probe_max_files`` stop
+    paying the planner's per-URL HEAD tail (round-12): planning issues
+    ZERO requests — the request log is the witness — each unsized entry
+    becomes one whole-file partition, and the size probe moves into the
+    task (exactly one probe per file, next to its reads). Rows stay
+    oracle-equal and filters still prune task-side."""
+    from datafusion_ray_spark.context import DFRayContext
+    from datafusion_ray_spark.sources.httpparquet import _HTTPParquetReader
+
+    urls = [f"{multi_base}/a.parquet", f"{multi_base}/b.parquet"]
+    _MultiHandler.requests = []
+    reader = _HTTPParquetReader(None, {
+        "urls": urls,
+        "footer_planning_max_files": "1",  # force split mode at 2 files
+        "size_probe_max_files": "1",       # 2 unsized files > cap
+        "partition_bytes": "40000",
+    })
+    parts = reader.partitions()
+    assert len(parts) == 2  # one size-deferred partition per file
+    assert all(p.value[1] is None and p.value[3] is None for p in parts)
+    assert _MultiHandler.requests == [], (
+        f"unsized-list planning issued requests: {_MultiHandler.requests}"
+    )
+
+    ctx = DFRayContext(spark=spark)
+    ctx.register_parquet(
+        "http_unsized_deferred", urls,
+        partition_bytes=40_000, footer_planning_max_files=1,
+        size_probe_max_files=1,
+    )
+    df = spark.table("http_unsized_deferred")
+    _MultiHandler.requests = []
+    assert sorted(map(tuple, df.collect())) == _local_oracle_rows()
+    # the only size probes are task-side: at most one per file per scan
+    # (HEAD, or the 1-byte-Range fallback); planning added none.
+    probes = [r for r in _MultiHandler.requests if r[0] == "HEAD"]
+    assert sorted(p for _, p, _ in probes) == ["/a.parquet", "/b.parquet"]
+    assert df.where("k >= 60000").count() == 20_000
