@@ -1029,12 +1029,23 @@ def run_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The arithmetic is the identical exact-integer sequence per
     # position j: cn = vus·n_j − s_j (bigint), Σ decimal(38,0) cn²,
     # DIV max(n_j)².
+    # NOTE: this collect() makes the function EAGER — the stats are a
+    # snapshot at build time (advisor r11). Fine for the registry's
+    # run-then-collect contract; a caller mutating `embeddings` between
+    # build and execution would score against the snapshot.
     srt = sorted(
         (r["pos"], int(r["s"]), int(r["n"]))
         for r in v.groupBy("pos").agg(
             F.sum("vus").alias("s"), F.count("*").cast("long").alias("n")
         ).collect()
     )
+    if not srt:
+        # Empty embeddings table: zero-element array() literals make the
+        # zip_with lambdas unresolvable — return the empty result the old
+        # lazy plan produced (advisor r12).
+        return emb.select(
+            "vec_id", F.expr("CAST(NULL AS BIGINT)").alias("dist2_us")
+        ).limit(0)
     s_lits = ", ".join(f"{s}L" for _, s, _ in srt)
     n_lits = ", ".join(f"{n}L" for _, _, n in srt)
     # cn_j = vus_j·n_j − s_j per position (bigint), Σ decimal(38,0) cn²,
@@ -1056,7 +1067,13 @@ def run_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         " AS BIGINT)"
     )
     return (
-        emb.select("vec_id", dist2.alias("dist2_us"))
+        # size(embedding) > 0 restores the posexplode form's drop
+        # semantics for degenerate rows (advisor r12): a NULL embedding
+        # made slice(..., 1, size()) throw (size(NULL) = -1) and an empty
+        # one yielded a NULL dist2 that could enter the top-20 where the
+        # old plan emitted nothing for the row.
+        emb.where(F.expr("size(embedding) > 0"))
+        .select("vec_id", dist2.alias("dist2_us"))
         .orderBy(F.desc("dist2_us"), "vec_id")
         .limit(20)
     )

@@ -340,6 +340,37 @@ def test_centroid_outliers_flags_planted_outlier(spark, monkeypatch):
     assert got[0]["dist2_us"] > 50 * got[1]["dist2_us"]
 
 
+def test_centroid_outliers_degenerate_inputs(spark, monkeypatch):
+    """Advisor r12 guards: an EMPTY embeddings table returns an empty
+    (vec_id, dist2_us) result instead of an AnalysisException from
+    zero-element array literals, and NULL/empty embedding rows are
+    DROPPED (the pre-r11 posexplode semantics) instead of throwing /
+    surfacing NULL scores in the top-k."""
+    import datafusion_ray_spark.operators.suite4 as s4
+
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label int"
+    )
+    monkeypatch.setattr(s4, "load_table", lambda _s, _d, _n: empty)
+    got = s4.run_centroid_outliers(spark, "ignored")
+    assert got.columns == ["vec_id", "dist2_us"]
+    assert got.collect() == []
+
+    rows = [
+        (1, [0.5] * 4, 0),
+        (2, [0.6] * 4, 0),
+        (3, None, 0),      # size(NULL) = -1 broke slice() pre-guard
+        (4, [], 0),        # empty array yielded NULL dist2 pre-guard
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    monkeypatch.setattr(s4, "load_table", lambda _s, _d, _n: df)
+    got = s4.run_centroid_outliers(spark, "ignored").collect()
+    assert sorted(r["vec_id"] for r in got) == [1, 2]
+    assert all(r["dist2_us"] is not None for r in got)
+
+
 def test_sessionize_agrees_with_session_window_counts(spark, sf_dir):
     """Per user: number of distinct session labels == number of session
     windows the aggregate operator emits."""
