@@ -33,37 +33,39 @@ CERTIFICATION_FLAGSHIPS = [
     "mm_decode_features",                     # multimodal anchor
 ]
 
-#: Round-11 rotating slots = the ledger's pick under the sharpened
-#: per-entry staleness (declaration fragments + honest import closures —
-#: certledger.py round-11): stale-first, then OLDEST driver certification
-#: first. NEVER-certified entries outrank everything (the rounds-4..9
-#: rule that rotated every new declaration through the window), so the
-#: two round-11 object-store-index entries (suite8) lead; the rest are
-#: the oldest-certified survivors of the round-10 re-certification: the
-#: remaining round-1 rows (whose closures were last touched by round 4's
-#: shared-layer work) and the round-2/3 cohort whose operator files have
-#: churned through round 11's suite-decoupling refactor (the last two of
-#: that cohort, dedup_containment and ev_funnel, were displaced by the
-#: new entries and stay first in line for round 12).
+#: Round-12 rotating slots = the ledger's pick under the round-12
+#: recency ranking (certledger.py r12, VERDICT r11 item 3): entries whose
+#: OWN declaration fragment changed since their last driver certification
+#: outrank everything, ordered by most-recent own change then oldest
+#: certification — so the r12 rewrites lead (dedup_lsh_eval,
+#: emb_centroid_outliers, text_ngram_novelty, text_kl_divergence,
+#: sketch_hist_quantile, dedup_apply_quality, ...), followed by the r11
+#: rewrites the r11 window missed (text_collocations,
+#: ev_retention_cohorts, ev_upsert_merge, ev_user_rfm, ...). The r11
+#: rewrites whose change lives only in shared helper modules
+#: (per-entry fragment attribution cannot see them) remain covered by
+#: the local 194/194 oracle + pytest gate; the CC consumers' shared
+#: dedup.py change is certified through the dedup_groups FLAGSHIP slot
+#: plus dedup_apply_quality here.
 CERTIFICATION_ROTATING = [
-    "sim_oidx_persist",
-    "sim_oidx_replace",
-    "setop_union_distinct",
-    "theta_join",
-    "unnest_explode",
-    "values_inline",
-    "win_frames",
-    "win_lag_lead",
-    "win_rank",
-    "dedup_simhash",
-    "ev_sliding_window",
-    "ev_tumbling_window",
-    "mm_meta_stats",
-    "sim_knn_brute",
-    "sketch_hll",
-    "split_train_test",
-    "text_lm_score",
-    "text_quality",
-    "text_winnow",
-    "contamination_ngram",
+    "dedup_lsh_eval",
+    "emb_centroid_outliers",
+    "text_ngram_novelty",
+    "text_kl_divergence",
+    "sketch_hist_quantile",
+    "seq_pack",
+    "graph_local_clustering",
+    "graph_triangles",
+    "sim_ann_bq",
+    "sim_ann_sq8_rerank",
+    "sketch_heavy_hitters",
+    "text_tfidf",
+    "text_collocations",
+    "dedup_apply_quality",
+    "ev_retention_cohorts",
+    "ev_upsert_merge",
+    "sim_ann_sq8",
+    "sketch_bloom",
+    "ev_user_rfm",
+    "dedup_embedding_cosine",
 ]
